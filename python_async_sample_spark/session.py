@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+The reference hand-manages parallelism (200-thread / 50-process pools,
+``eda_query.py:24,58,82``) and row-at-a-time inserts (``nikon_ETL.py:215-262``).
+Here a single session config replaces all of that: AQE re-plans shuffles at
+runtime, Arrow vectorizes the Python boundary, and shuffle partitioning is
+sized from the environment instead of hard-coded.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults are for the local[/N] test harness; on a real cluster the same
+# settings remain valid (AQE coalesces the shuffle partitions it needs).
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "python_async_sample_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Scale posture: every knob here is chosen so the same code runs on
+    local[32] for tests and on a 1000-executor cluster unchanged —
+    AQE (+skew join) handles runtime re-planning, dynamic partition
+    overwrite enables idempotent window rewrites (SURVEY §2.9 I3), and
+    Arrow keeps the pandas-UDF kernel path vectorized.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    shuffle = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

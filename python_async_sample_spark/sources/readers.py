@@ -1,0 +1,86 @@
+"""Source layer: parquet/CSV/JSON readers over the driver testdata layout.
+
+Reference analog: ``dbs/nikon.py:107-115,240-249`` (table scans with
+time-range pushdown) and ``eda_query.py:236-238`` (CSV key list). Here every
+scan is a lazy ``spark.read`` whose filters/projections Catalyst pushes into
+the parquet reader — the reference had to hand-write each WHERE clause into
+SQL strings to get the same effect.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-provided star schema (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=None)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
+    natively; they are read as long and converted (footer-only probe)."""
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return tuple(
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if str(typ) == "timestamp[ns]"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy scan of one parquet table. Filters/column pruning push down.
+
+    Nanosecond-timestamp columns (unsupported by Spark's parquet reader) are
+    read as long nanos via ``spark.sql.legacy.parquet.nanosAsLong`` and
+    truncated to microsecond timestamps with integer arithmetic (a double
+    division would lose precision above 2^53 ns).
+    """
+    # The driver owns the session; pin UTC here so timestamp formatting in
+    # query outputs is stable regardless of how the session was built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict; each is a lazy scan (no IO until an action)."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL entry points."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def read_keys_csv(spark: SparkSession, path: str, column: str = "glass_id") -> DataFrame:
+    """Key-list CSV reader (reference: ``eda_query.py:236-238,262-264`` reads
+    sample.csv into a python list; here it becomes a one-column DataFrame so
+    the fan-out lookup collapses into a distributed join)."""
+    return spark.read.csv(path, header=False).toDF(column)

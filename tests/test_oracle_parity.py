@@ -1,0 +1,35 @@
+"""Every registered query with an oracle must match DuckDB on sf0.001 —
+the local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from python_async_sample_spark.plans.registry import load_all
+from tests.oracle_check import compare
+
+SPECS = load_all()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = SPECS[name]
+    df = spec.fn(spark, sf_dir)
+    assert df is not None
+    if spec.oracle is None:
+        # rows-only check, like the driver's weak path
+        assert df.count() >= 0
+    else:
+        compare(df, spec.oracle, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+    # contract alignment: every oracle key exists in queries()
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
