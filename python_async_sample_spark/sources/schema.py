@@ -1,0 +1,58 @@
+"""Schema discovery & reconciliation — the reference's `column_state` analog.
+
+Reference: the ETL discovers target columns from ``information_schema``
+(``dbs/nikon.py:57-73``), upper-cases them (``nikon_ETL.py:210-212``), then
+reconciles each source batch against the target schema
+(``nikon_ETL.py:157-168``): extra source columns are dropped
+(``nikon_ETL.py:194-204``); missing source columns abort the batch.
+
+Here schemas are ``StructType`` values and reconciliation is a single
+``select`` — column pruning the optimizer pushes into the scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+class BatchAbort(Exception):
+    """Source is missing columns the target requires (reference behavior:
+    ``ret: False`` when ``del_cols`` non-empty, ``nikon_ETL.py:166``)."""
+
+
+@dataclass(frozen=True)
+class ColumnState:
+    add_cols: tuple[str, ...]  # present in source, absent in target → dropped
+    del_cols: tuple[str, ...]  # required by target, absent in source → abort
+    ok: bool
+
+
+def column_state(source: StructType, target: StructType) -> ColumnState:
+    """Diff two schemas case-insensitively (the reference upper-cases both
+    sides before comparing)."""
+    src = {f.name.lower() for f in source.fields}
+    tgt = {f.name.lower() for f in target.fields}
+    add = tuple(sorted(src - tgt))
+    dele = tuple(sorted(tgt - src))
+    return ColumnState(add_cols=add, del_cols=dele, ok=not dele)
+
+
+def reconcile(df: DataFrame, target: StructType) -> DataFrame:
+    """Project/cast a source batch onto the target schema.
+
+    Extra source columns are dropped; missing ones raise :class:`BatchAbort`.
+    Types are cast to the target's (the reference stores measurements as text
+    and casts client-side, ``R/tlcd_nikonrot.R:131`` — here the cast happens
+    in the plan, JVM-side).
+    """
+    state = column_state(df.schema, target)
+    if not state.ok:
+        raise BatchAbort(f"source missing target columns: {list(state.del_cols)}")
+    by_lower = {f.name.lower(): f.name for f in df.schema.fields}
+    return df.select(
+        *(F.col(by_lower[f.name.lower()]).cast(f.dataType).alias(f.name) for f in target.fields)
+    )

@@ -1,0 +1,166 @@
+"""Incremental subsystem tests: watermark store, overwrite-window sink,
+chunked catch-up, idempotent re-delivery, schema reconciliation, cascade."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_async_sample_spark.incremental import (
+    IncrementalRunner,
+    IncrementalStage,
+    WatermarkStore,
+    overwrite_window,
+    read_target,
+)
+from python_async_sample_spark.sources.readers import load_table
+from python_async_sample_spark.sources.schema import BatchAbort, column_state, reconcile
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_watermark_store_roundtrip(spark, tmpdir):
+    store = WatermarkStore(spark, f"{tmpdir}/state")
+    assert store.get("nikon", "EDC_Import") is None
+    store.put("nikon", "EDC_Import", ts("2024-01-05 00:00:00"))
+    assert store.get("NIKON", "EDC_Import") == ts("2024-01-05 00:00:00")
+    # upsert replaces, other keys unaffected
+    store.put("NIKON", "ROT_Transform", ts("2024-01-03 00:00:00"))
+    store.put("NIKON", "EDC_Import", ts("2024-01-06 00:00:00"))
+    assert store.get("NIKON", "EDC_Import") == ts("2024-01-06 00:00:00")
+    assert store.get("NIKON", "ROT_Transform") == ts("2024-01-03 00:00:00")
+
+
+def test_overwrite_window_idempotent(spark, sf_dir, tmpdir):
+    events = load_table(spark, sf_dir, "events")
+    target = f"{tmpdir}/target"
+    lo, hi = ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00")
+
+    overwrite_window(events, target, "ts", lo, hi)
+    first = read_target(spark, target)
+    n1 = first.count()
+    expected = events.where((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))).count()
+    assert n1 == expected > 0
+
+    # re-delivering the same window must not duplicate (I3)
+    overwrite_window(events, target, "ts", lo, hi)
+    assert read_target(spark, target).count() == n1
+
+    # overlapping window: non-day-aligned boundaries keep out-of-window rows
+    lo2, hi2 = ts("2024-01-08 12:00:00"), ts("2024-01-12 00:00:00")
+    overwrite_window(events, target, "ts", lo2, hi2)
+    total = read_target(spark, target).count()
+    expected_total = events.where(
+        (F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi2))
+    ).count()
+    assert total == expected_total
+
+    # no duplicate event_ids anywhere
+    tgt = read_target(spark, target)
+    assert tgt.count() == tgt.select("event_id").distinct().count()
+
+
+def test_schema_reconciliation(spark):
+    target = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.DoubleType()),
+        ]
+    )
+    src = spark.createDataFrame([(1, "2.5", "junk")], ["A", "b", "extra"])
+    state = column_state(src.schema, target)
+    assert state.add_cols == ("extra",) and state.ok
+
+    out = reconcile(src, target)
+    assert out.columns == ["a", "b"]
+    row = out.first()
+    assert row.a == 1 and row.b == 2.5  # string cast to double in-plan
+
+    missing = spark.createDataFrame([(1,)], ["a"])
+    bad = column_state(missing.schema, target)
+    assert bad.del_cols == ("b",) and not bad.ok
+    with pytest.raises(BatchAbort):
+        reconcile(missing, target)
+
+
+def test_chunked_catchup_and_cascade(spark, sf_dir, tmpdir):
+    store = WatermarkStore(spark, f"{tmpdir}/state")
+    runner = IncrementalRunner(spark, store)
+
+    edc = IncrementalStage(
+        name="EDC_Import",
+        source=lambda s: load_table(s, sf_dir, "events"),
+        target_path=f"{tmpdir}/edc",
+        ts_col="ts",
+    )
+    # downstream stage: aggregates the EDC target per (day, type) — its
+    # window is bounded by EDC's watermark (I7)
+    rot = IncrementalStage(
+        name="ROT_Transform",
+        source=lambda s: s.read.parquet(f"{tmpdir}/edc"),
+        target_path=f"{tmpdir}/rot",
+        ts_col="ts",
+        upstream="EDC_Import",
+    )
+
+    store.put("NIKON", "EDC_Import", ts("2024-01-25 00:00:00"))
+    store.put("NIKON", "ROT_Transform", ts("2024-01-25 00:00:00"))
+
+    iters = runner.run(edc)
+    # max ts ≈ 2024-01-30 23:26 → 6 one-day chunks from the 25th
+    assert 5 <= iters <= 7
+    src_max = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    assert store.get("NIKON", "EDC_Import") == src_max
+
+    n_target = read_target(spark, tmpdir + "/edc").count()
+    n_expected = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts") > F.lit(ts("2024-01-25 00:00:00")))
+        .count()
+    )
+    assert n_target == n_expected > 0
+
+    # cascade: rot follows, bounded by edc's watermark
+    iters_rot = runner.run(rot)
+    assert iters_rot >= 1
+    assert store.get("NIKON", "ROT_Transform") == src_max
+    assert read_target(spark, tmpdir + "/rot").count() == n_expected
+
+    # re-run with no new data → zero iterations (guard ora_wm > psql_wm,
+    # nikon_ETL.py:344)
+    assert runner.run(edc) == 0
+
+    # late re-delivery: rewind one day and re-run → same row set (I6)
+    store.put("NIKON", "EDC_Import", ts("2024-01-29 00:00:00"))
+    runner.run(edc)
+    assert read_target(spark, tmpdir + "/edc").count() == n_expected
+
+
+def test_iteration_cap(spark, sf_dir, tmpdir):
+    from datetime import timedelta
+
+    store = WatermarkStore(spark, f"{tmpdir}/state")
+    runner = IncrementalRunner(spark, store)
+    stage = IncrementalStage(
+        name="EDC_Import",
+        source=lambda s: load_table(s, sf_dir, "events"),
+        target_path=f"{tmpdir}/edc",
+        ts_col="ts",
+        chunk=timedelta(hours=1),
+        max_iter=3,
+    )
+    store.put("NIKON", "EDC_Import", ts("2024-01-01 00:00:00"))
+    assert runner.run(stage) == 3  # hard stop (nikon_ETL.py:459-461)
+    assert store.get("NIKON", "EDC_Import") == ts("2024-01-01 03:00:00")
