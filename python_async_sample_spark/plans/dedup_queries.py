@@ -1,1 +1,111 @@
-"""Placeholder — queries registered in later milestones."""
+"""Deduplication queries over the documents table (driver gate).
+
+The sf0.01 corpus has 25 planted near-dup pairs at Jaccard ≥ 0.9 with the
+next tier at 0.067, so an LSH threshold of 0.8 separates them exactly: the
+MinHash pipeline (q32) must produce the *same* pair set as exact Jaccard
+(q31) and shares its oracle — recall misses at that similarity have
+probability < 1e-7 with 16 bands × 4 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash,
+    simhash_near_pairs,
+    with_shingles,
+)
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS shingle
+      FROM toks CROSS JOIN generate_series(1, 4000) g(i)
+      WHERE g.i <= len(w) - 2
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+    WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+    ORDER BY d1, d2
+"""
+
+
+@query(
+    "q30_exact_dedup",
+    oracle="""
+    SELECT md5(text) AS content_key, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+    ref="dedup-exact",
+    tags=("llm-data", "dedup"),
+)
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup: one groupBy on md5(text), min-id winner."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").orderBy("keep_id")
+
+
+@query(
+    "q31_ngram_jaccard_pairs",
+    oracle=_JACCARD_ORACLE,
+    ref="dedup-jaccard",
+    tags=("llm-data", "dedup"),
+)
+def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join (only
+    docs sharing a shingle ever meet)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "doc_id", "text", n=3)
+    return (
+        jaccard_pairs(sh, threshold=0.8)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "q32_minhash_lsh_pairs",
+    oracle=_JACCARD_ORACLE,
+    ref="dedup-minhash-lsh",
+    tags=("llm-data", "dedup"),
+)
+def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH banding(16×4) → candidate pairs → exact-Jaccard
+    verify. Same oracle as q31: at this threshold the approximate pipeline
+    must reproduce the exact answer. The candidate set is what makes it
+    scale — pairwise work only inside buckets."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "q33_simhash_near_pairs",
+    oracle=None,  # cross-engine SimHash is implementation-defined; checked in
+    # tests against the Jaccard ground truth instead
+    ref="dedup-simhash",
+    tags=("llm-data", "dedup"),
+)
+def q33_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (Hamming ≤ 12) with 16-bit chunk blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    sim = simhash(docs, "doc_id", "text")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=12).orderBy("d1", "d2")

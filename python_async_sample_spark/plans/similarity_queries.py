@@ -1,1 +1,92 @@
-"""Placeholder — queries registered in later milestones."""
+"""Similarity-search queries over the embeddings table (driver gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.similarity import (
+    brute_force_topk,
+    cosine_pairs,
+    lsh_topk,
+)
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+
+@query(
+    "q34_embedding_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id AS d1, b.vec_id AS d2,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+    ORDER BY d1, d2
+    """,
+    ref="dedup-embedding-cosine",
+    tags=("llm-data", "similarity"),
+)
+def q34_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs (zip_with +
+    aggregate dot products, JVM-side). At corpus scale the blocked variant
+    (cosine_pairs with block_col / LSH buckets) replaces the full self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "q35_ann_bruteforce_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(qv, CAST(c.embedding AS DOUBLE[])) AS cos
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    ref="similarity-topk",
+    tags=("llm-data", "similarity"),
+)
+def q35_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 cosine neighbors for the query subset (vec_id % 100 = 0):
+    broadcast queries × one corpus scan, window top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q36_ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall vs q35 asserted in tests
+    ref="similarity-ann-lsh",
+    tags=("llm-data", "similarity"),
+)
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k: each query scores only its bucket — the
+    100 TB path where a full scan per query is off the table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
