@@ -4,9 +4,13 @@ Reference: per-(toolid, apname) high-water mark read at ``dbs/nikon.py:19-37``
 and advanced only after a successful batch at ``dbs/nikon.py:169-186`` /
 ``nikon_ETL.py:327-336`` (write-watermark-last ordering).
 
-The store is a tiny parquet-backed table maintained from the driver. At
-cluster scale this would be a transactional table (Delta/JDBC); the access
-pattern (one row per pipeline, read at start, written at end) is identical.
+The store is a tiny parquet table — one row per pipeline, never data-sized —
+so it is read and written **driver-side via pyarrow**, not as Spark jobs: the
+reference pays one 1-row UPDATE per advance (``dbs/nikon.py:169-186``) and a
+distributed job for that row would be pure scheduler overhead (measured ~4 s
+per advance on local[32]). At cluster scale this slot is filled by a
+transactional table (Delta/JDBC); the access pattern (read at start, written
+once per committed window) is identical, and the data plane is untouched.
 """
 
 from __future__ import annotations
@@ -14,62 +18,68 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
-from pyspark.sql import Row, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql import types as T
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import SparkSession
 
-STATE_SCHEMA = T.StructType(
+ARROW_SCHEMA = pa.schema(
     [
-        T.StructField("toolid", T.StringType(), False),
-        T.StructField("apname", T.StringType(), False),
-        T.StructField("last_end_time", T.TimestampType(), True),
-        T.StructField("enabled", T.StringType(), True),  # 'TRUE'/'FALSE' strings, like the reference
-        T.StructField("virtual_recipe", T.StringType(), True),
-        T.StructField("update_time", T.TimestampType(), True),
+        pa.field("toolid", pa.string(), nullable=False),
+        pa.field("apname", pa.string(), nullable=False),
+        pa.field("last_end_time", pa.timestamp("us"), nullable=True),
+        # 'TRUE'/'FALSE' strings, like the reference (dbs/nikon.py:28)
+        pa.field("enabled", pa.string(), nullable=True),
+        pa.field("virtual_recipe", pa.string(), nullable=True),
+        pa.field("update_time", pa.timestamp("us"), nullable=True),
     ]
 )
 
+_FILE = "lastendtime.parquet"
+
 
 class WatermarkStore:
-    """The table is one row per pipeline, never data-sized, so the store
-    keeps a driver-side write-through cache: reads hit parquet once, each
-    upsert is a single overwrite job (the reference pays one UPDATE per
-    advance, ``dbs/nikon.py:169-186``)."""
-
     def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
+        self.spark = spark  # kept for API symmetry / future JDBC-backed store
         self.path = path
-        self._cache: dict[tuple[str, str], Row] | None = None
+        self._cache: dict[tuple[str, str], dict] | None = None
 
-    def _rows(self) -> dict[tuple[str, str], Row]:
+    @property
+    def _file(self) -> str:
+        return os.path.join(self.path, _FILE)
+
+    def _rows(self) -> dict[tuple[str, str], dict]:
         if self._cache is None:
-            if os.path.exists(self.path):
-                loaded = self.spark.read.schema(STATE_SCHEMA).parquet(self.path).collect()
+            if os.path.exists(self._file):
+                loaded = pq.read_table(self._file).to_pylist()
             else:
                 loaded = []
-            self._cache = {(r.toolid, r.apname): r for r in loaded}
+            self._cache = {(r["toolid"], r["apname"]): r for r in loaded}
         return self._cache
 
     def get(self, toolid: str, apname: str) -> datetime | None:
         """Read one pipeline's watermark (reference: ``get_lastendtime``,
         enabled-gated, ``dbs/nikon.py:26-29``)."""
         row = self._rows().get((toolid.upper(), apname))
-        if row is None or row.enabled != "TRUE":
+        if row is None or row["enabled"] != "TRUE":
             return None
-        return row.last_end_time
+        return row["last_end_time"]
 
     def put(self, toolid: str, apname: str, wm: datetime) -> None:
         """Upsert the watermark — called only AFTER the batch write succeeds
-        (I5 ordering)."""
+        (I5 ordering). Write-then-rename keeps the advance atomic on a
+        POSIX filesystem, mirroring the reference's single-row transactional
+        UPDATE."""
         rows = self._rows()
-        rows[(toolid.upper(), apname)] = Row(
-            toolid=toolid.upper(),
-            apname=apname,
-            last_end_time=wm,
-            enabled="TRUE",
-            virtual_recipe=None,
-            update_time=datetime.now(),
-        )
-        self.spark.createDataFrame(list(rows.values()), STATE_SCHEMA).coalesce(
-            1
-        ).write.mode("overwrite").parquet(self.path)
+        rows[(toolid.upper(), apname)] = {
+            "toolid": toolid.upper(),
+            "apname": apname,
+            "last_end_time": wm,
+            "enabled": "TRUE",
+            "virtual_recipe": None,
+            "update_time": datetime.now(),
+        }
+        os.makedirs(self.path, exist_ok=True)
+        table = pa.Table.from_pylist(list(rows.values()), schema=ARROW_SCHEMA)
+        tmp = self._file + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, self._file)

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.similarity import (
     brute_force_topk,
-    cosine_pairs,
+    cosine_pairs_gemm,
     lsh_topk,
 )
 from python_async_sample_spark.plans.registry import query
@@ -29,12 +29,13 @@ from python_async_sample_spark.sources.readers import load_table
     tags=("llm-data", "similarity"),
 )
 def q34_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs (zip_with +
-    aggregate dot products, JVM-side). At corpus scale the blocked variant
-    (cosine_pairs with block_col / LSH buckets) replaces the full self-join."""
+    """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs, computed by
+    block-partitioned GEMM (`cosine_pairs_gemm`) — each (block, block) tile is
+    one numpy matmul inside an Arrow-batched pandas kernel, so the O(N²·d)
+    arithmetic runs at BLAS speed and distributes one tile per task."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        cosine_pairs(emb, "vec_id", "embedding", threshold=0.45)
+        cosine_pairs_gemm(emb, "vec_id", "embedding", threshold=0.45)
         .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
         .orderBy("d1", "d2")
     )
