@@ -69,6 +69,22 @@ def detect_lang(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("detected_lang", best_lang)
 
 
+# "BPE-ish" tokenizer regex: letter runs, digit runs, or any single
+# non-space symbol — the pre-tokenization split most BPE vocabularies use.
+BPE_ISH = r"[A-Za-z]+|[0-9]+|\S"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count, both built-in
+    (codegen'd regexp on the JVM — one corpus scan, no shuffle)."""
+    return df.withColumn(
+        "n_ws_tokens", F.size(F.split(F.col(text_col), " ")).cast("bigint")
+    ).withColumn(
+        "n_re_tokens",
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), 0)).cast("bigint"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Two deterministic fingerprints:
 

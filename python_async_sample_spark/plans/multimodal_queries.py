@@ -1,0 +1,117 @@
+"""Multimodal-column queries (driver gate).
+
+The container has no media codecs and the testdata has no blob column, so
+payloads are manufactured deterministically (UTF-8 bytes of ``documents.text``)
+— what is REAL and under test is the Spark-side plumbing the multimodal
+operators provide: binary payload + typed-metadata schema, Arrow batch shape
+through ``mapInPandas``, fixed-width feature rows out, explode-shaped frame
+sampling. The oracles recompute the byte-level results in SQL, so the kernels
+are value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.multimodal import (
+    attach_media,
+    extract_features,
+    sample_frames,
+)
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+
+def _with_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = docs.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return attach_media(payload, "blob", media_type="image", fmt="png")
+
+
+@query(
+    "q50_media_features",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, ascii(c) // 32 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM chars GROUP BY 1, 2
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes,
+           md5(d.text) AS digest, h.bucket, h.cnt
+    FROM documents d JOIN hist h USING (doc_id)
+    ORDER BY doc_id, bucket
+    """,
+    ref="multimodal-feature-extract",
+    tags=("llm-data", "multimodal"),
+)
+def q50_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary feature extraction through the mapInPandas kernel: byte count,
+    md5 digest, 8-bucket byte histogram (exploded; empty buckets dropped to
+    match the oracle's group-by shape)."""
+    media = _with_payload(spark, sf_dir)
+    feats = extract_features(media, "doc_id")
+    return (
+        feats.select(
+            "doc_id",
+            "n_bytes",
+            "digest",
+            F.posexplode("hist").alias("bucket", "cnt"),
+        )
+        .where(F.col("cnt") > 0)
+        .select("doc_id", "n_bytes", "digest", F.col("bucket").cast("int").alias("bucket"), "cnt")
+        .orderBy("doc_id", "bucket")
+    )
+
+
+@query(
+    "q51_frame_sampling",
+    oracle="""
+    SELECT doc_id, CAST(g.i AS INT) AS frame_no,
+           substr(text, g.i * 64 + 1, 16) AS frame_text
+    FROM documents CROSS JOIN generate_series(0, 512) g(i)
+    WHERE g.i * 64 < length(text)
+    ORDER BY doc_id, frame_no
+    """,
+    ref="multimodal-frame-sample",
+    tags=("llm-data", "multimodal"),
+)
+def q51_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per 16-byte slice every 64 payload bytes —
+    the explode-shaped dataflow of video frame extraction."""
+    media = _with_payload(spark, sf_dir)
+    frames = sample_frames(media, "doc_id", every_n_bytes=64, frame_bytes=16)
+    return (
+        frames.select(
+            "doc_id",
+            "frame_no",
+            F.col("frame").cast("string").alias("frame_text"),
+        )
+        .orderBy("doc_id", "frame_no")
+    )
+
+
+@query(
+    "q52_media_catalog",
+    oracle="""
+    SELECT 'image' AS media_type, 'png' AS format,
+           CAST(count(*) AS BIGINT) AS n_assets,
+           CAST(sum(length(text)) AS BIGINT) AS total_bytes
+    FROM documents
+    """,
+    ref="multimodal-metadata",
+    tags=("llm-data", "multimodal"),
+)
+def q52_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata rollup over the media column — the catalog query a
+    blob store runs before planning decode work."""
+    media = _with_payload(spark, sf_dir)
+    return media.groupBy(
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.format").alias("format"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+    )

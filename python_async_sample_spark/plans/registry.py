@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         dedup_queries,
         incremental_queries,
+        multimodal_queries,
         relational,
         similarity_queries,
         text_queries,

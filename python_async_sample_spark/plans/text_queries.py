@@ -1,1 +1,165 @@
-"""Placeholder — queries registered in later milestones."""
+"""Text-analysis queries over the documents table (driver gate).
+
+Every query here is pure built-in-expression Spark (one scan, no Python in
+the hot path) with an exact DuckDB oracle: token/char statistics, quality
+scoring, stopword language-ID, token counting (whitespace + BPE-ish regex),
+and document fingerprinting. Computed doubles are rounded identically on
+both sides (engine summation/division ulp differences).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.text import (
+    STOPWORDS,
+    detect_lang,
+    fingerprint,
+    quality_score,
+    with_text_stats,
+    with_token_counts,
+)
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_EN = _sql_list(STOPWORDS["en"])
+
+
+@query(
+    "q40_text_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_m,
+           round((length(text) - len(toks) + 1) * 1.0 / len(toks), 4) AS avg_token_len,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS distinct_ratio,
+           len(list_intersect(toks, {_EN})) > 0 AS has_stopword
+    FROM t ORDER BY doc_id
+    """,
+    ref="text-quality-stats",
+    tags=("llm-data", "text"),
+)
+def q40_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/diversity/stopword quality features — one scan, codegen only."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_text_stats(docs)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_chars_m",
+            F.round("avg_token_len", 4).alias("avg_token_len"),
+            F.round("distinct_ratio", 4).alias("distinct_ratio"),
+            "has_stopword",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q41_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           round(least(len(toks) / 50.0, 1.0)
+                 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS quality
+    FROM t ORDER BY doc_id
+    """,
+    ref="text-quality-score",
+    tags=("llm-data", "text"),
+)
+def q41_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite 0-1 quality score: length factor x token diversity."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_score(docs)
+        .select("doc_id", F.round("quality", 4).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+def _langid_oracle() -> str:
+    hits = ",\n           ".join(
+        f"len(list_intersect(toks, {_sql_list(ws)})) AS h_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    langs = sorted(STOPWORDS)
+    gmax = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {gmax} = 0 THEN 'und' "
+    # first language in sorted order reaching the max wins — same tie-break
+    # as detect_lang's strictly-greater comparison chain
+    for lang in langs:
+        case += f"WHEN h_{lang} = {gmax} THEN '{lang}' "
+    case += "END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    h AS (SELECT doc_id, lang,
+           {hits}
+    FROM t)
+    SELECT lang, {case} AS detected_lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM h GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@query(
+    "q42_language_id",
+    oracle=_langid_oracle(),
+    ref="text-langid",
+    tags=("llm-data", "text"),
+)
+def q42_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit argmax language heuristic, confusion counts vs the
+    labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        detect_lang(docs)
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "detected_lang")
+    )
+
+
+@query(
+    "q43_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, md5(text) AS fp_content,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp_bag
+    FROM t ORDER BY doc_id
+    """,
+    ref="text-fingerprint",
+    tags=("llm-data", "text"),
+)
+def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content + token-bag fingerprints (near-dup keys)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_content", "fp_bag").orderBy("doc_id")
+
+
+@query(
+    "q44_token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\\S')) AS BIGINT)
+             AS n_re_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    ref="text-token-count",
+    tags=("llm-data", "text"),
+)
+def q44_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        with_token_counts(docs)
+        .select("doc_id", "n_ws_tokens", "n_re_tokens")
+        .orderBy("doc_id")
+    )
