@@ -1,0 +1,86 @@
+"""Structured-Streaming and sessionization queries (driver gate).
+
+q18 pushes the events table through the real streaming engine (file-source
+readStream → watermark → event-time window agg → AvailableNow drain into a
+checkpointed sink) and returns the sink; its oracle is the equivalent batch
+GROUP BY — the streaming machinery must be invisible in the result.
+
+q19 is gap-based sessionization via window functions; its oracle replicates
+the lag/running-sum construction in SQL with identical integer-microsecond
+arithmetic and tie-breaks.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.sessionize import session_stats
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+from python_async_sample_spark.streaming.jobs import stream_window_counts_to_parquet
+
+
+@query(
+    "q18_stream_window_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="I1-I7,streaming-window",
+    tags=("streaming",),
+)
+def q18_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts computed by the Structured Streaming engine
+    (readStream → withWatermark → window → AvailableNow drain)."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_")
+    out = stream_window_counts_to_parquet(
+        spark, sf_dir, f"{tmp}/sink", f"{tmp}/checkpoint"
+    )
+    return (
+        out.select(
+            "dt",
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("dt", "event_type")
+    )
+
+
+@query(
+    "q19_sessionization",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events
+    ),
+    d AS (
+      SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM d
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(tus) AS start_us, max(tus) AS end_us
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="sessionization",
+    tags=("streaming", "llm-data"),
+)
+def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessions per user: lag + running-sum window functions,
+    one shuffle on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events, gap_minutes=30).orderBy("user_id", "session_no")

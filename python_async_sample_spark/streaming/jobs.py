@@ -1,0 +1,102 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference's incremental subsystem is micro-batch watermark chasing
+(``nikon_ETL.py:293-336``; SURVEY §2.9). The batch re-expression lives in
+``incremental/``; this module is the native Structured Streaming face of the
+same semantics:
+
+* file-source ``readStream`` over the events parquet (at production scale:
+  a directory the upstream keeps appending to, or Kafka),
+* ``withWatermark`` for bounded-lateness state eviction — the streaming
+  analog of the reference's 1-day catch-up chunk,
+* event-time windowed aggregation,
+* ``Trigger.AvailableNow`` + checkpoint → run-to-completion micro-batches
+  with exactly-once sink semantics, mirroring I3/I5.
+
+Everything here returns/consumes ordinary DataFrames, so the streaming and
+batch paths share operator code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.sources.readers import _nanos_timestamp_columns
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table.
+
+    Schema is taken from a footer probe (streams must declare schemas up
+    front). TIMESTAMP(NANOS) columns — which Spark's parquet reader cannot
+    produce as timestamps — are read as long nanos and truncated to
+    microsecond timestamps, identically to the batch reader.
+    """
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return stream
+
+
+def windowed_event_counts(stream: DataFrame, window: str = "1 day") -> DataFrame:
+    """Event-time tumbling-window counts per event_type with a 1-day
+    watermark: late rows inside the watermark still land in their window;
+    state for closed windows is evicted — the bounded-lateness contract the
+    reference implements by re-processing whole day chunks (I6)."""
+    return (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(result: DataFrame, out_path: str, checkpoint: str) -> None:
+    """Drain everything currently available through the streaming engine into
+    a parquet sink, then stop.
+
+    Complete-mode ``foreachBatch`` overwrite rather than the parquet file
+    sink: in append mode a window is only emitted by the batch *after* the
+    watermark passes it, so a drain-to-now run would leave the newest windows
+    stuck in state. Overwriting the sink per micro-batch is idempotent under
+    retry — the same exactly-once-per-window contract the reference builds
+    from delete-then-insert (I3/I5)."""
+    q = (
+        result.writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda batch_df, _epoch: batch_df.write.mode("overwrite").parquet(out_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_window_counts_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
+) -> DataFrame:
+    """End-to-end: stream → watermark → windowed agg → sink; returns the
+    sink contents."""
+    stream = read_events_stream(spark, sf_dir)
+    run_available_now(windowed_event_counts(stream), out_path, checkpoint)
+    return spark.read.parquet(out_path)
