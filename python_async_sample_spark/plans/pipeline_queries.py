@@ -1,0 +1,234 @@
+"""Pipeline-level queries (driver gate): the scatter-gather query API, the
+end-to-end ROT pipeline, and the summary-MV recompute.
+
+These exercise composed surfaces, not single operators: q26 runs the
+reference's ``Queryteg.glass_raw_data`` flow (CSV key list → history semi-join
+→ existence filter → raw results) as one plan; q27/q28 run the whole ROT
+dataflow (validation side-outputs → closed-form fit → affine → melt) and
+check the header and detail sinks value-for-value; q29 is the S13
+materialized-view recompute (write + read-back of the summary table).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.api.scatter_gather import KeyedQuery
+from python_async_sample_spark.pipelines.rot_pipeline import run_rot
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table, read_keys_csv
+
+
+@query(
+    "q26_scatter_gather_lookup",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice, 2) AS price
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_custkey % 50 = 0))
+      AND l_orderkey IN (
+        SELECT l_orderkey FROM lineitem WHERE l_quantity >= 45)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    ref="J5,J6,J7,S6,X1,X2,X3",
+    tags=("api", "scatter-gather"),
+)
+def q26_scatter_gather_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eda_query fan-out (glass_raw_data, eda_query.py:216-231) as one
+    declarative plan: CSV key list → history semi-join (stage-1 pool) →
+    params-present existence filter (_bind_parm) → raw results. The
+    200-thread / 50-process machinery is partition parallelism."""
+    # The reference reads its keys from sample.csv (eda_query.py:236-238);
+    # manufacture the same external-key-file shape from the customer table.
+    keys = [
+        r[0]
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey")
+        .collect()
+    ]
+    tmp = tempfile.mkdtemp(prefix="spark_graft_keys_")
+    path = os.path.join(tmp, "keys.csv")
+    with open(path, "w", newline="") as f:
+        csv.writer(f).writerows([[k] for k in keys])
+
+    keys_df = read_keys_csv(spark, path, column="c_custkey").select(
+        F.col("c_custkey").cast("bigint").alias("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    api = KeyedQuery(
+        history=orders.select(
+            F.col("o_custkey").alias("c_custkey"), F.col("o_orderkey").alias("l_orderkey")
+        ),
+        result=lineitem,
+        key_col="c_custkey",
+        link_cols=["l_orderkey"],
+    )
+    summary = lineitem.where(F.col("l_quantity") >= 45).select("l_orderkey")
+    return (
+        api.glass_raw_data(keys_df, summary=summary)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.round("l_extendedprice", 2).alias("price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# Shared raw-measurement synthesis for the ROT pipeline gates: lineitem rows
+# become sites, l_orderkey % 97 plants deterministic NULLs (missing-value
+# path), glasses ≡ 0 (mod 7) have no design values (no-design path).
+def _rot_rawdata(spark: SparkSession, sf_dir: str, orderkey_mod: int | None) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    if orderkey_mod is not None:
+        li = li.where(F.col("l_orderkey") % orderkey_mod == 0)
+    return li.select(
+        F.col("l_suppkey").alias("glass"),
+        F.concat(
+            F.lit("al"),
+            F.col("l_orderkey").cast("string"),
+            F.lit("_"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("site_name"),
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("l_discount") * 100.0)
+        .alias("x"),
+        (F.col("l_tax") * 100.0).alias("y"),
+        (F.col("l_partkey") % 50).cast("double").alias("dx"),
+        (F.col("l_orderkey") % 50).cast("double").alias("dy"),
+    )
+
+
+def _design_glasses(raw: DataFrame) -> DataFrame:
+    return raw.select("glass").where(F.col("glass") % 7 != 0).distinct()
+
+
+@query(
+    "q27_rot_pipeline_header",
+    oracle="""
+    WITH raw AS (
+      SELECT l_suppkey AS glass,
+             CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                  ELSE l_discount * 100.0 END AS x
+      FROM lineitem
+    ),
+    ok AS (
+      SELECT glass, CAST(count(*) AS BIGINT) AS n_sites
+      FROM raw WHERE glass % 7 <> 0 AND x IS NOT NULL GROUP BY glass
+    )
+    SELECT glass AS rot_id, 1 AS flag, n_sites, 'ok' AS descr FROM ok
+    UNION ALL
+    SELECT DISTINCT glass, -2, CAST(0 AS BIGINT), 'no design value'
+    FROM raw WHERE glass % 7 = 0
+    ORDER BY rot_id, flag
+    """,
+    ref="S9,S10,J9,P9,§3.2",
+    tags=("pipeline", "analytics"),
+)
+def q27_rot_pipeline_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROT run-log header: ok rows with fitted-site counts plus coded error
+    rows (no-design rejects), one table — the reference's
+    tlcd_nikon_rot_log_ht."""
+    raw = _rot_rawdata(spark, sf_dir, orderkey_mod=None)
+    out = run_rot(raw, _design_glasses(raw))
+    return out.header.orderBy("rot_id", "flag")
+
+
+@query(
+    "q28_rot_pipeline_detail",
+    oracle="""
+    WITH raw AS (
+      SELECT l_suppkey AS glass,
+             'al' || CAST(l_orderkey AS VARCHAR) || '_'
+                  || CAST(l_linenumber AS VARCHAR) AS site_name,
+             CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                  ELSE l_discount * 100.0 END AS x,
+             l_tax * 100.0 AS y,
+             CAST(l_partkey % 50 AS DOUBLE) AS dx,
+             CAST(l_orderkey % 50 AS DOUBLE) AS dy
+      FROM lineitem WHERE l_orderkey % 5 = 0
+    ),
+    clean AS (SELECT * FROM raw WHERE glass % 7 <> 0 AND x IS NOT NULL),
+    agg AS (
+      SELECT glass, covar_pop(x, dy) AS cxdy, covar_pop(y, dx) AS cydx,
+             var_pop(dx) AS vdx, var_pop(dy) AS vdy,
+             avg(x) AS mx, avg(y) AS my, avg(dx) AS mdx, avg(dy) AS mdy
+      FROM clean GROUP BY glass
+    ),
+    fit AS (
+      SELECT glass,
+             CASE WHEN vdx + vdy > 0 THEN (cxdy - cydx) / (vdx + vdy)
+                  ELSE 0.0 END AS t,
+             mx, my, mdx, mdy
+      FROM agg
+    ),
+    rot AS (
+      SELECT c.glass, c.site_name,
+             c.x + (f.t * f.mdy - f.mx) - c.dy * f.t AS x_rot,
+             c.y + (-f.my - f.t * f.mdx) + c.dx * f.t AS y_rot
+      FROM clean c JOIN fit f USING (glass)
+      WHERE c.glass % 10 = 0
+    )
+    SELECT glass AS rot_id, site_name || '_x' AS item_name,
+           round(x_rot, 6) AS rot_rs
+    FROM rot
+    UNION ALL
+    SELECT glass, site_name || '_y', round(y_rot, 6) FROM rot
+    ORDER BY rot_id, item_name
+    """,
+    ref="S9,R3,§2.8,§3.2",
+    tags=("pipeline", "analytics"),
+)
+def q28_rot_pipeline_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROT detail sink: melted (rot_id, item_name, rot_rs) rotated values —
+    the reference's tlcd_nikon_rot_bt, value-checked end to end."""
+    raw = _rot_rawdata(spark, sf_dir, orderkey_mod=5)
+    out = run_rot(raw, _design_glasses(raw))
+    return (
+        out.detail.where(F.col("rot_id") % 10 == 0)
+        .select("rot_id", "item_name", F.round("rot_rs", 6).alias("rot_rs"))
+        .orderBy("rot_id", "item_name")
+    )
+
+
+@query(
+    "q29_summary_mv_recompute",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="S13,A1-A5",
+    tags=("pipeline", "incremental"),
+)
+def q29_summary_mv_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view maintenance (REFRESH MATERIALIZED VIEW,
+    dbs/nikon.py:188-197): Spark has no incremental MV, so the summary is
+    recomputed and overwritten, then served from the stored copy."""
+    events = load_table(spark, sf_dir, "events")
+    summary = (
+        events.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_mv_")
+    mv_path = f"{tmp}/process_summary_mv"
+    summary.write.mode("overwrite").parquet(mv_path)
+    return spark.read.parquet(mv_path).orderBy("dt", "event_type")

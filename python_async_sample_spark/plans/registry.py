@@ -53,6 +53,7 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_queries,
         incremental_queries,
         multimodal_queries,
+        pipeline_queries,
         relational,
         similarity_queries,
         streaming_queries,

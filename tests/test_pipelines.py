@@ -1,0 +1,80 @@
+"""Unit tests for the composed pipelines: ROT end-to-end (including the
+grid gate the oracle queries leave off) and the scatter-gather API."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.api.scatter_gather import KeyedQuery
+from python_async_sample_spark.pipelines.rot_pipeline import (
+    FLAG_BAD_GRID,
+    FLAG_NO_DESIGN,
+    run_rot,
+)
+
+
+TRUE_SX, TRUE_SY, TRUE_T = -5.0, 3.0, 2e-4
+
+
+def _fixture(spark):
+    # glass 1: x/y are measured-minus-design differences carrying a planted
+    # shift (−TRUE_SX, −TRUE_SY) and rotation TRUE_T — the fit must cancel
+    # them exactly (residuals → 0, the reference's objective).
+    # glass 2: broken grid (3 rows for a 2x2 cross product).
+    # glass 3: no design values.
+    # glass 1 also carries one NULL row (dropped + side-output).
+    rows = []
+    for dx in (0.0, 10.0):
+        for dy in (0.0, 10.0):
+            x = -TRUE_SX + dy * TRUE_T
+            y = -TRUE_SY - dx * TRUE_T
+            rows.append((1, f"s{int(dx)}_{int(dy)}", x, y, dx, dy))
+    rows.append((1, "s_null", None, 0.0, 0.0, 0.0))
+    rows += [(2, "t1", 0.0, 0.0, 0.0, 0.0), (2, "t2", 1.0, 1.0, 10.0, 0.0),
+             (2, "t3", 2.0, 2.0, 0.0, 10.0)]
+    rows += [(3, "u1", 0.0, 0.0, 0.0, 0.0)]
+    return spark.createDataFrame(
+        rows, "glass int, site_name string, x double, y double, dx double, dy double"
+    )
+
+
+def test_rot_pipeline_flags_and_fit(spark):
+    raw = _fixture(spark)
+    design = spark.createDataFrame([(1,), (2,)], "glass int")
+    out = run_rot(raw, design, check_grid=True)
+
+    header = {r.rot_id: r for r in out.header.collect()}
+    assert header[1].flag == 1 and header[1].n_sites == 4
+    assert header[2].flag == FLAG_BAD_GRID
+    assert header[3].flag == FLAG_NO_DESIGN
+
+    # the NULL row went to the per-row reject side-output, not into the fit
+    rejects = out.rejects.collect()
+    assert len(rejects) == 1 and rejects[0].site_name == "s_null"
+
+    # fitted corrections cancel the planted shift+rotation: residuals → 0
+    detail = {r.item_name: r.rot_rs for r in out.detail.collect()}
+    for dx in (0.0, 10.0):
+        for dy in (0.0, 10.0):
+            assert abs(detail[f"s{int(dx)}_{int(dy)}_x"]) < 1e-9
+            assert abs(detail[f"s{int(dx)}_{int(dy)}_y"]) < 1e-9
+
+
+def test_scatter_gather_modes_identical(spark):
+    history = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 12), (3, 13)], "k int, link int"
+    )
+    result = spark.createDataFrame(
+        [(10, "a"), (11, "b"), (12, "c"), (13, "d"), (14, "e")], "link int, v string"
+    )
+    keys = spark.createDataFrame([(1,), (2,)], "k int")
+    summary = spark.createDataFrame([(10,), (12,), (13,)], "link int")
+    api = KeyedQuery(history=history, result=result, key_col="k", link_cols=["link"])
+
+    sub = api.glass_raw_data(keys, summary=summary, subquery=True)
+    fan = api.glass_raw_data(keys, summary=summary, subquery=False)
+    got = {(r.link, r.v) for r in sub.collect()}
+    # keys {1,2} → links {10,11,12}; summary keeps {10,12}
+    assert got == {(10, "a"), (12, "c")}
+    # the reference's two physical modes are one logical plan here
+    assert sub.sameSemantics(fan)
