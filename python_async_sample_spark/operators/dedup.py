@@ -83,19 +83,30 @@ def jaccard_pairs(
 
     Without ``candidates`` this self-joins on shingle (inverted-index join —
     only documents sharing a shingle ever meet, never a full cross product).
-    With ``candidates`` (d1, d2) the verify is restricted to those pairs —
-    the LSH path. Returns (d1, d2, jaccard) with d1 < d2.
+    With ``candidates`` (d1, d2) — the LSH path — intersections are computed
+    ONLY for those pairs: candidates × d1-shingles, then a keyed join against
+    d2-shingles. At corpus scale that is the whole point of LSH: the verify
+    cost is Σ|shingles(candidate docs)|, not the inverted-index blowup over
+    every co-occurring pair. Returns (d1, d2, jaccard) with d1 < d2.
     """
     sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    if candidates is None:
+        a = shingled.alias("a")
+        b = shingled.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+            .groupBy(F.col("a.doc").alias("d1"), F.col("b.doc").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+    else:
+        a = shingled.toDF("d1", "shingle")
+        b = shingled.toDF("d2", "shingle")
+        inter = (
+            candidates.join(a, "d1")
+            .join(b, ["d2", "shingle"])
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     s1 = sizes.select(F.col("doc").alias("d1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col("doc").alias("d2"), F.col("sz").alias("sz2"))
     return (

@@ -169,27 +169,128 @@ def hyperplane_buckets(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit string of ``n_planes``
-    projections. Deterministic planes from a seeded RNG, shipped as array
-    literals — the projection is zip_with/aggregate, JVM-side."""
+    """Multi-table random-hyperplane LSH: one (id, table, bucket) row per
+    hash table, bucket = integer sign-bit code of that table's ``n_planes``
+    projections. All tables' projections happen in ONE Arrow kernel as a
+    single GEMM (``X @ planes.T``) — per-plane expression trees don't scale
+    past a few planes. Output carries IDs only (no vectors), so the bucket
+    index shuffles cheap fixed-width rows however many tables are used."""
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = rng.randn(n_tables * n_planes, dim)  # deterministic per seed
+    weights = np.power(2, np.arange(n_planes), dtype=np.int64)
     d = as_double(df, vec_col)
-    bucket = F.concat(
-        *[
-            F.when(
-                _dot(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in planes[p]]),
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for p in range(n_planes)
-        ]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = np.vstack(pdf["_v"].to_numpy())
+            bits = (xs @ planes.T >= 0).astype(np.int64)  # n × (tables·planes)
+            codes = bits.reshape(len(xs), n_tables, n_planes) @ weights
+            out = pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy().repeat(n_tables),
+                    "table": np.tile(np.arange(n_tables), len(xs)),
+                    "bucket": codes.ravel(),
+                }
+            )
+            yield out
+
+    return (
+        d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(kernel, schema="_id bigint, table int, bucket bigint")
+        .select(F.col("_id").alias(id_col), "table", "bucket")
     )
-    return d.withColumn("bucket", bucket)
+
+
+def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
+    """Seeded spherical k-means on a driver-side sample (Lloyd iterations on
+    normalized vectors; empty clusters re-seeded deterministically)."""
+    rng = np.random.RandomState(seed)
+    x = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+            else:
+                cents[c] = x[rng.randint(len(x))]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 32,
+    n_probe: int = 8,
+    sample_size: int = 4096,
+    train_iters: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the coarse-quantizer scale path.
+
+    Train: spherical k-means on a bounded driver-side sample (the ONLY
+    driver-side data touch, capped at ``sample_size`` rows regardless of
+    corpus size). Index: every corpus vector is assigned to its nearest
+    centroid — one Arrow kernel, argmax over a GEMM. Search: each query
+    probes its ``n_probe`` nearest cells and scores only those cells'
+    members (one shuffle on cell id, GEMM per cell), then a window top-k
+    merges scores across probed cells. Recall is tuned by
+    ``n_probe/n_centroids``; cost per query drops from O(N) to
+    O(N·n_probe/n_centroids).
+    """
+    cd = as_double(corpus, vec_col)
+    sample = np.vstack(
+        [r[0] for r in cd.select(vec_col).limit(sample_size).collect()]
+    )
+    cents = _kmeans(sample, n_centroids, train_iters, seed)
+
+    def assign_kernel(n_cells: int):
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                xs = np.vstack(pdf["_v"].to_numpy())
+                xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+                sims = xs @ cents.T
+                top = np.argsort(-sims, axis=1)[:, :n_cells]
+                out = pdf.loc[pdf.index.repeat(n_cells)].copy()
+                out["cell"] = top.ravel()
+                yield out[["_id", "_v", "cell"]]
+
+        return kernel
+
+    c_assigned = (
+        cd.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(assign_kernel(1), schema="_id bigint, _v array<double>, cell int")
+        .select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "cell")
+    )
+    q_assigned = (
+        as_double(queries, vec_col)
+        .select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(assign_kernel(n_probe), schema="_id bigint, _v array<double>, cell int")
+        .select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "cell")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_assigned), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )
 
 
 def lsh_topk(
@@ -200,17 +301,37 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's bucket.
-    Recall is tunable via n_planes (fewer planes → bigger buckets)."""
-    cb = hyperplane_buckets(corpus, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"), F.col("bucket").alias("_bc")
+    """Approximate top-k via multi-table hyperplane LSH.
+
+    Candidates = pairs sharing any table's bucket (union over ``n_tables``
+    independent hash tables — single-table sign-LSH recall decays fast with
+    angle, so multiple tables are the standard recall lever). The bucket
+    index holds IDs only; vectors join back in for scoring exactly once per
+    distinct candidate pair, so corpus vectors are never replicated through
+    the candidate shuffle."""
+    cb = hyperplane_buckets(
+        corpus, id_col, vec_col, n_planes, dim, n_tables=n_tables
+    ).select(F.col(id_col).alias("neighbor_id"), "table", "bucket")
+    qb = hyperplane_buckets(
+        queries, id_col, vec_col, n_planes, dim, n_tables=n_tables
+    ).select(F.col(id_col).alias("query_id"), "table", "bucket")
+    cands = (
+        cb.join(F.broadcast(qb), ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
-    qb = hyperplane_buckets(queries, id_col, vec_col, n_planes, dim).select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"), F.col("bucket").alias("_bq")
+    cvec = as_double(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    )
+    qvec = as_double(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )
     scored = (
-        cb.join(F.broadcast(qb), (F.col("_bc") == F.col("_bq")) & (F.col("neighbor_id") != F.col("query_id")))
+        cands.join(cvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
         .withColumn("cosine", cosine_col(F.col("_qv"), F.col("_cv")))
         .select("query_id", "neighbor_id", "cosine")
     )

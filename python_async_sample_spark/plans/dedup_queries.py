@@ -105,7 +105,12 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm-data", "dedup"),
 )
 def q33_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (Hamming ≤ 12) with 16-bit chunk blocking."""
+    """SimHash-64 near-dup pairs at Hamming ≤ 3 — the setting where the
+    4×16-bit chunk blocking is pigeonhole-complete (any pair within distance
+    3 must share an intact chunk). The synthetic corpus's ~30-word vocabulary
+    makes SimHash dense (many non-dup token bags hash close), so this output
+    is the blocking-correctness surface; semantic near-dup mining on this
+    corpus is q31/q32's shingle Jaccard."""
     docs = load_table(spark, sf_dir, "documents")
     sim = simhash(docs, "doc_id", "text")
-    return simhash_near_pairs(sim, "doc_id", max_hamming=12).orderBy("d1", "d2")
+    return simhash_near_pairs(sim, "doc_id", max_hamming=3).orderBy("d1", "d2")

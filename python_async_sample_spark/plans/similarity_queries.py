@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from python_async_sample_spark.operators.similarity import (
     brute_force_topk,
     cosine_pairs_gemm,
+    ivf_topk,
     lsh_topk,
 )
 from python_async_sample_spark.plans.registry import query
@@ -88,6 +89,24 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     out = lsh_topk(emb, queries, "vec_id", "embedding", k=10, n_planes=6, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "q37_ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs q35 asserted in
+    # tests/test_similarity.py
+    ref="similarity-ann-ivf",
+    tags=("llm-data", "similarity"),
+)
+def q37_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer top-k: spherical-kmeans cells, each query scores
+    only its n_probe nearest cells — per-query cost O(N·n_probe/n_cells)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_centroids=32, n_probe=8)
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")

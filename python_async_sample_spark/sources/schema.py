@@ -12,11 +12,42 @@ Here schemas are ``StructType`` values and reconciliation is a single
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog existence gate (S4: ``SELECT count(1) FROM pg_class WHERE
+    relname = :t``, ``dbs/nikon.py:39-55``) — work is skipped, not failed,
+    when a per-tool table is absent."""
+    return spark.catalog.tableExists(name)
+
+
+def table_columns(spark: SparkSession, name: str) -> list[str]:
+    """Column discovery (S5: ``information_schema.columns`` probe,
+    ``dbs/nikon.py:57-73``); the reference upper-cases for comparison —
+    callers here compare via :func:`column_state`, case-insensitively."""
+    return spark.table(name).schema.fieldNames()
+
+
+def discover_tables(spark: SparkSession, like_pattern: str) -> list[str]:
+    """Catalog-derived table list with SQL-LIKE semantics (J4: the tool list
+    is ``upper(substr(relname, 1, 8))`` of tables LIKE 'tlcd__01_rawdata',
+    ``dbs/nikon.py:91-96``) — the set of participating pipelines is *data*
+    read from the catalog, never configuration."""
+    rx = re.compile(
+        "^"
+        + "".join(
+            ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+            for ch in like_pattern
+        )
+        + "$"
+    )
+    return sorted(t.name for t in spark.catalog.listTables() if rx.match(t.name))
 
 
 class BatchAbort(Exception):

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates — the 100 TB posture, asserted.
+
+Correctness tests prove the small-SF answer; these prove the *plan* is the
+one that survives a 1000-executor scale-up: filters reach the parquet scan,
+column pruning reaches ReadSchema, small dimensions broadcast, and nothing
+degenerates into a cartesian product.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from python_async_sample_spark.plans.registry import load_all
+
+SPECS = load_all()
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """q02's LIKE/IN predicates must appear as PushedFilters on the scan."""
+    df = SPECS["q02_like_in_filter"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "PushedFilters" in plan
+    assert "IsNotNull" in plan or "In(" in plan or "StringStartsWith" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """q01 reads 7 of lineitem's 16 columns; ReadSchema must show only
+    what the query needs (a full-width scan at 100 TB reads TBs for
+    nothing)."""
+    df = SPECS["q01_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "l_comment" not in line and "l_shipinstruct" not in line
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q04's region/nation joins must be broadcast, not shuffle-exchange."""
+    df = SPECS["q04_region_nation_revenue"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """No gate query may plan a cartesian/nested-loop join over fact data
+    (q08's grid build is the one intentional tiny cross join)."""
+    for name, spec in SPECS.items():
+        if name in ("q08_cross_join_grid",):
+            continue
+        if name in ("q17_incremental_catchup", "q18_stream_window_counts",
+                    "q29_summary_mv_recompute"):
+            continue  # side-effecting runners; plans checked via their outputs
+        df = spec.fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+def test_semi_join_rewrite(spark, sf_dir):
+    """q05 must plan a semi join (the reference's IN-subquery mode) — not a
+    full join + dedup."""
+    df = SPECS["q05_semi_join_urgent_buyers"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "LeftSemi" in plan or "Semi" in plan
+
+
+@pytest.mark.parametrize("name", ["q31_ngram_jaccard_pairs", "q34_embedding_cosine_pairs"])
+def test_pair_miners_never_cross_join(spark, sf_dir, name):
+    """The all-pairs miners must be keyed joins / blocked kernels — a
+    cartesian self-join is the scale failure mode."""
+    df = SPECS[name].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
