@@ -1,0 +1,61 @@
+"""Skew-aware join helpers for hot keys.
+
+AQE's skew-join split (on in `session.py`) handles sort-merge skew at
+runtime; this module is the *explicit* lever for the pathological case AQE
+can't fix — a shuffled join where a handful of keys dominate (one glass id
+carrying half the fact rows, one document shingle shared by every doc).
+
+``salted_join`` replicates the small side R times and scatters the big
+side's hot keys across R salt buckets, so a hot key's rows land on R tasks
+instead of one. Correctness is unchanged for inner/left joins on equi-keys;
+the cost is an R× replication of the small side — use only when the small
+side is broadcast-too-big but replication-R-affordable.
+
+``top_keys`` is the companion probe: find the keys worth salting from a
+bounded sample instead of a full-table count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def top_keys(df: DataFrame, keys: list[str], n: int = 20, fraction: float = 0.01, seed: int = 42) -> DataFrame:
+    """Approximate hot-key probe: frequency over a seeded sample (never a
+    full-table groupBy just to plan a join)."""
+    return (
+        df.sample(fraction=fraction, seed=seed)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("approx_rows"))
+        .orderBy(F.desc("approx_rows"))
+        .limit(n)
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's keys scattered across ``salt`` buckets.
+
+    big:   gets a deterministic pseudo-random salt in [0, salt) per row
+           (hash of the full row's key columns + a spreading column).
+    small: replicated once per salt value via explode — R× the small side,
+           never R× the fact table.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError("salted_join supports inner/left joins only")
+    big_salted = big.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
+    )
+    small_rep = small.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = big_salted.join(small_rep, [*keys, SALT_COL], how)
+    return out.drop(SALT_COL)
