@@ -20,7 +20,33 @@ from pyspark.sql import functions as F
 from python_async_sample_spark.operators.sessionize import session_stats
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
-from python_async_sample_spark.streaming.jobs import stream_window_counts_to_parquet
+from python_async_sample_spark.streaming.jobs import (
+    stream_session_stats_to_parquet,
+    stream_window_counts_to_parquet,
+)
+
+_SESSION_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id,
+             epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events
+    ),
+    d AS (
+      SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
+      FROM e
+    ),
+    s AS (
+      SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+                         THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY tus, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM d
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(tus) AS start_us, max(tus) AS end_us
+    FROM s GROUP BY 1, 2 ORDER BY 1, 2
+    """
 
 
 @query(
@@ -54,28 +80,7 @@ def q18_stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q19_sessionization",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id,
-             epoch_us(date_trunc('microseconds', ts)) AS tus
-      FROM events
-    ),
-    d AS (
-      SELECT *, lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS prev
-      FROM e
-    ),
-    s AS (
-      SELECT *, sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
-                         THEN 1 ELSE 0 END)
-                OVER (PARTITION BY user_id ORDER BY tus, event_id
-                      ROWS UNBOUNDED PRECEDING) AS session_no
-      FROM d
-    )
-    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
-           CAST(count(*) AS BIGINT) AS n_events,
-           min(tus) AS start_us, max(tus) AS end_us
-    FROM s GROUP BY 1, 2 ORDER BY 1, 2
-    """,
+    oracle=_SESSION_ORACLE,
     ref="sessionization",
     tags=("streaming", "llm-data"),
 )
@@ -84,3 +89,21 @@ def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(events, gap_minutes=30).orderBy("user_id", "session_no")
+
+
+@query(
+    "q60_stream_sessionization",
+    oracle=_SESSION_ORACLE,
+    ref="sessionization,streaming-stateful",
+    tags=("streaming", "llm-data"),
+)
+def q60_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sessions computed by the streaming engine's native
+    session_window state store (watermark + append mode, sentinel-batch
+    drain) — must agree row-for-row with q19's batch window functions and
+    with the SQL oracle."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_sess_stream_")
+    out = stream_session_stats_to_parquet(spark, sf_dir, tmp)
+    return out.select(
+        "user_id", "session_no", "n_events", "start_us", "end_us"
+    ).orderBy("user_id", "session_no")

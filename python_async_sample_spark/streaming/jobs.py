@@ -19,6 +19,9 @@ batch paths share operator code.
 
 from __future__ import annotations
 
+import os
+from datetime import timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -100,3 +103,97 @@ def stream_window_counts_to_parquet(
     stream = read_events_stream(spark, sf_dir)
     run_available_now(windowed_event_counts(stream), out_path, checkpoint)
     return spark.read.parquet(out_path)
+
+
+def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
+    """Copy the events file into a staging source dir and append two
+    one-row sentinel files with far-future timestamps.
+
+    Why: in append mode the streaming engine emits a session only in the
+    batch *after* the watermark passes it, and the watermark itself advances
+    only at batch boundaries. Draining with AvailableNow therefore needs two
+    extra batches beyond the data: sentinel #1's batch closes everything the
+    data batch saw; sentinel #2's batch closes the stragglers inside the
+    last gap+delay. This is the standard flush pattern for bounded replays
+    of an event-time stream."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import shutil
+
+    os.makedirs(src_dir, exist_ok=True)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    shutil.copy(events_path, f"{src_dir}/00_events.parquet")
+    table = pq.read_table(events_path, columns=["ts"])
+    max_ts = pa.compute.max(table["ts"]).as_py()
+    schema = pq.read_schema(events_path)
+    for i, days in enumerate((10, 20), start=1):
+        row = {
+            "event_id": [-i],
+            "ts": [max_ts + timedelta(days=days)],
+            "user_id": [-1],
+            "event_type": ["__sentinel__"],
+            "value": [0.0],
+            "props": [None],
+        }
+        sentinel = pa.Table.from_pydict(
+            {k: row[k] for k in schema.names}, schema=schema
+        )
+        pq.write_table(sentinel, f"{src_dir}/0{i}_sentinel.parquet")
+
+
+def stream_session_stats_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "1 minute",
+) -> DataFrame:
+    """Gap-based sessionization through the streaming engine's native
+    ``session_window`` state store, drained to completion.
+
+    ``maxFilesPerTrigger=1`` forces one micro-batch per staged file so the
+    sentinel batches actually advance the watermark (see
+    :func:`_stage_source_with_sentinels`); append mode then provably emits
+    every real session exactly once. Must agree bit-for-bit with the batch
+    lag/running-sum sessionizer (operators/sessionize.py) — same oracle."""
+    src_dir = f"{work_dir}/src"
+    _stage_source_with_sentinels(sf_dir, src_dir)
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(f"{src_dir}/00_events.parquet")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    sessions = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("start_us"),
+            F.max(F.unix_micros("ts")).alias("end_us"),
+        )
+        .select("user_id", "n_events", "start_us", "end_us")
+    )
+    q = (
+        sessions.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work_dir}/sink")
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    from pyspark.sql.window import Window as W
+
+    out = spark.read.parquet(f"{work_dir}/sink").where(F.col("user_id") >= 0)
+    w = W.partitionBy("user_id").orderBy("start_us")
+    return out.withColumn("session_no", F.row_number().over(w).cast("bigint"))
