@@ -118,6 +118,49 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Exact Jaccard pairs with positional prefix filtering (PPJoin-style).
+
+    The inverted-index self-join indexes EVERY shingle; prefix filtering
+    indexes only each document's ``|d| − ⌈t·|d|⌉ + 1`` globally-rarest
+    shingles. Soundness: any pair with J ≥ t has overlap ≥ ⌈t·max(|d1|,|d2|)⌉
+    and min ≥ t·max (length filter), so the two sorted shingle lists must
+    collide inside those prefixes — no false negatives, while frequent
+    shingles (the quadratic blowup at corpus scale) never enter the index.
+    Candidates then go through the same exact-verify join as the LSH path.
+    """
+    from pyspark.sql.window import Window as W
+
+    freq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    sizes = shingled.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    ranked = (
+        shingled.join(freq, "shingle")
+        .withColumn(
+            "pos",
+            F.row_number().over(W.partitionBy("doc").orderBy("df_", "shingle")),
+        )
+        .join(sizes, "doc")
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select("doc", "shingle", "sz")
+    a = prefix.select(F.col("doc").alias("d1"), "shingle", F.col("sz").alias("sz1"))
+    b = prefix.select(F.col("doc").alias("d2"), "shingle", F.col("sz").alias("sz2"))
+    cands = (
+        a.join(b, "shingle")
+        .where(
+            (F.col("d1") < F.col("d2"))
+            & (
+                F.least("sz1", "sz2")
+                >= F.lit(threshold) * F.greatest("sz1", "sz2")
+            )
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    return jaccard_pairs(shingled, threshold, candidates=cands)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from python_async_sample_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_dedup_pairs,
     simhash,
     simhash_near_pairs,
@@ -92,6 +93,25 @@ def q32_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
         minhash_dedup_pairs(docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.8)
+        .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@query(
+    "q38_jaccard_prefix_filter",
+    oracle=_JACCARD_ORACLE,
+    ref="dedup-jaccard-prefix",
+    tags=("llm-data", "dedup"),
+)
+def q38_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard: indexes only each doc's
+    rarest |d|−⌈t|d|⌉+1 shingles + length filter, then exact verify. Same
+    oracle as q31/q32 — the filter is sound, only cheaper."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = with_shingles(docs, "doc_id", "text", n=3)
+    return (
+        jaccard_pairs_prefix(sh, threshold=0.8)
         .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("d1", "d2")
     )
