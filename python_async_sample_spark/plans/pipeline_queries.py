@@ -202,6 +202,49 @@ def q28_rot_pipeline_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q61_wide_tool_table",
+    oracle="""
+    WITH eav AS (
+      SELECT 'TL' || CAST(user_id % 3 AS VARCHAR) AS toolid, user_id, event_type,
+             round(sum(value), 4) AS param_value
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT user_id,
+           max(CASE WHEN event_type = 'click'    THEN param_value END) AS click,
+           max(CASE WHEN event_type = 'error'    THEN param_value END) AS error,
+           max(CASE WHEN event_type = 'purchase' THEN param_value END) AS purchase,
+           max(CASE WHEN event_type = 'signup'   THEN param_value END) AS signup,
+           max(CASE WHEN event_type = 'view'     THEN param_value END) AS view
+    FROM eav WHERE toolid = 'TL0' GROUP BY user_id ORDER BY user_id
+    """,
+    ref="§1.3,S2,S5,R1,X5",
+    tags=("pipeline", "wide-schema"),
+)
+def q61_wide_tool_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's {toolid}_rawdata shape end-to-end: long EAV core →
+    per-tool column discovery → explicit-values pivot → parquet per tool →
+    read one tool's wide table back. Column sets are data (§1.3), not DDL."""
+    from python_async_sample_spark.sources.wide import (
+        materialize_wide_tables,
+        read_wide_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    eav = (
+        events.withColumn(
+            "toolid", F.concat(F.lit("TL"), (F.col("user_id") % 3).cast("string"))
+        )
+        .groupBy("toolid", "user_id", "event_type")
+        .agg(F.round(F.sum("value"), 4).alias("param_value"))
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_wide_")
+    materialize_wide_tables(
+        eav, tmp, grain_cols=["user_id"], param_col="event_type"
+    )
+    return read_wide_table(spark, tmp, "TL0").orderBy("user_id")
+
+
+@query(
     "q29_summary_mv_recompute",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,
