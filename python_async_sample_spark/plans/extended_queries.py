@@ -1,0 +1,63 @@
+"""Aggregation-surface extensions beyond the reference (driver gate):
+rollup/grouping-set analytics (exact, oracled) and sketch aggregates
+(approximate by construction — tolerance-tested in tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.sketches import approx_distinct
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+
+@query(
+    "q62_rollup_revenue",
+    oracle="""
+    SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY returnflag, linestatus
+    """,
+    ref="A5+ (rollup — beyond reference)",
+    tags=("relational", "extended"),
+)
+def q62_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotal rollup — one pass computes all grouping levels
+    (the reference would need one query per level)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_rows",
+            "revenue",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+@query(
+    "q63_approx_distinct_users",
+    oracle=None,  # HLL++ estimates are engine-defined; relative error vs the
+    # exact count is asserted in tests/test_sketches.py
+    ref="sketch-hll (beyond reference)",
+    tags=("extended", "sketch"),
+)
+def q63_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate distinct users (HLL++, rsd 2%): the
+    fixed-size mergeable alternative to countDistinct's value shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    return approx_distinct(events, ["event_type"], "user_id").orderBy("event_type")

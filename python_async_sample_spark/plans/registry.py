@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
     from python_async_sample_spark.plans import (  # noqa: F401
         analytics,
         dedup_queries,
+        extended_queries,
         incremental_queries,
         multimodal_queries,
         pipeline_queries,
