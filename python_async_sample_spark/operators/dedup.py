@@ -76,6 +76,19 @@ def with_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     )
 
 
+def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """The (id, shingle) index, materialized once (eager localCheckpoint).
+
+    Every similarity pipeline consumes the shingled relation 3+ times (doc
+    sizes, both join sides, MinHash signatures); without materialization
+    Spark re-runs the split→explode→distinct lineage per consumer — measured
+    ~5× the whole query's cost at sf0.1. At warehouse scale this is the
+    shingle index you would persist as a table; in-session,
+    ``localCheckpoint`` stores the computed partitions on the executors and
+    truncates lineage."""
+    return with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+
+
 def jaccard_pairs(
     shingled: DataFrame, threshold: float, candidates: DataFrame | None = None
 ) -> DataFrame:
@@ -226,7 +239,7 @@ def minhash_dedup_pairs(
     the result equals exact Jaccard pairs minus (vanishingly unlikely at the
     threshold) LSH recall misses."""
     rows = num_hashes // bands
-    shingled = with_shingles(df, id_col, text_col, n)
+    shingled = shingle_index(df, id_col, text_col, n)
     cands = lsh_candidates(minhash_signatures(shingled, num_hashes), bands, rows)
     return jaccard_pairs(shingled, threshold, candidates=cands)
 

@@ -17,9 +17,9 @@ from python_async_sample_spark.operators.dedup import (
     jaccard_pairs,
     jaccard_pairs_prefix,
     minhash_dedup_pairs,
+    shingle_index,
     simhash,
     simhash_near_pairs,
-    with_shingles,
 )
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
@@ -71,7 +71,7 @@ def q31_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via inverted-index self-join (only
     docs sharing a shingle ever meet)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs, "doc_id", "text", n=3)
+    sh = shingle_index(docs, "doc_id", "text", n=3)
     return (
         jaccard_pairs(sh, threshold=0.8)
         .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
@@ -109,7 +109,7 @@ def q38_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     rarest |d|−⌈t|d|⌉+1 shingles + length filter, then exact verify. Same
     oracle as q31/q32 — the filter is sound, only cheaper."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = with_shingles(docs, "doc_id", "text", n=3)
+    sh = shingle_index(docs, "doc_id", "text", n=3)
     return (
         jaccard_pairs_prefix(sh, threshold=0.8)
         .select("d1", "d2", F.round("jaccard", 4).alias("jaccard"))
