@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.operators.asof import asof_join
 from python_async_sample_spark.operators.sketches import approx_distinct
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
@@ -47,6 +48,48 @@ def q62_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("returnflag", "linestatus")
     )
+
+
+@query(
+    "q64_asof_click_purchase",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, date_trunc('microseconds', ts) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+           epoch_us(p.ts) AS purchase_us, round(p.value, 4) AS purchase_value
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.ts <= c.ts
+    ORDER BY c.event_id
+    """,
+    ref="asof-join (beyond reference; checked against DuckDB's native ASOF)",
+    tags=("extended", "asof"),
+)
+def q64_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click matched to the user's latest purchase at or before it —
+    the distributed as-of join (tag + union + one window pass per key),
+    value-checked against DuckDB's native ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks, purchases, ["user_id"], "ts", "ts", payload_cols=["ts", "value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("asof_ts").alias("purchase_us"),
+        F.round("asof_value", 4).alias("purchase_value"),
+    ).orderBy("event_id")
 
 
 @query(
