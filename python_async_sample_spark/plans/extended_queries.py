@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.asof import asof_join
+from python_async_sample_spark.operators.rangejoin import interval_point_join
 from python_async_sample_spark.operators.sketches import approx_distinct
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
@@ -90,6 +91,50 @@ def q64_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("asof_ts").alias("purchase_us"),
         F.round("asof_value", 4).alias("purchase_value"),
     ).orderBy("event_id")
+
+
+@query(
+    "q65_range_join_errors_in_windows",
+    oracle="""
+    WITH w AS (
+      SELECT event_id AS window_id,
+             date_trunc('microseconds', ts) AS w_start,
+             date_trunc('microseconds', ts) + INTERVAL 6 HOUR AS w_end
+      FROM events WHERE event_type = 'signup' AND user_id % 50 = 0
+    ),
+    e AS (
+      SELECT event_id, date_trunc('microseconds', ts) AS ts
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_errors
+    FROM w JOIN e ON e.ts >= w.w_start AND e.ts <= w.w_end
+    GROUP BY 1 ORDER BY 1
+    """,
+    ref="range-join (beyond reference; keyless interval join via bucketing)",
+    tags=("extended", "range-join"),
+)
+def q65_range_join_errors_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors landing inside sampled 6-hour incident windows — a keyless
+    point-in-interval join. Bucketing turns the nested-loop plan into a
+    hash join on the hour bucket + exact filter (see operators/rangejoin)."""
+    events = load_table(spark, sf_dir, "events")
+    windows = (
+        events.where((F.col("event_type") == "signup") & (F.col("user_id") % 50 == 0))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end"),
+        )
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "ts"
+    )
+    joined = interval_point_join(errors, windows, "ts", "w_start", "w_end")
+    return (
+        joined.groupBy("window_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+        .orderBy("window_id")
+    )
 
 
 @query(
