@@ -127,10 +127,12 @@ def apply_rot(
     """Apply the per-group affine correction to every site row
     (``R/tlcd_nikonrot.R:241-242``). ``fits`` is broadcast — one row per
     glass, always tiny relative to the site rows."""
+    from python_async_sample_spark.functions.scalars import rot_x, rot_y
+
     joined = df.join(F.broadcast(fits.select(*group_cols, "shift_x", "shift_y", "tan_theta")), group_cols)
     return joined.withColumn(
-        "x_rot", F.col(x) + F.col("shift_x") - F.col(dy) * F.col("tan_theta")
-    ).withColumn("y_rot", F.col(y) + F.col("shift_y") + F.col(dx) * F.col("tan_theta"))
+        "x_rot", rot_x(F.col(x), F.col(dy), F.col("shift_x"), F.col("tan_theta"))
+    ).withColumn("y_rot", rot_y(F.col(y), F.col(dx), F.col("shift_y"), F.col("tan_theta")))
 
 
 # ---------------------------------------------------------------------------
