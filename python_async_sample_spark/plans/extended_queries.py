@@ -12,7 +12,7 @@ from python_async_sample_spark.operators.asof import asof_join
 from python_async_sample_spark.operators.rangejoin import interval_point_join
 from python_async_sample_spark.operators.sketches import approx_distinct
 from python_async_sample_spark.plans.registry import query
-from python_async_sample_spark.sources.readers import load_table
+from python_async_sample_spark.sources.readers import load_table, register_views
 
 
 @query(
@@ -135,6 +135,53 @@ def q65_range_join_errors_in_windows(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count(F.lit(1)).alias("n_errors"))
         .orderBy("window_id")
     )
+
+
+_EXISTS_SQL = """
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = o.o_orderkey AND l2.l_quantity > 49)
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+_SCALAR_SUB_SQL = """
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_above
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@query(
+    "q66_exists_correlated",
+    oracle=_EXISTS_SQL,
+    ref="J3,J5,J9 via SQL surface (EXISTS/NOT EXISTS decorrelation)",
+    tags=("relational", "sql-surface"),
+)
+def q66_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same SQL text runs on both engines: Catalyst decorrelates the
+    EXISTS into a semi join and the NOT EXISTS into an anti join — the
+    rewrite the reference's subquery-vs-fanout experiment did by hand."""
+    register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)
+
+
+@query(
+    "q67_scalar_subquery",
+    oracle=_SCALAR_SUB_SQL,
+    ref="correlated scalar subquery (decorrelated to aggregate+join)",
+    tags=("relational", "sql-surface"),
+)
+def q67_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts above their brand's average price — correlated scalar subquery
+    decorrelated by Catalyst into an aggregate + join; identical SQL on
+    DuckDB is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SCALAR_SUB_SQL)
 
 
 @query(
