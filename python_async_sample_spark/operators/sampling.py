@@ -1,0 +1,52 @@
+"""Deterministic sampling & splitting for training pipelines.
+
+`df.sample`/`rand()` are seed-and-partitioning dependent — rerunning on a
+repartitioned 100 TB corpus silently changes the sample. Everything here
+derives randomness from a content hash (md5 of a key column), so splits are
+(a) reproducible across runs, partitionings, and engines, (b) stable under
+corpus growth (a document keeps its split forever), and (c) auditable in
+SQL — the DuckDB oracle computes the same md5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def hash_bucket(key_col: str, buckets: int = 100, salt: str = "") -> F.Column:
+    """Stable bucket in [0, buckets): first 8 md5 hex chars of (salt ∥ key)
+    as an integer, mod buckets. Content-addressed — independent of row
+    order, partitioning, and engine."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def train_test_split(
+    df: DataFrame, key_col: str, test_fraction: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Tag each row 'train'/'test' by hash bucket — the split survives
+    re-partitioning, incremental appends, and engine changes."""
+    cut = int(round(test_fraction * 100))
+    return df.withColumn(
+        "split",
+        F.when(hash_bucket(key_col, 100, salt) < cut, F.lit("test")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+def stratified_take(
+    df: DataFrame, strata_cols: list[str], key_col: str, n_per_stratum: int, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic n-per-stratum sample: rank rows inside each stratum by
+    content hash (a stable shuffle) and keep the first n. One window pass;
+    no driver-side collection; the same rows come back on every engine."""
+    order = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = W.partitionBy(*strata_cols).orderBy(order, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )

@@ -137,6 +137,61 @@ def q65_range_join_errors_in_windows(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "q68_train_test_split",
+    oracle="""
+    SELECT CASE WHEN CAST('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 10
+                THEN 'test' ELSE 'train' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="train-test-split (content-hash, engine-stable)",
+    tags=("llm-data", "sampling"),
+)
+def q68_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash 90/10 split: a document keeps its split across runs,
+    partitionings, corpus growth, and engines — both sides compute the same
+    md5 buckets, so the oracle checks the actual assignment."""
+    from python_async_sample_spark.operators.sampling import train_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_test_split(docs, "doc_id", test_fraction=0.1)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q69_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('sample' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id FROM ranked WHERE rk <= 5 ORDER BY lang, doc_id
+    """,
+    ref="stratified-sample (deterministic hash-order take)",
+    tags=("llm-data", "sampling"),
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 docs per language, chosen by content-hash order — the exact same
+    rows on every engine and partitioning (asserted: DuckDB picks them too)."""
+    from python_async_sample_spark.operators.sampling import stratified_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_take(docs, ["lang"], "doc_id", n_per_stratum=5)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
+
+
 _EXISTS_SQL = """
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders
     FROM orders o
