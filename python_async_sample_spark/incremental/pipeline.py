@@ -80,24 +80,33 @@ class IncrementalRunner:
                 return 0
             hi_bound = min(hi_bound, up_wm)
 
+        # Build the source plan once per catch-up run; each window re-filters
+        # the same DataFrame (lazy — no data is held), instead of rebuilding
+        # the reader/transform/reconcile chain per chunk.
+        prepared = self._prepared_source(stage)
         iters = 0
         while own < hi_bound and iters < stage.max_iter:
             hi = min(own + stage.chunk, hi_bound)
-            self.run_window(stage, own, hi)
+            overwrite_window(prepared, stage.target_path, stage.ts_col, own, hi)
             self.store.put(self.toolid, stage.name, hi)  # advance AFTER write (I5)
             own = hi
             iters += 1
         return iters
 
-    def run_window(self, stage: IncrementalStage, lo: datetime, hi: datetime) -> None:
-        """Extract + reconcile + idempotent overwrite of one (lo, hi] window.
-        Re-running the same window is a no-op difference-wise (I3/I6)."""
+    def _prepared_source(self, stage: IncrementalStage) -> DataFrame:
         df = stage.source(self.spark)
         if stage.transform is not None:
             df = stage.transform(df)
         if stage.target_schema is not None:
             df = reconcile(df, stage.target_schema)
-        overwrite_window(df, stage.target_path, stage.ts_col, lo, hi)
+        return df
+
+    def run_window(self, stage: IncrementalStage, lo: datetime, hi: datetime) -> None:
+        """Extract + reconcile + idempotent overwrite of one (lo, hi] window.
+        Re-running the same window is a no-op difference-wise (I3/I6)."""
+        overwrite_window(
+            self._prepared_source(stage), stage.target_path, stage.ts_col, lo, hi
+        )
 
     def run_cascade(self, stages: list[IncrementalStage]) -> dict[str, int]:
         """Run stages in order (reference: EDC_Import → ROT_Transform →
