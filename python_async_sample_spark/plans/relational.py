@@ -485,7 +485,7 @@ def q14_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            concat('ORD_', CAST(o_orderkey AS VARCHAR))    AS tag,
            CAST(year(o_orderdate) AS INT)                 AS oyear,
            CAST(month(o_orderdate) AS INT)                AS omonth,
-           round(o_totalprice * 0.1, 2)                   AS tithe,
+           CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 0.1, 2) AS DOUBLE) AS tithe,
            round(tan(o_totalprice / 1000000.0), 6)        AS trig,
            CAST(floor(o_totalprice) AS BIGINT)            AS price_int
     FROM orders
@@ -505,7 +505,16 @@ def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("ORD_"), F.col("o_orderkey").cast("string")).alias("tag"),
             F.year("o_orderdate").cast("int").alias("oyear"),
             F.month("o_orderdate").cast("int").alias("omonth"),
-            F.round(F.col("o_totalprice") * 0.1, 2).alias("tithe"),
+            # decimal arithmetic: price*0.1 lands on exact .xx5 boundaries
+            # where double round diverges between engines (Spark rounds the
+            # shortest decimal repr, DuckDB the exact binary value)
+            F.round(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.lit(0.1).cast("decimal(2,1)"),
+                2,
+            )
+            .cast("double")
+            .alias("tithe"),
             F.round(F.tan(F.col("o_totalprice") / 1000000.0), 6).alias("trig"),
             # explicit floor: double→bigint CAST truncates in Spark but
             # rounds in DuckDB, so the cast alone is not portable
