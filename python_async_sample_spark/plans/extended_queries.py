@@ -21,7 +21,8 @@ from python_async_sample_spark.sources.readers import load_table, register_views
     SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(count(*) AS BIGINT) AS n_rows,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY returnflag, linestatus
@@ -38,8 +39,14 @@ def q62_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),

@@ -31,17 +31,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 @query(
     "q01_pricing_summary",
     oracle="""
+    WITH t AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity      AS DECIMAL(18,2)) AS q,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS p,
+             CAST(l_discount      AS DECIMAL(4,2))  AS d,
+             CAST(l_tax           AS DECIMAL(4,2))  AS x
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 6)                                        AS avg_disc,
-           count(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           CAST(round(sum(q), 2) AS DOUBLE)                     AS sum_qty,
+           CAST(round(sum(p), 2) AS DOUBLE)                     AS sum_base_price,
+           CAST(round(sum(p * (1 - d)), 2) AS DOUBLE)           AS sum_disc_price,
+           CAST(round(sum(p * (1 - d) * (1 + x)), 2) AS DOUBLE) AS sum_charge,
+           round(CAST(sum(q) AS DOUBLE) / count(*), 4)          AS avg_qty,
+           round(CAST(sum(p) AS DOUBLE) / count(*), 4)          AS avg_price,
+           round(CAST(sum(d) AS DOUBLE) / count(*), 6)          AS avg_disc,
+           count(*)                                             AS count_order
+    FROM t
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
@@ -49,19 +56,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("relational", "flagship"),
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Money aggregates run in DECIMAL: a double sum's value depends on
+    # partition/add order, and at sf0.1 two groups sit ~1e-5 from a cent
+    # rounding boundary — decimal sums are exact and order-independent, so
+    # the gate can never flake on summation order. Averages divide the exact
+    # sum as a final double op (deterministic given identical inputs).
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    x = F.col("l_tax").cast("decimal(4,2)")
+    n = F.count(F.lit(1))
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum(q), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(p), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(p * (F.lit(1) - d)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(p * (F.lit(1) - d) * (F.lit(1) + x)), 2).cast("double").alias("sum_charge"),
+            F.round(F.sum(q).cast("double") / n, 4).alias("avg_qty"),
+            F.round(F.sum(p).cast("double") / n, 4).alias("avg_price"),
+            F.round(F.sum(d).cast("double") / n, 6).alias("avg_disc"),
+            n.alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -100,7 +116,8 @@ def q02_like_in_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_top_orders_by_revenue",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -122,7 +139,17 @@ def q03_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
         .select(
             "l_orderkey",
             "revenue",
@@ -142,7 +169,8 @@ def q03_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q04_region_nation_revenue",
     oracle="""
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM region
       JOIN nation   ON n_regionkey = r_regionkey
@@ -180,7 +208,15 @@ def q04_region_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (dims.c_nationkey == supp.s_nationkey))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy(F.desc("revenue"), F.asc("n_name"))
@@ -534,7 +570,7 @@ def q15_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_nationkey,
            count(DISTINCT o_custkey)      AS n_buyers,
            count(*)                       AS n_orders,
-           round(sum(o_totalprice), 2)    AS total_spend
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_spend
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey
     HAVING count(*) > 100
@@ -552,7 +588,9 @@ def q16_nation_buyer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("o_custkey").alias("n_buyers"),
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_spend"),
         )
         .where(F.col("n_orders") > 100)
         .orderBy("c_nationkey")
