@@ -59,6 +59,43 @@ def q62_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q70_cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    ref="A5+ (cube — beyond reference)",
+    tags=("relational", "extended"),
+)
+def q70_cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (status, priority): every grouping-set combination in
+    one pass, money summed in exact decimal."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+@query(
     "q64_asof_click_purchase",
     oracle="""
     WITH c AS (
