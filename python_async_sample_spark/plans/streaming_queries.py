@@ -21,6 +21,7 @@ from python_async_sample_spark.operators.sessionize import session_stats
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
 from python_async_sample_spark.streaming.jobs import (
+    stream_dedup_counts_to_parquet,
     stream_session_stats_to_parquet,
     stream_window_counts_to_parquet,
 )
@@ -89,6 +90,25 @@ def q19_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on user_id."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(events, gap_minutes=30).orderBy("user_id", "session_no")
+
+
+@query(
+    "q71_stream_exactly_once_dedup",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    ref="I3,I6 streaming-native (dedup under at-least-once re-delivery)",
+    tags=("streaming",),
+)
+def q71_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream ingests the events file TWICE (duplicated re-delivery) and
+    must still produce single-pass counts — streaming dedup state replaces
+    the reference's delete-then-insert idempotency window."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
+    out = stream_dedup_counts_to_parquet(spark, sf_dir, tmp)
+    return out.select("event_type", "n_events", "sum_value").orderBy("event_type")
 
 
 @query(

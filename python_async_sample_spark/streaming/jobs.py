@@ -141,6 +141,48 @@ def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
         pq.write_table(sentinel, f"{src_dir}/0{i}_sentinel.parquet")
 
 
+def stream_dedup_counts_to_parquet(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Exactly-once ingestion under at-least-once delivery: the staging dir
+    holds the events file TWICE (a duplicated replay, the failure mode the
+    reference's delete-then-insert protects against); the stream drops
+    duplicate event_ids before aggregating, so the counts must equal a
+    single clean pass.
+
+    ``dropDuplicates`` keeps all-keys state — right for a bounded replay;
+    an unbounded production stream would use
+    ``dropDuplicatesWithinWatermark`` so state ages out with the watermark.
+    """
+    import shutil
+
+    src_dir = f"{work_dir}/src"
+    os.makedirs(src_dir, exist_ok=True)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    shutil.copy(events_path, f"{src_dir}/00_events.parquet")
+    shutil.copy(events_path, f"{src_dir}/01_events_redelivered.parquet")
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(events_path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    counts = (
+        stream.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    run_available_now(counts, f"{work_dir}/sink", f"{work_dir}/checkpoint")
+    return spark.read.parquet(f"{work_dir}/sink")
+
+
 def stream_session_stats_to_parquet(
     spark: SparkSession,
     sf_dir: str,
