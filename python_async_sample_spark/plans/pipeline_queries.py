@@ -245,6 +245,94 @@ def q61_wide_tool_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q72_mea_pipeline_detail",
+    oracle="""
+    WITH base AS (
+      SELECT l_suppkey AS glass, l_orderkey % 60 AS site_name,
+             max(l_discount) * 100 + (l_orderkey % 60)     AS tpx,
+             max(l_tax) * 100 + 2 * (l_orderkey % 60)      AS tpy
+      FROM lineitem GROUP BY 1, 2
+    ),
+    labeled AS (
+      SELECT *, row_number() OVER (PARTITION BY glass
+                                   ORDER BY tpx, tpy, site_name) AS item_id
+      FROM base WHERE site_name <= 48
+    ),
+    diffs AS (
+      SELECT glass, item_id,
+             tpx - CAST((item_id * 13) % 50 AS DOUBLE) AS x,
+             tpy - CAST((item_id * 29) % 50 AS DOUBLE) AS y,
+             CAST((item_id * 13) % 50 AS DOUBLE) AS dx,
+             CAST((item_id * 29) % 50 AS DOUBLE) AS dy
+      FROM labeled
+    ),
+    agg AS (
+      SELECT glass, covar_pop(x, dy) AS cxdy, covar_pop(y, dx) AS cydx,
+             var_pop(dx) AS vdx, var_pop(dy) AS vdy,
+             avg(x) AS mx, avg(y) AS my, avg(dx) AS mdx, avg(dy) AS mdy
+      FROM diffs GROUP BY glass
+    ),
+    fit AS (
+      SELECT glass,
+             CASE WHEN vdx + vdy > 0 THEN (cxdy - cydx) / (vdx + vdy)
+                  ELSE 0.0 END AS t, mx, my, mdx, mdy
+      FROM agg
+    ),
+    rot AS (
+      SELECT d.glass, d.item_id,
+             d.x + (f.t * f.mdy - f.mx) - d.dy * f.t AS x_rot,
+             d.y + (-f.my - f.t * f.mdx) + d.dx * f.t AS y_rot
+      FROM diffs d JOIN fit f USING (glass)
+      WHERE d.glass % 10 = 0
+    )
+    SELECT glass AS rot_id, 'item' || CAST(item_id AS VARCHAR) || '_x' AS item_name,
+           round(x_rot, 6) AS rot_rs
+    FROM rot
+    UNION ALL
+    SELECT glass, 'item' || CAST(item_id AS VARCHAR) || '_y', round(y_rot, 6)
+    FROM rot
+    ORDER BY rot_id, item_name
+    """,
+    ref="R1,P6,O5,J8,§2.8,§3.2 (tlcd_nikonrot_mea end-to-end)",
+    tags=("pipeline", "analytics"),
+)
+def q72_mea_pipeline_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEA-ROT stage end-to-end: EAV in → pivot (R1) → site ≤ 48 (P6)
+    → position labeling (O5) → design join by derived item_id (J8) →
+    Diff = measured − design → closed-form fit + affine → melt. The oracle
+    replays the whole dataflow in SQL."""
+    from python_async_sample_spark.pipelines.mea_pipeline import run_mea_rot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    site = (F.col("l_orderkey") % 60).alias("site_name")
+    base = li.groupBy(F.col("l_suppkey").alias("glass"), site).agg(
+        (F.max("l_discount") * 100 + F.col("site_name")).alias("tpx"),
+        (F.max("l_tax") * 100 + 2 * F.col("site_name")).alias("tpy"),
+    )
+    eav = base.select(
+        "glass",
+        "site_name",
+        F.explode(
+            F.array(
+                F.struct(F.lit("TP_X").alias("param_name"), F.col("tpx").alias("param_value")),
+                F.struct(F.lit("TP_Y").alias("param_name"), F.col("tpy").alias("param_value")),
+            )
+        ).alias("pv"),
+    ).select("glass", "site_name", "pv.param_name", "pv.param_value")
+    design = spark.range(1, 61).select(
+        F.col("id").alias("item_id"),
+        ((F.col("id") * 13) % 50).cast("double").alias("x"),
+        ((F.col("id") * 29) % 50).cast("double").alias("y"),
+    )
+    out = run_mea_rot(eav, design)
+    return (
+        out.detail.where(F.col("rot_id") % 10 == 0)
+        .select("rot_id", "item_name", F.round("rot_rs", 6).alias("rot_rs"))
+        .orderBy("rot_id", "item_name")
+    )
+
+
+@query(
     "q29_summary_mv_recompute",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,
