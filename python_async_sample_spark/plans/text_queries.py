@@ -144,6 +144,39 @@ def q43_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q45_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, CAST(count(*) AS BIGINT) AS tf,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tok WHERE token <> ''
+    GROUP BY token ORDER BY tf DESC, token LIMIT 20
+    """,
+    ref="text-vocab-stats",
+    tags=("llm-data", "text"),
+)
+def q45_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: term frequency and document frequency per token,
+    top 20 — one explode + one groupBy, map-side combined; the profile a
+    tokenizer/filter stage reads before processing a corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
     "q44_token_counts",
     oracle="""
     SELECT doc_id,
