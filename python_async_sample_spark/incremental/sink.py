@@ -5,21 +5,28 @@ Reference: before re-inserting an interval the ETL deletes the target rows in
 ``nikon_ETL.py:350-357,410-419``) so re-delivery of a window is exactly-once.
 
 Spark mapping: the target is a parquet table partitioned by event date
-(``dt``). Rewriting a window rewrites only the date partitions the window
-touches (``spark.sql.sources.partitionOverwriteMode=dynamic``); rows in those
-partitions that fall *outside* the half-open window are read back and
-retained. At 100 TB the windows are day-aligned (the reference's catch-up
-chunk is exactly 86 400 s) so the read-back side is empty and each iteration
-rewrites whole partitions — no table-wide shuffle, no delete scan.
+(``dt``). Rewriting a window first reads back the out-of-window boundary rows
+of the date partitions the window touches, then deletes those partitions and
+writes boundary ∪ new — a literal delete-then-insert, so a re-delivered
+window that *retracts* rows (even a whole day) converges too; dynamic
+partition overwrite alone cannot delete a partition that ends up empty. At
+100 TB the windows are day-aligned (the reference's catch-up chunk is exactly
+86 400 s) so the read-back side is empty and each iteration rewrites whole
+partitions — no table-wide shuffle, no delete scan. All partition metadata
+ops go through the Hadoop FileSystem API (``sources/hadoop_fs``), so the sink
+is scheme-agnostic (file/hdfs/s3a). Crash-consistency matches the reference:
+a failure between delete and insert leaves the window absent until the next
+(idempotent) re-delivery.
 """
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from python_async_sample_spark.sources import hadoop_fs
 
 DT_COL = "__dt"
 
@@ -39,15 +46,14 @@ def overwrite_window(
     new_rows = df.where((F.col(ts_col) > F.lit(lo)) & (F.col(ts_col) <= F.lit(hi)))
     new_rows = new_rows.withColumn(DT_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
 
-    # Keep rows that live in the touched partitions but outside the window
-    # (partial first/last day). Only partitions that already exist on disk
-    # need the read-back — during forward catch-up none do, so each chunk is
-    # a pure write. Day-aligned windows keep this set empty at any scale.
+    # Existing partitions the window touches. Only those need the boundary
+    # read-back — during forward catch-up none exist, so each chunk is a pure
+    # write. Day-aligned windows keep this set empty at any scale.
     touched = []
     d = lo.date()
     while d <= hi.date():
         part_dir = f"{target_path}/{DT_COL}={d.isoformat()}"
-        if os.path.exists(part_dir):
+        if hadoop_fs.exists(spark, part_dir):
             touched.append(part_dir)
         d += timedelta(days=1)
 
@@ -56,10 +62,15 @@ def overwrite_window(
         keep = existing.where(
             ~((F.col(ts_col) > F.lit(lo)) & (F.col(ts_col) <= F.lit(hi)))
         )
-        # Materialize the retained boundary rows before overwriting the path
-        # they were read from (Spark refuses overlapping read/write paths).
+        # Materialize the retained boundary rows before deleting the
+        # partitions they were read from.
         keep = keep.localCheckpoint(eager=True)
         out = keep.unionByName(new_rows)
+        # Delete-then-insert: a touched partition whose every row was
+        # retracted upstream must vanish, and dynamic overwrite only rewrites
+        # partitions present in `out`.
+        for part_dir in touched:
+            hadoop_fs.delete(spark, part_dir)
     else:
         out = new_rows
 

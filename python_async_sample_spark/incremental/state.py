@@ -8,18 +8,22 @@ The store is a tiny parquet table — one row per pipeline, never data-sized —
 so it is read and written **driver-side via pyarrow**, not as Spark jobs: the
 reference pays one 1-row UPDATE per advance (``dbs/nikon.py:169-186``) and a
 distributed job for that row would be pure scheduler overhead (measured ~4 s
-per advance on local[32]). At cluster scale this slot is filled by a
-transactional table (Delta/JDBC); the access pattern (read at start, written
+per advance on local[32]). I/O goes through ``pyarrow.fs`` resolved from the
+path's URI scheme, so the store works on local paths and on hdfs://​/s3://
+alike; the write is staged-then-moved, which is atomic on POSIX and HDFS but
+copy+delete on object stores. At cluster scale this slot is filled by a
+transactional table (Delta/JDBC) — the access pattern (read at start, written
 once per committed window) is identical, and the data plane is untouched.
 """
 
 from __future__ import annotations
 
-import os
+import posixpath
 from datetime import datetime
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+from pyarrow import fs as pafs
 from pyspark.sql import SparkSession
 
 ARROW_SCHEMA = pa.schema(
@@ -40,17 +44,21 @@ _FILE = "lastendtime.parquet"
 class WatermarkStore:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark  # kept for API symmetry / future JDBC-backed store
-        self.path = path
+        if "://" in path:
+            self._fs, self.path = pafs.FileSystem.from_uri(path)
+        else:
+            self._fs, self.path = pafs.LocalFileSystem(), path
         self._cache: dict[tuple[str, str], dict] | None = None
 
     @property
     def _file(self) -> str:
-        return os.path.join(self.path, _FILE)
+        return posixpath.join(self.path, _FILE)
 
     def _rows(self) -> dict[tuple[str, str], dict]:
         if self._cache is None:
-            if os.path.exists(self._file):
-                loaded = pq.read_table(self._file).to_pylist()
+            info = self._fs.get_file_info(self._file)
+            if info.type != pafs.FileType.NotFound:
+                loaded = pq.read_table(self._file, filesystem=self._fs).to_pylist()
             else:
                 loaded = []
             self._cache = {(r["toolid"], r["apname"]): r for r in loaded}
@@ -66,9 +74,8 @@ class WatermarkStore:
 
     def put(self, toolid: str, apname: str, wm: datetime) -> None:
         """Upsert the watermark — called only AFTER the batch write succeeds
-        (I5 ordering). Write-then-rename keeps the advance atomic on a
-        POSIX filesystem, mirroring the reference's single-row transactional
-        UPDATE."""
+        (I5 ordering). Write-then-move keeps the advance atomic on POSIX and
+        HDFS, mirroring the reference's single-row transactional UPDATE."""
         rows = self._rows()
         rows[(toolid.upper(), apname)] = {
             "toolid": toolid.upper(),
@@ -78,8 +85,8 @@ class WatermarkStore:
             "virtual_recipe": None,
             "update_time": datetime.now(),
         }
-        os.makedirs(self.path, exist_ok=True)
+        self._fs.create_dir(self.path, recursive=True)
         table = pa.Table.from_pylist(list(rows.values()), schema=ARROW_SCHEMA)
         tmp = self._file + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, self._file)
+        pq.write_table(table, tmp, filesystem=self._fs)
+        self._fs.move(tmp, self._file)

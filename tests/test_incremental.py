@@ -148,6 +148,60 @@ def test_chunked_catchup_and_cascade(spark, sf_dir, tmpdir):
     assert read_target(spark, tmpdir + "/edc").count() == n_expected
 
 
+def test_watermark_store_file_uri(spark, tmpdir):
+    # the store resolves pyarrow filesystems from the path's URI scheme, so a
+    # file:// URI (stand-in for hdfs://, s3://) round-trips identically
+    store = WatermarkStore(spark, f"file://{tmpdir}/state")
+    store.put("NIKON", "EDC_Import", ts("2024-01-05 00:00:00"))
+    reread = WatermarkStore(spark, f"file://{tmpdir}/state")
+    assert reread.get("NIKON", "EDC_Import") == ts("2024-01-05 00:00:00")
+
+
+def test_retraction_rewrites_empty_partition(spark, tmpdir):
+    # ADVICE: a re-delivered window that retracts every row of a touched day
+    # must delete that day — dynamic partition overwrite alone cannot.
+    target = f"{tmpdir}/target"
+    lo, hi = ts("2024-01-05 00:00:00"), ts("2024-01-07 00:00:00")
+    src = spark.createDataFrame(
+        [(1, ts("2024-01-05 10:00:00")), (2, ts("2024-01-06 10:00:00"))],
+        ["event_id", "ts"],
+    )
+    overwrite_window(src, target, "ts", lo, hi)
+    assert read_target(spark, target).count() == 2
+
+    retracted = src.where(F.col("event_id") != 1)  # day 05 fully retracted
+    overwrite_window(retracted, target, "ts", lo, hi)
+    left = [r.event_id for r in read_target(spark, target).collect()]
+    assert left == [2]
+
+
+def test_partition_probe_uses_fs_abstraction(spark, sf_dir, tmpdir, monkeypatch):
+    # the probe must route through the Hadoop FileSystem API (scheme-aware),
+    # never os.path: mock it with a recorder backed by a Hadoop listing
+    import inspect
+
+    from python_async_sample_spark.incremental import sink
+    from python_async_sample_spark.sources import hadoop_fs
+
+    assert "os.path" not in inspect.getsource(sink), "os.path on the data path"
+
+    probed = []
+    real_exists = hadoop_fs.exists
+
+    def recording_exists(s, path):
+        probed.append(path)
+        return real_exists(s, path)
+
+    monkeypatch.setattr(sink.hadoop_fs, "exists", recording_exists)
+    events = load_table(spark, sf_dir, "events")
+    lo, hi = ts("2024-01-05 00:00:00"), ts("2024-01-07 00:00:00")
+    overwrite_window(events, f"{tmpdir}/t", "ts", lo, hi)
+    n1 = read_target(spark, f"{tmpdir}/t").count()
+    overwrite_window(events, f"{tmpdir}/t", "ts", lo, hi)  # re-delivery
+    assert read_target(spark, f"{tmpdir}/t").count() == n1 > 0
+    assert len(probed) == 6  # 3 dates probed per delivery
+
+
 def test_iteration_cap(spark, sf_dir, tmpdir):
     from datetime import timedelta
 
