@@ -46,9 +46,13 @@ def asof_join(
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = l.unionByName(r.select(*l.columns))
 
+    # Tiebreak beyond (__ts, side): when several right rows share a (key, ts),
+    # the payload columns pin WHICH one the carry-forward keeps (the max by
+    # payload order) — without this the carried row is partition-order
+    # nondeterministic.
     w = (
         W.partitionBy(*keys)
-        .orderBy("__ts", _SIDE)
+        .orderBy("__ts", _SIDE, *[f"{prefix}{c}" for c in payload_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     carried = unioned

@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def content_salt(cols: list[str], salt: int) -> F.Column:
+    """Salt bucket in [0, salt) as a pure function of row content — identical
+    across stage retries, repartitions and input orderings."""
+    return F.pmod(F.xxhash64(*cols), F.lit(salt)).cast("int")
+
+
 def top_keys(df: DataFrame, keys: list[str], n: int = 20, fraction: float = 0.01, seed: int = 42) -> DataFrame:
     """Approximate hot-key probe: frequency over a seeded sample (never a
     full-table groupBy just to plan a join)."""
@@ -41,19 +47,22 @@ def salted_join(
     keys: list[str],
     salt: int = 8,
     how: str = "inner",
+    spread_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's keys scattered across ``salt`` buckets.
 
-    big:   gets a deterministic pseudo-random salt in [0, salt) per row
-           (hash of the full row's key columns + a spreading column).
+    big:   gets a content-derived salt in [0, salt) per row — a hash of the
+           key columns plus ``spread_cols`` (default: every non-key column),
+           so the scatter is a pure function of row content: stage retries
+           and different input partitionings re-scatter identically
+           (``monotonically_increasing_id`` would not).
     small: replicated once per salt value via explode — R× the small side,
            never R× the fact table.
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError("salted_join supports inner/left joins only")
-    big_salted = big.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt)).cast("int")
-    )
+    spread = spread_cols if spread_cols is not None else [c for c in big.columns if c not in keys]
+    big_salted = big.withColumn(SALT_COL, content_salt(keys + spread, salt))
     small_rep = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )

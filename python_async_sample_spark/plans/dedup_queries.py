@@ -29,9 +29,9 @@ _JACCARD_ORACLE = """
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     sh AS (
+      -- per-row series bound: no silent shingle loss however long a doc is
       SELECT DISTINCT doc_id, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] AS shingle
-      FROM toks CROSS JOIN generate_series(1, 4000) g(i)
-      WHERE g.i <= len(w) - 2
+      FROM toks CROSS JOIN unnest(generate_series(1, len(w) - 2)) AS g(i)
     ),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

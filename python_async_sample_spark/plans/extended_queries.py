@@ -292,6 +292,28 @@ def q67_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q63_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type approximate distinct users (HLL++, rsd 2%): the
-    fixed-size mergeable alternative to countDistinct's value shuffle."""
+    fixed-size mergeable alternative to countDistinct's value shuffle.
+
+    The plan itself enforces the sketch's error contract: each group's
+    estimate is joined to the exact countDistinct and the row RAISES if
+    ``|approx − exact| > 5·rsd·exact`` — so even without a SQL oracle this
+    gate query fails loudly on a bound violation instead of silently
+    returning garbage. (5·rsd: rsd is one standard deviation, not a hard
+    bound; 5σ keeps the check non-flaky while still catching any real
+    defect.)"""
     events = load_table(spark, sf_dir, "events")
-    return approx_distinct(events, ["event_type"], "user_id").orderBy("event_type")
+    rsd = 0.02
+    approx = approx_distinct(events, ["event_type"], "user_id")
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("__exact")
+    )
+    bound_ok = (
+        F.abs(F.col("approx_distinct") - F.col("__exact"))
+        <= F.lit(5 * rsd) * F.col("__exact")
+    )
+    return (
+        approx.join(exact, "event_type")
+        .where(F.when(bound_ok, F.lit(True)).otherwise(F.raise_error("HLL estimate outside 5*rsd bound")))
+        .select("event_type", "approx_distinct")
+        .orderBy("event_type")
+    )

@@ -36,3 +36,20 @@ def test_asof_join_semantics(spark):
     # left row set and columns preserved
     assert sorted(out.columns) == sorted(["id", "k", "ts", "asof_v"])
     assert out.count() == 4
+
+
+def test_asof_duplicate_right_ts_deterministic(spark):
+    # several right rows at the same (key, ts): the carried payload is pinned
+    # (max by payload order), invariant to input partitioning
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([("u1", t)], ["user_id", "ts"])
+    right = spark.createDataFrame(
+        [("u1", t, "a"), ("u1", t, "c"), ("u1", t, "b")],
+        ["user_id", "ts", "payload"],
+    )
+    out = lambda r: asof_join(  # noqa: E731
+        left, r, ["user_id"], "ts", "ts", ["payload"]
+    ).collect()[0]["asof_payload"]
+    assert out(right) == "c"
+    assert out(right.repartition(7)) == "c"
+    assert out(right.orderBy("payload")) == "c"

@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from python_async_sample_spark.operators.skew import SALT_COL, salted_join, top_keys
+from python_async_sample_spark.operators.skew import (
+    SALT_COL,
+    content_salt,
+    salted_join,
+    top_keys,
+)
 
 
 def _skewed(spark):
@@ -34,11 +39,22 @@ def test_salted_join_matches_plain_join(spark):
 
 
 def test_salt_scatters_hot_key(spark):
-    big = _skewed(spark).withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(8)).cast("int")
-    )
+    big = _skewed(spark).withColumn(SALT_COL, content_salt(["k", "v"], 8))
     used = big.where(F.col("k") == "hot").select(SALT_COL).distinct().count()
     assert used == 8  # the hot key spreads across every salt bucket
+
+
+def test_salt_is_repartition_invariant(spark):
+    # content-derived salt: the same row gets the same bucket no matter how
+    # the input is partitioned or ordered (stage retries re-scatter alike)
+    big = _skewed(spark)
+    salted = lambda df: {  # noqa: E731
+        (r.k, r.v): r[SALT_COL]
+        for r in df.withColumn(SALT_COL, content_salt(["k", "v"], 8)).collect()
+    }
+    base = salted(big)
+    assert salted(big.repartition(17, "v")) == base
+    assert salted(big.orderBy(F.desc("v"))) == base
 
 
 def test_top_keys_probe(spark):
