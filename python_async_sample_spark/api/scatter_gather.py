@@ -31,6 +31,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.api.validate import checked
+
 
 @dataclass
 class KeyedQuery:
@@ -47,13 +49,17 @@ class KeyedQuery:
     key_col: str
     link_cols: list[str]  # history→result join keys (glass, step, start_time analog)
 
+    @checked
     def glass_history(self, keys: DataFrame) -> DataFrame:
         """Stage-1 fan-out: all history rows for the key list — one semi-join
-        instead of len(keys) point queries on a thread pool."""
+        instead of len(keys) point queries on a thread pool. Arguments are
+        runtime-validated like the reference's ``@checktypes`` entry points
+        (``eda_query.py:163-165``)."""
         return self.history.join(
             F.broadcast(keys.select(self.key_col).distinct()), self.key_col, "left_semi"
         )
 
+    @checked
     def glass_raw_data(
         self,
         keys: DataFrame,

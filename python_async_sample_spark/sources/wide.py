@@ -35,6 +35,24 @@ def params_per_tool(
     return {t: sorted(ps) for t, ps in out.items()}
 
 
+def collate_by_char_positions(
+    cols: list[str], positions: tuple[int, ...] = (10, 8)
+) -> list[str]:
+    """Order column names by the characters at fixed 1-indexed positions —
+    the reference's custom wide-column collation (O4): ``R/pg_db.R:45`` sorts
+    the ROT column list by ``substring(col, 10, 10)`` then
+    ``substring(col, 8, 8)`` so paired x/y parameter columns interleave in
+    measurement order regardless of their prefixes. Names shorter than a
+    position contribute ``''`` for that key (R substring semantics) and sort
+    first; the sort is stable, like R ``order``."""
+    return sorted(
+        cols,
+        key=lambda name: tuple(
+            name[p - 1] if len(name) >= p else "" for p in positions
+        ),
+    )
+
+
 def widen_tool(
     long_df: DataFrame,
     tool: str,

@@ -43,3 +43,27 @@ def test_materialize_and_read_back(spark, tmpdir):
 
     b = read_wide_table(spark, str(tmpdir), "TLCDB01")
     assert b.columns == ["glassid", "p2", "p3"]  # per-tool schema differs
+
+
+def test_substring_position_collation():
+    # O4: the reference orders ROT wide columns by the characters at
+    # 1-indexed positions 10 then 8 (R/pg_db.R:45) so x/y pairs interleave.
+    from python_async_sample_spark.sources.wide import collate_by_char_positions
+
+    cols = [
+        "tp_al__a_y_p2",  # pos10=y pos8=a
+        "tp_al__b_x_p1",  # pos10=x pos8=b
+        "tp_al__a_x_p1",  # pos10=x pos8=a
+        "tp_al__b_y_p2",  # pos10=y pos8=b
+        "short",          # no pos 8/10 → '' keys, sorts first
+    ]
+    assert collate_by_char_positions(cols) == [
+        "short",
+        "tp_al__a_x_p1",
+        "tp_al__b_x_p1",
+        "tp_al__a_y_p2",
+        "tp_al__b_y_p2",
+    ]
+    # stability: ties (same chars at both positions) keep input order
+    ties = ["tp_al__a_x_pZ", "tp_al__a_x_pA"]
+    assert collate_by_char_positions(ties) == ties
