@@ -2,10 +2,13 @@
 
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` kernels. The decode libraries are not in this
-container, so the *decode step itself* is stubbed (deterministic fake or
-``NotImplementedError``) while everything Spark-side — schema, batch shape,
-partitioning, UDF signatures — is real and tested.
+Arrow-batched ``mapInPandas`` kernels. Decoding goes through a pluggable
+``MediaDecoder`` seam: production injects a codec-backed implementation;
+this container defaults to a deterministic byte-level fake
+(``FakeByteDecoder``) plus a stdlib-only REAL header decoder for BMP/WAV
+(``HeaderDecoder``) proving the seam end-to-end. Everything Spark-side —
+schema, batch shape, partitioning, UDF signatures — is identical whichever
+decoder is plugged in.
 
 At 100 TB the payload column dominates IO: kernels select only the columns
 they need (column pruning keeps untouched payloads unread in parquet), and
@@ -16,6 +19,7 @@ re-shuffle blobs.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -49,15 +53,143 @@ def attach_media(
     ).withColumnRenamed(payload_col, "payload")
 
 
-def decode_stub(payload: bytes, fmt: str) -> bytes:
-    """Real decoders (PIL/ffmpeg/soundfile) are not installed here.
+@dataclass(frozen=True)
+class Decoded:
+    """Decoder-independent result record a decode kernel emits per payload."""
 
-    Raises so callers relying on true decoding fail loudly; the feature
-    kernels below use deterministic byte-level fakes instead.
-    """
-    raise NotImplementedError(
-        f"media decode for format={fmt!r} requires codec libraries not in this image"
-    )
+    media_type: str  # image / audio
+    format: str
+    width: int | None = None
+    height: int | None = None
+    channels: int | None = None
+    sample_rate: int | None = None
+    n_samples: int | None = None
+    mean_value: float | None = None  # mean pixel / |sample| from real content
+
+
+class MediaDecoder:
+    """Pluggable decode seam. Production swaps in a codec-backed
+    implementation (PIL/ffmpeg/soundfile); the Spark dataflow — schema,
+    batching, partitioning — is identical whichever decoder is injected."""
+
+    def decode(self, payload: bytes, fmt: str) -> Decoded:  # pragma: no cover
+        raise NotImplementedError(
+            f"media decode for format={fmt!r} requires codec libraries not in this image"
+        )
+
+
+class FakeByteDecoder(MediaDecoder):
+    """Default, codec-free stand-in: deterministically 'decodes' any payload
+    as a 1×N 8-bit gray image whose pixels are the raw bytes. Keeps every
+    gate query runnable in this container with stable values."""
+
+    def decode(self, payload: bytes, fmt: str) -> Decoded:
+        b = bytes(payload)
+        return Decoded(
+            media_type="image",
+            format=fmt,
+            width=len(b),
+            height=1 if b else 0,
+            channels=1,
+            mean_value=(sum(b) / len(b)) if b else None,
+        )
+
+
+class HeaderDecoder(MediaDecoder):
+    """Stdlib-only REAL decoder for uncompressed BMP images and PCM WAV
+    audio — proves the seam carries genuinely decoded features end-to-end
+    without codec libraries. Other formats raise, loudly, like the
+    production decoder would for an unsupported codec."""
+
+    def decode(self, payload: bytes, fmt: str) -> Decoded:
+        b = bytes(payload)
+        if fmt == "bmp":
+            return self._bmp(b)
+        if fmt == "wav":
+            return self._wav(b)
+        raise NotImplementedError(f"HeaderDecoder cannot decode format={fmt!r}")
+
+    @staticmethod
+    def _bmp(b: bytes) -> Decoded:
+        import struct
+
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pixel_off = struct.unpack_from("<I", b, 10)[0]
+        width, height = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        pixels = b[pixel_off:]
+        return Decoded(
+            media_type="image",
+            format="bmp",
+            width=width,
+            height=abs(height),
+            channels=bpp // 8,
+            mean_value=(sum(pixels) / len(pixels)) if pixels else None,
+        )
+
+    @staticmethod
+    def _wav(b: bytes) -> Decoded:
+        import io
+        import struct
+        import wave
+
+        with wave.open(io.BytesIO(b)) as w:
+            channels, sampwidth = w.getnchannels(), w.getsampwidth()
+            rate, n = w.getframerate(), w.getnframes()
+            frames = w.readframes(n)
+        if sampwidth == 2:
+            vals = struct.unpack(f"<{len(frames) // 2}h", frames)
+            mean = (sum(abs(v) for v in vals) / len(vals)) if vals else None
+        else:
+            mean = (sum(frames) / len(frames)) if frames else None
+        return Decoded(
+            media_type="audio",
+            format="wav",
+            channels=channels,
+            sample_rate=rate,
+            n_samples=n,
+            mean_value=mean,
+        )
+
+
+DECODED_SCHEMA = (
+    "media_type string, format string, width int, height int, channels int, "
+    "sample_rate int, n_samples int, mean_value double"
+)
+
+
+def decode_media(
+    df: DataFrame,
+    id_col: str,
+    decoder: MediaDecoder | None = None,
+    fmt_col: str = "media_meta",
+) -> DataFrame:
+    """Decode every payload through the injected ``decoder`` (default: the
+    deterministic byte-level fake) — one Arrow batch in, one fixed-width
+    feature row out per payload; blobs never leave the kernel."""
+    decoder = decoder if decoder is not None else FakeByteDecoder()
+    out_schema = f"{id_col} bigint, {DECODED_SCHEMA}"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf[id_col], pdf["payload"], pdf["_fmt"]
+            ):
+                d = decoder.decode(bytes(payload), fmt)
+                rows.append({id_col: doc_id, **vars(d)})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "media_type", "format", "width", "height",
+                    "channels", "sample_rate", "n_samples", "mean_value",
+                ],
+            )
+
+    return df.select(
+        id_col, "payload", F.col(f"{fmt_col}.format").alias("_fmt")
+    ).mapInPandas(kernel, schema=out_schema)
 
 
 def extract_features(df: DataFrame, id_col: str) -> DataFrame:
