@@ -1,0 +1,77 @@
+"""Per-query bench regression gate.
+
+Totals on this box are contention-noisy (identical code swings 50–155 s at
+sf0.1), so regressions are judged PER QUERY against the committed
+``BENCH_BASELINE.json`` (round-1 numbers). A query regresses when it is both
+> ``--factor`` × its baseline AND > ``--slack`` seconds absolute (the slack
+filters sub-second jitter and first-call codegen).
+
+Usage:
+    python bench.py | tail -1 > /tmp/bench.json
+    python scripts/bench_compare.py /tmp/bench.json
+    python scripts/bench_compare.py --run        # runs bench.py itself
+
+Exits 1 listing regressed queries, 0 otherwise. New queries (absent from the
+baseline) are reported informationally and never fail the gate.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_current(args) -> dict:
+    if args.run:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip().splitlines()[-1]
+        return json.loads(out)
+    with open(args.bench_json) as f:
+        return json.load(f)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("bench_json", nargs="?", help="file holding bench.py's JSON line")
+    p.add_argument("--run", action="store_true", help="run bench.py now")
+    p.add_argument("--factor", type=float, default=2.0)
+    p.add_argument("--slack", type=float, default=1.0, help="absolute seconds of tolerated jitter")
+    args = p.parse_args()
+    if not args.run and not args.bench_json:
+        p.error("pass a bench JSON file or --run")
+
+    with open(os.path.join(REPO, "BENCH_BASELINE.json")) as f:
+        base = json.load(f)["queries"]
+    cur = load_current(args)["queries"]
+
+    regressed, improved, new = [], [], []
+    for name, t in sorted(cur.items()):
+        b = base.get(name)
+        if b is None:
+            new.append((name, t))
+            continue
+        if t > args.factor * b and t - b > args.slack:
+            regressed.append((name, b, t))
+        elif b > args.factor * t and b - t > args.slack:
+            improved.append((name, b, t))
+
+    for name, b, t in improved:
+        print(f"IMPROVED  {name}: {b:.2f}s -> {t:.2f}s")
+    for name, t in new:
+        print(f"NEW       {name}: {t:.2f}s (no baseline)")
+    for name, b, t in regressed:
+        print(f"REGRESSED {name}: {b:.2f}s -> {t:.2f}s (>{args.factor:.1f}x)")
+    print(f"\n{len(regressed)} regressed / {len(improved)} improved / "
+          f"{len(new)} new / {len(cur)} total vs {os.path.basename('BENCH_BASELINE.json')}")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
