@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.operators.cluster import dedup_clusters
 from python_async_sample_spark.operators.dedup import (
     exact_dedup,
     jaccard_pairs,
@@ -24,8 +25,9 @@ from python_async_sample_spark.operators.dedup import (
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
 
-_JACCARD_ORACLE = """
-    WITH toks AS (
+# Shared CTE block: exact 3-gram Jaccard pairs at threshold 0.8.
+_PAIR_CTES = """
+    toks AS (
       SELECT doc_id, string_split(text, ' ') AS w FROM documents
     ),
     sh AS (
@@ -39,10 +41,34 @@ _JACCARD_ORACLE = """
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH {_PAIR_CTES}
     SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
     FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
     WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
     ORDER BY d1, d2
+"""
+
+# Transitive closure of the pair graph: min reachable doc id per document.
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    pairs AS (
+      SELECT d1, d2
+      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+    ),
+    edges AS (
+      SELECT d1 AS n, d2 AS m FROM pairs UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+    )
+    SELECT n AS doc_id, min(r) AS cluster_id, (min(r) = n) AS is_canonical
+    FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
@@ -134,3 +160,21 @@ def q33_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sim = simhash(docs, "doc_id", "text")
     return simhash_near_pairs(sim, "doc_id", max_hamming=3).orderBy("d1", "d2")
+
+
+@query(
+    "q39_dedup_clusters",
+    oracle=_CLUSTER_ORACLE,
+    ref="dedup-cluster-resolution (beyond reference)",
+    tags=("llm-data", "dedup"),
+)
+def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster resolution over the exact near-dup pair graph (q31's edges):
+    min-label propagation to transitive closure, one canonical doc per
+    cluster, singletons self-clustered. The oracle recomputes the closure
+    with a recursive CTE — per-round shuffles here, recursion there, same
+    fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_index(docs, "doc_id", "text", n=3)
+    pairs = jaccard_pairs(sh, threshold=0.8)
+    return dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")

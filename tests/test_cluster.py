@@ -1,0 +1,40 @@
+"""Connected-component resolution: topologies that stress the propagation
+depth (chains need multiple rounds; rings; disjoint clusters; singletons)."""
+
+from __future__ import annotations
+
+from python_async_sample_spark.operators.cluster import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "d1 long, d2 long")
+
+
+def test_chain_ring_and_disjoint(spark):
+    # chain 1-2-3-4-5 (diameter 4), ring 10-11-12-10, pair 20-21
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (12, 10), (21, 20)],
+    )
+    got = {r.n: r.component for r in connected_components(e, "d1", "d2").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_includes_singletons(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+    pairs = _edges(spark, [(2, 5), (5, 6)])
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs, "doc_id").collect()}
+    assert {d: r.cluster_id for d, r in rows.items()} == {
+        1: 1, 2: 2, 3: 3, 4: 4, 5: 2, 6: 2,
+    }
+    assert [d for d, r in sorted(rows.items()) if r.is_canonical] == [1, 2, 3, 4]
+
+
+def test_no_edges(spark):
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    pairs = _edges(spark, [])
+    rows = dedup_clusters(docs, pairs, "doc_id").collect()
+    assert all(r.doc_id == r.cluster_id and r.is_canonical for r in rows)
