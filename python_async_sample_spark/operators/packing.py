@@ -1,0 +1,53 @@
+"""Sequence packing for LLM training — concat-and-chunk token accounting.
+
+Training pipelines concatenate documents (within a shard/language stream)
+and slice the token stream into fixed-size sequences; a document may span a
+chunk boundary. The assignment is pure window arithmetic over a running
+token sum — no UDF, no driver loop — and is deterministic given the
+(group, order) columns.
+
+Scale shape: ONE window partitioned by the stream key. Never pack a 100 TB
+corpus as a single global stream — the window partition is the unit of
+parallelism (language, shard, source), exactly how production packers run
+per input shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def pack_sequences(
+    df: DataFrame,
+    stream_cols: list[str],
+    order_col: str,
+    token_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign each document its place in the packed token stream.
+
+    Adds, per (stream, order) position:
+      cum_before   — tokens already emitted in this stream,
+      pack_id      — chunk index of the document's first token,
+      pack_offset  — offset of that token within its chunk,
+      pack_end     — chunk index of the document's last token,
+      spans_packs  — how many chunk boundaries the document crosses + 1.
+    """
+    w = (
+        W.partitionBy(*stream_cols)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return (
+        df.withColumn("cum_before", cum_before.cast("bigint"))
+        .withColumn("pack_id", F.floor(F.col("cum_before") / budget))
+        .withColumn("pack_offset", F.col("cum_before") % budget)
+        .withColumn(
+            "pack_end",
+            F.floor((F.col("cum_before") + F.greatest(F.col(token_col), F.lit(1)) - 1) / budget),
+        )
+        .withColumn("spans_packs", (F.col("pack_end") - F.col("pack_id") + 1).cast("bigint"))
+    )

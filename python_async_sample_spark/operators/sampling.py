@@ -50,3 +50,21 @@ def stratified_take(
         .where(F.col("__rk") <= n_per_stratum)
         .drop("__rk")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    fractions: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum sampling rates — the training-mixture lever ("100% of
+    wiki, 25% of web"). Keep a row iff its content-hash bucket falls under
+    its stratum's cut; strata absent from ``fractions`` are dropped (rate
+    0). Same determinism contract as the other samplers: pure function of
+    content, reproducible on any engine or partitioning."""
+    cut = F.lit(-1)
+    for stratum, frac in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == stratum, F.lit(int(round(frac * 100)))).otherwise(cut)
+    return df.where(hash_bucket(key_col, 100, salt) < cut)

@@ -97,3 +97,73 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_content", F.md5(F.col(text_col))).withColumn(
         "fp_bag", F.md5(bag)
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document for a bag-of-terms query.
+
+    Corpus statistics (N, avgdl, per-term document frequency) and per-doc
+    term frequencies are plain aggregations; the scored output is one row
+    per matching document: (id, score). Everything is built-in expressions —
+    the only shuffles are the tf/df groupBys, each keyed small. Documents
+    matching no term are absent (score 0)."""
+    toks = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
+    )
+    dl = df.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("double").alias("dl")
+    )
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("dl")).first()[0]
+
+    hits = toks.where(F.col("tok").isin(*terms))
+    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, id_col)
+        .withColumn("contrib", contrib)
+        .groupBy(id_col)
+        .agg(F.sum("contrib").alias("score"))
+    )
+
+
+# PII-shaped patterns in the regex subset Java and RE2 interpret alike.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+    "phone": r"[0-9]{3}-[0-9]{3}-[0-9]{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Scrub PII-shaped spans, keeping an audit count per pattern.
+
+    Order matters (ssn before phone: both are digit-dash shapes); each
+    pattern is replaced by ``[<NAME>]``. Adds ``redacted`` plus one
+    ``n_<name>`` count per pattern — one scan, all JVM-side regex."""
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    out = df
+    red = F.col(text_col)
+    for name, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0)).cast("bigint"),
+        )
+        red = F.regexp_replace(red, pat, f"[{name.upper()}]")
+    return out.withColumn("redacted", red)

@@ -1,0 +1,249 @@
+"""Training-data pipeline queries (driver gate): BM25 retrieval, sequence
+packing, PII redaction, weighted source mixing, and the bucketed co-located
+join. These are the beyond-reference operations a 100 TB pretraining corpus
+pipeline runs after dedup/quality filtering — each declared Spark-first with
+a DuckDB-checkable oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.packing import pack_sequences
+from python_async_sample_spark.operators.sampling import weighted_sample
+from python_async_sample_spark.operators.text import bm25_scores, redact_pii
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.bucketed import ensure_bucketed
+from python_async_sample_spark.sources.readers import load_table
+
+_BM25_TERMS = ["spark", "query", "window"]
+
+_BM25_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS dl FROM documents
+    ),
+    stats AS (
+      SELECT (SELECT count(*) * 1.0 FROM documents) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) * 1.0 AS tf FROM toks
+      WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, count(*) * 1.0 AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(s, 4) AS score FROM scored
+    ORDER BY round(s, 4) DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "q46_bm25_search",
+    oracle=_BM25_ORACLE,
+    ref="text-bm25 (beyond reference)",
+    tags=("llm-data", "text"),
+)
+def q46_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents by BM25 (k1=1.2, b=0.75) for a fixed term query —
+    tf/df/avgdl as plain aggregations, score as built-in arithmetic."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+_PACK_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before AS BIGINT) AS cum_before,
+           CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+           CAST(cum_before % 512 AS BIGINT) AS pack_offset,
+           CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 512) AS BIGINT) AS pack_end,
+           CAST(floor((cum_before + greatest(n_tokens, 1) - 1) / 512)
+                - floor(cum_before / 512) + 1 AS BIGINT) AS spans_packs
+    FROM c ORDER BY lang, doc_id
+"""
+
+
+@query(
+    "q47_sequence_packing",
+    oracle=_PACK_ORACLE,
+    ref="training-sequence-packing (beyond reference)",
+    tags=("llm-data", "packing"),
+)
+def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing accounting per language stream (budget 512
+    tokens): where each document's tokens land in the packed sequence
+    stream — window arithmetic only, the stream key is the parallelism
+    unit."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    packed = pack_sequences(docs, ["lang"], "doc_id", "n_tokens", budget=512)
+    return packed.select(
+        "doc_id", "lang", "n_tokens", "cum_before", "pack_id",
+        "pack_offset", "pack_end", "spans_packs",
+    ).orderBy("lang", "doc_id")
+
+
+_REDACT_ORACLE = """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ssn 123-45-6789' AS t
+      FROM documents
+    ),
+    steps AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+      FROM aug
+    ),
+    steps2 AS (
+      SELECT doc_id, n_email,
+             len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+             regexp_replace(t1, '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[SSN]', 'g') AS t2
+      FROM steps
+    )
+    SELECT doc_id, CAST(n_email AS BIGINT) AS n_email, CAST(n_ssn AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+           md5(regexp_replace(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS redacted_md5
+    FROM steps2 ORDER BY doc_id
+"""
+
+
+@query(
+    "q48_redact_pii",
+    oracle=_REDACT_ORACLE,
+    ref="text-pii-redaction (beyond reference)",
+    tags=("llm-data", "text"),
+)
+def q48_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with audit counts. The synthetic corpus carries no PII,
+    so each doc is augmented with deterministic PII-shaped spans derived
+    from its id; both engines then redact the identical text and the md5 of
+    the redacted output is value-checked — the transform itself is the test
+    subject."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "aug_text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789"),
+        ),
+    )
+    red = redact_pii(aug, "aug_text")
+    return red.select(
+        "doc_id", "n_email", "n_ssn", "n_phone",
+        F.md5(F.col("redacted")).alias("redacted_md5"),
+    ).orderBy("doc_id")
+
+
+_BUCKETED_ORACLE = """
+    SELECT o_orderstatus,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "q73_bucketed_join",
+    oracle=_BUCKETED_ORACLE,
+    ref="bucketed co-located join (beyond reference)",
+    tags=("extended", "bucketing"),
+)
+def q73_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join with the shuffle paid at write time: orders and
+    lineitem live as tables bucketed+sorted on the order key, so the
+    sort-merge join reads co-located bucket pairs with no Exchange on
+    either side (plan asserted in test_plan_quality). The bucketed write is
+    idempotent per session and excluded from the timed path on re-runs."""
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    orders = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "orders"), f"bkt_orders_{tag}", ["o_orderkey"]
+    )
+    li = ensure_bucketed(
+        spark, load_table(spark, sf_dir, "lineitem"), f"bkt_lineitem_{tag}", ["l_orderkey"]
+    )
+    return (
+        li.hint("merge")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_MIX_FRACTIONS = {"en": 1.0, "de": 0.5, "fr": 0.5, "es": 0.25, "zh": 0.25}
+
+_MIX_ORACLE = """
+    SELECT lang, doc_id FROM documents
+    WHERE CAST('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 <
+          CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 50 WHEN 'fr' THEN 50
+                    WHEN 'es' THEN 25 WHEN 'zh' THEN 25 ELSE -1 END
+    ORDER BY lang, doc_id
+"""
+
+
+@query(
+    "q74_weighted_mix",
+    oracle=_MIX_ORACLE,
+    ref="training-mixture-sampling (beyond reference)",
+    tags=("llm-data", "sampling"),
+)
+def q74_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language mixture rates (100% en, 50% de/fr, 25% es/zh) by content
+    hash — the exact document set is engine- and partitioning-stable, and
+    the oracle verifies the actual membership, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "lang", "doc_id", _MIX_FRACTIONS)
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    )
