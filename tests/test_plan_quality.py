@@ -79,3 +79,26 @@ def test_pair_miners_never_cross_join(spark, sf_dir, name):
     df = SPECS[name].fn(spark, sf_dir)
     plan = plan_str(df, "simple")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """q73's fact-fact join reads bucketed tables: the only Exchange in the
+    whole plan is the final aggregation's — the join itself is co-located
+    (that's the point of paying the shuffle at write time)."""
+    df = SPECS["q73_bucketed_join"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan, plan
+    assert "Bucketed: true" in plan_str(df), "scan is not bucketed"
+    # the plan prints top-down: everything after the join line is its input
+    # side — no Exchange may appear there (post-join agg/sort shuffles are
+    # data-reduced and fine)
+    below_join = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, f"bucketed join still shuffles:\n{plan}"
+
+
+def test_packing_window_is_partitioned(spark, sf_dir):
+    """q47's running sum must be partitioned by the stream key (lang), never
+    a single global window (the 100 TB parallelism unit)."""
+    df = SPECS["q47_sequence_packing"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
