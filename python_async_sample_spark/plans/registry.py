@@ -48,16 +48,19 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # The driver's CORRECTNESS pass checks only the first 50 registry entries, so
 # ordering is part of the contract.  The prefix below lists the 50 queries that
 # must land inside the checked window (all SQL-oracled, each SURVEY §2 row
-# keeps at least one in-window query).  _TAIL holds the rows-only checks
-# (q33/q36/q37/q63 — `no_oracle` by design, their invariants are asserted in
-# tests/) plus queries whose §2 coverage is duplicated by an in-window query
-# (q08→J10 via q23, q21→R4 via q14, q51→via q50/q52, q67→via q66, q69→via
-# q68, q70→via q62).  Queries registered but listed in neither group slot in
-# between: after the gate-critical prefix, before the deliberate tail.
+# keeps at least one in-window query).  _TAIL holds, in order: oracled queries
+# whose §2 coverage is duplicated by an in-window query (q03→J1 via q04, O7
+# via q46's LIMIT; q20→A7/kernel via q22, closed-form≡lstsq property-tested;
+# q28→S9 via q27/q72, S10 via q25/q27, R3 via q14; q40/q44→text row via
+# q41/q42/q43/q45 and q47's token accounting; q52→multimodal via q50;
+# q08→J10 via q23, q21→R4 via q14, q51→via q50, q67→via q66, q69→via q68,
+# q70→via q62), then the rows-only checks (q33/q36/q37/q63 — `no_oracle` by
+# design, their invariants asserted in tests/).  Queries registered but listed
+# in neither group slot in between: after the gate-critical prefix, before the
+# deliberate tail.
 _PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_like_in_filter",
-    "q03_top_orders_by_revenue",
     "q04_region_nation_revenue",
     "q05_semi_join_urgent_buyers",
     "q06_anti_join_orderless_customers",
@@ -73,14 +76,12 @@ _PRIORITY: tuple[str, ...] = (
     "q17_incremental_catchup",
     "q18_stream_window_counts",
     "q19_sessionization",
-    "q20_rot_fit_closed_form",
     "q22_rot_fit_pandas_udf",
     "q23_grid_validation",
     "q24_position_labeling",
     "q25_validation_split",
     "q26_scatter_gather_lookup",
     "q27_rot_pipeline_header",
-    "q28_rot_pipeline_detail",
     "q29_summary_mv_recompute",
     "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
@@ -88,14 +89,15 @@ _PRIORITY: tuple[str, ...] = (
     "q34_embedding_cosine_pairs",
     "q35_ann_bruteforce_topk",
     "q38_jaccard_prefix_filter",
-    "q40_text_stats",
+    "q39_dedup_clusters",
     "q41_quality_score",
     "q42_language_id",
     "q43_fingerprints",
-    "q44_token_counts",
     "q45_vocab_stats",
+    "q46_bm25_search",
+    "q47_sequence_packing",
+    "q48_redact_pii",
     "q50_media_features",
-    "q52_media_catalog",
     "q60_stream_sessionization",
     "q61_wide_tool_table",
     "q62_rollup_revenue",
@@ -105,9 +107,17 @@ _PRIORITY: tuple[str, ...] = (
     "q68_train_test_split",
     "q71_stream_exactly_once_dedup",
     "q72_mea_pipeline_detail",
+    "q73_bucketed_join",
+    "q74_weighted_mix",
 )
 
 _TAIL: tuple[str, ...] = (
+    "q03_top_orders_by_revenue",
+    "q20_rot_fit_closed_form",
+    "q28_rot_pipeline_detail",
+    "q40_text_stats",
+    "q44_token_counts",
+    "q52_media_catalog",
     "q08_cross_join_grid",
     "q21_rot_apply_affine",
     "q51_frame_sampling",
@@ -139,6 +149,7 @@ def load_all() -> dict[str, QuerySpec]:
         similarity_queries,
         streaming_queries,
         text_queries,
+        training_queries,
     )
 
     listed = set(_PRIORITY) | set(_TAIL)
