@@ -25,6 +25,9 @@ from python_async_sample_spark.streaming.jobs import (
     stream_session_stats_to_parquet,
     stream_window_counts_to_parquet,
 )
+from python_async_sample_spark.streaming.stateful import (
+    stream_user_profiles_to_parquet,
+)
 
 _SESSION_ORACLE = """
     WITH e AS (
@@ -109,6 +112,42 @@ def q71_stream_exactly_once_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     tmp = tempfile.mkdtemp(prefix="spark_graft_dedup_stream_")
     out = stream_dedup_counts_to_parquet(spark, sf_dir, tmp)
     return out.select("event_type", "n_events", "sum_value").orderBy("event_type")
+
+
+@query(
+    "q75_stream_stateful_profiles",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS tus, value
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, value,
+             tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS gap
+      FROM e
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(1 + count(*) FILTER (WHERE gap > 1800000000) AS BIGINT) AS n_sessions,
+           CAST(coalesce(max(gap), 0) AS BIGINT) AS max_gap_us,
+           round(sum(value), 4) AS sum_value
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    ref="streaming-stateful custom operator (applyInPandasWithState)",
+    tags=("streaming", "llm-data"),
+)
+def q75_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime profiles (event count, 30-min-gap session count,
+    largest gap, value sum) maintained as fixed-size per-key state in
+    ``applyInPandasWithState`` and emitted exactly once per user on
+    event-time timeout — the custom-state-machine surface the built-in
+    streaming aggregations can't express."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stateful_stream_")
+    out = stream_user_profiles_to_parquet(spark, sf_dir, tmp)
+    return out.select(
+        "user_id", "n_events", "n_sessions", "max_gap_us",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id")
 
 
 @query(
