@@ -51,8 +51,8 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # keeps at least one in-window query).  _TAIL holds, in order: oracled queries
 # whose §2 coverage is duplicated by an in-window query (q03→J1 via q04, O7
 # via q46's LIMIT; q20→A7/kernel via q22, closed-form≡lstsq property-tested;
-# q28→S9 via q27/q72, S10 via q25/q27, R3 via q14; q40/q44→text row via
-# q41/q42/q43/q45 and q47's token accounting; q52→multimodal via q50;
+# q28→S9 via q27/q72, S10 via q25/q27, R3 via q14; q40/q44/q45→text row via
+# q41/q42/q43 and q47's token accounting; q52→multimodal via q50;
 # q08→J10 via q23, q21→R4 via q14, q51→via q50, q67→via q66, q69→via q68,
 # q70→via q62), then the rows-only checks (q33/q36/q37/q63 — `no_oracle` by
 # design, their invariants asserted in tests/).  Queries registered but listed
@@ -93,7 +93,6 @@ _PRIORITY: tuple[str, ...] = (
     "q41_quality_score",
     "q42_language_id",
     "q43_fingerprints",
-    "q45_vocab_stats",
     "q46_bm25_search",
     "q47_sequence_packing",
     "q48_redact_pii",
@@ -109,9 +108,11 @@ _PRIORITY: tuple[str, ...] = (
     "q72_mea_pipeline_detail",
     "q73_bucketed_join",
     "q74_weighted_mix",
+    "q75_stream_stateful_profiles",
 )
 
 _TAIL: tuple[str, ...] = (
+    "q45_vocab_stats",
     "q03_top_orders_by_revenue",
     "q20_rot_fit_closed_form",
     "q28_rot_pipeline_detail",
