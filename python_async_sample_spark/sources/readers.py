@@ -32,6 +32,21 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def pin_reader_conf(spark: SparkSession) -> None:
+    """Pin the two session confs every scan depends on.
+
+    * UTC session timezone — timestamp formatting in query outputs must be
+      stable regardless of how the driver built the session.
+    * ``inferTimestampNTZ`` off — the testdata parquet stores naive
+      timestamp[us] (no UTC annotation); Spark 4 would read those as
+      TIMESTAMP_NTZ, which ``withWatermark``/event-time ops reject. Reading
+      them as instants in a UTC session is value-identical and keeps one
+      timestamp type across batch and streaming.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+
+
 @lru_cache(maxsize=None)
 def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark cannot read those
@@ -54,9 +69,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated to microsecond timestamps with integer arithmetic (a double
     division would lose precision above 2^53 ns).
     """
-    # The driver owns the session; pin UTC here so timestamp formatting in
-    # query outputs is stable regardless of how the session was built.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The driver owns the session; pin the reader confs at call time.
+    pin_reader_conf(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
     if not ns_cols:

@@ -25,7 +25,7 @@ from datetime import timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_async_sample_spark.sources.readers import _nanos_timestamp_columns
+from python_async_sample_spark.sources.readers import _nanos_timestamp_columns, pin_reader_conf
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +37,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     microsecond timestamps, identically to the batch reader.
     """
     path = f"{sf_dir.rstrip('/')}/events.parquet"
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_reader_conf(spark)
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -162,7 +162,7 @@ def stream_dedup_counts_to_parquet(
     shutil.copy(events_path, f"{src_dir}/00_events.parquet")
     shutil.copy(events_path, f"{src_dir}/01_events_redelivered.parquet")
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_reader_conf(spark)
     ns_cols = _nanos_timestamp_columns(events_path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -201,7 +201,7 @@ def stream_session_stats_to_parquet(
     src_dir = f"{work_dir}/src"
     _stage_source_with_sentinels(sf_dir, src_dir)
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_reader_conf(spark)
     ns_cols = _nanos_timestamp_columns(f"{src_dir}/00_events.parquet")
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from python_async_sample_spark.sources.readers import _nanos_timestamp_columns
+from python_async_sample_spark.sources.readers import _nanos_timestamp_columns, pin_reader_conf
 from python_async_sample_spark.streaming.jobs import _stage_source_with_sentinels
 
 _OUT_SCHEMA = (
@@ -112,7 +112,7 @@ def stream_user_profiles_to_parquet(
     src_dir = f"{work_dir}/src"
     _stage_source_with_sentinels(sf_dir, src_dir)
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    pin_reader_conf(spark)
     ns_cols = _nanos_timestamp_columns(f"{src_dir}/00_events.parquet")
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
