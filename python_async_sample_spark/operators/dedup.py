@@ -85,7 +85,16 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     ~5× the whole query's cost at sf0.1. At warehouse scale this is the
     shingle index you would persist as a table; in-session,
     ``localCheckpoint`` stores the computed partitions on the executors and
-    truncates lineage."""
+    truncates lineage.
+
+    A small source (fewer input splits than cores — e.g. one parquet file)
+    is fanned out before the explode so shingling parallelizes; at real
+    scale the scan already has more splits than cores and no shuffle is
+    added."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
     return with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
 
 
@@ -226,20 +235,23 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16, rows: int = 4) -> Dat
 
 
 def minhash_dedup_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → candidate
     → exact-Jaccard verify. The verify bounds false positives to zero, so
     the result equals exact Jaccard pairs minus (vanishingly unlikely at the
-    threshold) LSH recall misses."""
+    threshold) LSH recall misses. Pass ``shingled`` to reuse an already
+    materialized (doc, shingle) index."""
     rows = num_hashes // bands
-    shingled = shingle_index(df, id_col, text_col, n)
+    if shingled is None:
+        shingled = shingle_index(df, id_col, text_col, n)
     cands = lsh_candidates(minhash_signatures(shingled, num_hashes), bands, rows)
     return jaccard_pairs(shingled, threshold, candidates=cands)
 
