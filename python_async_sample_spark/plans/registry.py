@@ -50,8 +50,10 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # must land inside the checked window (all SQL-oracled, each SURVEY §2 row
 # keeps at least one in-window query).  _TAIL holds, in order: oracled queries
 # whose §2 coverage is duplicated by an in-window query (q03→J1 via q04, O7
-# via q46's LIMIT; q20→A7/kernel via q22, closed-form≡lstsq property-tested;
-# q28→S9 via q27/q72, S10 via q25/q27, R3 via q14; q40/q44/q45→text row via
+# via q46's LIMIT; q05→J3 via q66's EXISTS-semi, J5 via q26;
+# q19→sessionization via q60 (same oracle, streaming surface);
+# q20→A7/kernel via q22, closed-form≡lstsq property-tested;
+# q28/q72→S9 via q27, S10 via q25/q27, R3 via q14; q40/q44/q45→text row via
 # q41/q42/q43 and q47's token accounting; q52→multimodal via q50;
 # q08→J10 via q23, q21→R4 via q14, q51→via q50, q67→via q66, q69→via q68,
 # q70→via q62), then the rows-only checks (q33/q36/q37/q63 — `no_oracle` by
@@ -62,7 +64,6 @@ _PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_like_in_filter",
     "q04_region_nation_revenue",
-    "q05_semi_join_urgent_buyers",
     "q06_anti_join_orderless_customers",
     "q07_full_outer_nation_counts",
     "q09_distinct_flags",
@@ -75,7 +76,6 @@ _PRIORITY: tuple[str, ...] = (
     "q16_nation_buyer_stats",
     "q17_incremental_catchup",
     "q18_stream_window_counts",
-    "q19_sessionization",
     "q22_rot_fit_pandas_udf",
     "q23_grid_validation",
     "q24_position_labeling",
@@ -105,13 +105,18 @@ _PRIORITY: tuple[str, ...] = (
     "q66_exists_correlated",
     "q68_train_test_split",
     "q71_stream_exactly_once_dedup",
-    "q72_mea_pipeline_detail",
     "q73_bucketed_join",
     "q74_weighted_mix",
     "q75_stream_stateful_profiles",
+    "q49_decontaminate",
+    "q76_salted_hot_key_join",
+    "q77_stream_stream_join",
 )
 
 _TAIL: tuple[str, ...] = (
+    "q05_semi_join_urgent_buyers",
+    "q19_sessionization",
+    "q72_mea_pipeline_detail",
     "q45_vocab_stats",
     "q03_top_orders_by_revenue",
     "q20_rot_fit_closed_form",

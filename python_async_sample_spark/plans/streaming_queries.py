@@ -23,6 +23,7 @@ from python_async_sample_spark.sources.readers import load_table
 from python_async_sample_spark.streaming.jobs import (
     stream_dedup_counts_to_parquet,
     stream_session_stats_to_parquet,
+    stream_stream_join_to_parquet,
     stream_window_counts_to_parquet,
 )
 from python_async_sample_spark.streaming.stateful import (
@@ -148,6 +149,39 @@ def q75_stream_stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "n_events", "n_sessions", "max_gap_us",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("user_id")
+
+
+@query(
+    "q77_stream_stream_join",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS click_us
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, epoch_us(date_trunc('microseconds', ts)) AS purchase_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, click_us, purchase_us,
+           purchase_us - click_us AS gap_us
+    FROM c JOIN p USING (user_id)
+    WHERE purchase_us >= click_us
+      AND purchase_us - click_us <= 7200000000
+    ORDER BY 1, 2, 3
+    """,
+    ref="streaming stream-stream interval join (beyond reference)",
+    tags=("streaming",),
+)
+def q77_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every purchase joined to the same user's clicks at most 2 hours
+    earlier, computed as a watermarked stream-stream interval join — state
+    for both sides is bounded by the time-range predicate. The oracle is the
+    equivalent batch join in integer microseconds."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ssjoin_")
+    out = stream_stream_join_to_parquet(spark, sf_dir, tmp, within="2 hours")
+    return out.select("user_id", "click_us", "purchase_us", "gap_us").orderBy(
+        "user_id", "click_us", "purchase_us"
+    )
 
 
 @query(

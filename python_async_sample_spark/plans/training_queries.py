@@ -247,3 +247,100 @@ def q74_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id")
         .orderBy("lang", "doc_id")
     )
+
+
+_DECON_ORACLE = """
+    WITH ev AS (SELECT text FROM documents WHERE doc_id % 97 = 0),
+    tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+    esh AS (
+      SELECT DISTINCT w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] || ' '
+             || w[g.i+3] || ' ' || w[g.i+4] AS shingle
+      FROM (SELECT string_split(text, ' ') AS w FROM ev)
+      CROSS JOIN unnest(generate_series(1, len(w) - 4)) AS g(i)
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2]
+             || ' ' || w[g.i+3] || ' ' || w[g.i+4] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM tr)
+      CROSS JOIN unnest(generate_series(1, len(w) - 4)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY 1),
+    hits AS (
+      SELECT doc_id, count(*) AS n_tainted
+      FROM tsh JOIN esh USING (shingle) GROUP BY 1
+    )
+    SELECT h.doc_id, s.n_shingles, h.n_tainted,
+           round(h.n_tainted * 1.0 / s.n_shingles, 4) AS contamination
+    FROM hits h JOIN sizes s USING (doc_id) ORDER BY h.doc_id
+"""
+
+
+@query(
+    "q49_decontaminate",
+    oracle=_DECON_ORACLE,
+    ref="benchmark-decontamination (beyond reference)",
+    tags=("llm-data", "dedup"),
+)
+def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination screen: training docs sharing any 5-gram
+    with the held-out eval slice (doc_id % 97 == 0), with per-doc tainted
+    shingle accounting. The eval n-gram set is broadcast, so the corpus is
+    scanned once and never shuffled for the screen."""
+    from python_async_sample_spark.operators.decontaminate import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return (
+        contamination_report(tr, ev, "doc_id", "text", n=5)
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_tainted",
+            F.round("contamination", 4).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SALTED_ORACLE = """
+    SELECT n.n_name, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "q76_salted_hot_key_join",
+    oracle=_SALTED_ORACLE,
+    ref="skew-salted-join (beyond reference)",
+    tags=("llm-data", "skew"),
+)
+def q76_salted_hot_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation event rollup where the fact→dim join goes through
+    ``salted_join``: the fact side's keys are scattered across 8
+    content-derived salt buckets and the dim side rides replicated — the
+    explicit lever for a hot key AQE can't split. Must equal the plain
+    equi-join (the oracle): salting changes the schedule, never the
+    result."""
+    from python_async_sample_spark.operators.skew import salted_join
+
+    events = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(events, cust, ["user_id"], salt=8)
+    return (
+        joined.join(F.broadcast(nation), joined.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("n_name", "event_type")
+    )

@@ -105,6 +105,64 @@ def stream_window_counts_to_parquet(
     return spark.read.parquet(out_path)
 
 
+def stream_stream_join_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    within: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each ``right_type`` event joined to every
+    ``left_type`` event of the same user at most ``within`` earlier.
+
+    Both sides are event-time streams with watermarks; the time-range
+    predicate is what lets the engine bound join state (left rows age out
+    once the right watermark passes ``click_ts + within``) — the
+    stream-stream analog of q64's batch as-of join. Inner-join matches are
+    emitted in the micro-batch where both rows are present, so an
+    AvailableNow drain needs no sentinel batches. Returns the sink contents:
+    (user_id, click_us, purchase_us, gap_us).
+    """
+    stream = read_events_stream(spark, sf_dir)
+    clicks = (
+        stream.where(F.col("event_type") == left_type)
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 day")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == right_type)
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 day")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            f"""
+            user_id = p_user_id
+            AND purchase_ts >= click_ts
+            AND purchase_ts <= click_ts + INTERVAL {within}
+            """
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{work_dir}/sink")
+        .option("checkpointLocation", f"{work_dir}/checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(f"{work_dir}/sink")
+
+
 def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
     """Copy the events file into a staging source dir and append two
     one-row sentinel files with far-future timestamps.

@@ -58,7 +58,7 @@ def test_no_cartesian_products(spark, sf_dir):
         if name in ("q17_incremental_catchup", "q18_stream_window_counts",
                     "q29_summary_mv_recompute", "q60_stream_sessionization",
                     "q61_wide_tool_table", "q71_stream_exactly_once_dedup",
-                    "q75_stream_stateful_profiles"):
+                    "q75_stream_stateful_profiles", "q77_stream_stream_join"):
             continue  # side-effecting runners; plans checked via their outputs
         df = spec.fn(spark, sf_dir)
         plan = plan_str(df, "simple")
@@ -95,6 +95,24 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     # data-reduced and fine)
     below_join = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in below_join, f"bucketed join still shuffles:\n{plan}"
+
+
+def test_decontaminate_broadcasts_eval_set(spark, sf_dir):
+    """q49's screen must broadcast the (small) eval n-gram set against the
+    corpus shingle stream — a shuffled join would move the whole corpus for
+    a benchmark-sized probe side."""
+    df = SPECS["q49_decontaminate"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_salted_join_scatters_on_salt(spark, sf_dir):
+    """q76's fact→dim join must key on (user_id, __salt) — the scatter is
+    visible in the plan's join/partitioning keys, and no cartesian appears."""
+    df = SPECS["q76_salted_hot_key_join"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "__salt" in plan, plan
+    assert "CartesianProduct" not in plan
 
 
 def test_packing_window_is_partitioned(spark, sf_dir):
