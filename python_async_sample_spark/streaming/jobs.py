@@ -20,12 +20,36 @@ batch paths share operator code.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from datetime import timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_async_sample_spark.sources.readers import _nanos_timestamp_columns, pin_reader_conf
+
+# State-store partitions for a bounded drain. A streaming query's state is
+# partitioned by spark.sql.shuffle.partitions *at first checkpoint*, and
+# every micro-batch commits one state file per partition — for a bounded
+# replay of a small source that per-batch, per-partition fixed cost swamps
+# the data (measured 16 s → 3 s on the stream-stream join at sf0.1 going
+# 32 → 8). Production unbounded streams should size this to key
+# cardinality/volume instead; the env knob mirrors SPARK_GRAFT_CPUS.
+DRAIN_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+
+@contextmanager
+def bounded_drain_conf(spark: SparkSession):
+    """Temporarily size shuffle/state partitions for a run-to-completion
+    drain; the session's batch setting is restored on exit (the streaming
+    query keeps the value it started with — state partitioning is fixed in
+    the checkpoint)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_PARTITIONS)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,16 +107,17 @@ def run_available_now(result: DataFrame, out_path: str, checkpoint: str) -> None
     stuck in state. Overwriting the sink per micro-batch is idempotent under
     retry — the same exactly-once-per-window contract the reference builds
     from delete-then-insert (I3/I5)."""
-    q = (
-        result.writeStream.outputMode("complete")
-        .foreachBatch(
-            lambda batch_df, _epoch: batch_df.write.mode("overwrite").parquet(out_path)
+    with bounded_drain_conf(result.sparkSession):
+        q = (
+            result.writeStream.outputMode("complete")
+            .foreachBatch(
+                lambda batch_df, _epoch: batch_df.write.mode("overwrite").parquet(out_path)
+            )
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def stream_window_counts_to_parquet(
@@ -151,15 +176,16 @@ def stream_stream_join_to_parquet(
         F.unix_micros("purchase_ts").alias("purchase_us"),
         (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("gap_us"),
     )
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{work_dir}/sink")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_drain_conf(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work_dir}/sink")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(f"{work_dir}/sink")
 
 
@@ -282,15 +308,16 @@ def stream_session_stats_to_parquet(
         )
         .select("user_id", "n_events", "start_us", "end_us")
     )
-    q = (
-        sessions.writeStream.outputMode("append")
-        .format("parquet")
-        .option("path", f"{work_dir}/sink")
-        .option("checkpointLocation", f"{work_dir}/checkpoint")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with bounded_drain_conf(spark):
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work_dir}/sink")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     from pyspark.sql.window import Window as W
 

@@ -38,7 +38,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from python_async_sample_spark.sources.readers import _nanos_timestamp_columns, pin_reader_conf
-from python_async_sample_spark.streaming.jobs import _stage_source_with_sentinels
+from python_async_sample_spark.streaming.jobs import (
+    _stage_source_with_sentinels,
+    bounded_drain_conf,
+)
 
 _OUT_SCHEMA = (
     "user_id bigint, n_events bigint, n_sessions bigint, "
@@ -126,13 +129,6 @@ def stream_user_profiles_to_parquet(
         stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
 
     gap_us = gap_minutes * 60 * 1_000_000
-    # The stateful shuffle width is fixed at stream start and baked into the
-    # checkpoint; at 200 (vanilla default) every micro-batch pays 200 Arrow→
-    # Python tasks for a handful of keys per partition. Size it down for the
-    # bounded replay and restore the session conf afterwards — on a real
-    # cluster this is the one knob to size to executor count.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "16")
     profiles = (
         stream.withWatermark("ts", delay)
         .withColumn("ts_us", F.unix_micros("ts"))
@@ -146,7 +142,12 @@ def stream_user_profiles_to_parquet(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    try:
+    # The stateful shuffle width is fixed at stream start and baked into the
+    # checkpoint; at the session's batch width every micro-batch pays that
+    # many Arrow→Python tasks for a handful of keys per partition —
+    # bounded_drain_conf sizes it to the replay and restores the session
+    # conf. On a real cluster this is the one knob to size to executor count.
+    with bounded_drain_conf(spark):
         q = (
             profiles.writeStream.outputMode("append")
             .format("parquet")
@@ -156,8 +157,6 @@ def stream_user_profiles_to_parquet(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The sentinel key never times out (its own timeout chases the final
     # watermark) — filtered with the same guard q60 uses.
     return spark.read.parquet(f"{work_dir}/sink").where(F.col("user_id") >= 0)
