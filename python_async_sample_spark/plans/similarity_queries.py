@@ -110,3 +110,40 @@ def q37_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q78_embedding_dedup",
+    oracle="""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS d1, b.vec_id AS d2
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])) >= 0.45
+    ),
+    edges AS (
+      SELECT d1 AS n, d2 AS m FROM pairs UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+    )
+    SELECT n AS vec_id, min(r) AS cluster_id, (min(r) = n) AS is_canonical
+    FROM reach GROUP BY n ORDER BY vec_id
+    """,
+    ref="dedup-embedding-cosine (cluster resolution)",
+    tags=("llm-data", "dedup", "similarity"),
+)
+def q78_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP: q34's GEMM pair mining feeds the
+    same min-label-propagation cluster resolution as the Jaccard path
+    (q39) — every vector gets (cluster_id, is_canonical), singletons
+    self-clustered. Completes the dedup family: exact, Jaccard, PPJoin,
+    MinHash+LSH, SimHash, and embedding-cosine all share one
+    keep-one-per-cluster contract."""
+    from python_async_sample_spark.operators.cluster import dedup_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_gemm(emb, "vec_id", "embedding", threshold=0.45).select("d1", "d2")
+    return dedup_clusters(emb, pairs, "vec_id").orderBy("vec_id")
