@@ -167,3 +167,55 @@ def redact_pii(
         )
         red = F.regexp_replace(red, pat, f"[{name.upper()}]")
     return out.withColumn("redacted", red)
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Emits (id, n_words, distinct_frac, top_bigram_frac): heavily repeated
+    text — the classic low-quality web-scrape signature — shows a low
+    distinct-token fraction and a dominant bigram. All built-in
+    expressions: one explode per signal, aggregations map-side combinable;
+    documents with fewer than two tokens carry no bigram and are dropped
+    (nothing to score).
+    """
+    words = F.split(F.col(text_col), " ")
+    toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("tok"))
+    wstats = toks.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 2),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    bg = (
+        df.where(F.size(words) >= 2)
+        .select(F.col(id_col).alias("doc"), F.explode(bigrams).alias("bg"))
+        .groupBy("doc", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bstats = bg.groupBy("doc").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    return (
+        wstats.join(bstats, "doc")
+        .select(
+            F.col("doc").alias(id_col),
+            "n_words",
+            (F.col("n_distinct") / F.col("n_words")).alias("distinct_frac"),
+            (F.col("top_c") / F.col("n_bg")).alias("top_bigram_frac"),
+        )
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization: lowercase, strip everything outside
+    [a-z0-9 ], collapse whitespace runs, trim. Adds ``norm_text``. The
+    regex subset is interpreted identically by Java and every other
+    engine's regex — the cross-engine contract PII redaction also relies
+    on."""
+    norm = F.lower(F.col(text_col))
+    norm = F.regexp_replace(norm, r"[^a-z0-9 ]", "")
+    norm = F.trim(F.regexp_replace(norm, r" +", " "))
+    return df.withColumn("norm_text", norm)

@@ -16,7 +16,9 @@ from python_async_sample_spark.operators.text import (
     STOPWORDS,
     detect_lang,
     fingerprint,
+    normalize_text,
     quality_score,
+    repetition_stats,
     with_text_stats,
     with_token_counts,
 )
@@ -194,5 +196,80 @@ def q44_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         with_token_counts(docs)
         .select("doc_id", "n_ws_tokens", "n_re_tokens")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q79_repetition_quality",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+    wstats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             count(DISTINCT tok) AS n_distinct
+      FROM words GROUP BY 1
+    ),
+    big AS (
+      SELECT doc_id, w[g.i] || ' ' || w[g.i+1] AS bg
+      FROM toks CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS g(i)
+      WHERE len(w) >= 2
+    ),
+    bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY 1, 2),
+    bstats AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bgc GROUP BY 1)
+    SELECT w.doc_id, n_words,
+           round(n_distinct * 1.0 / n_words, 4) AS distinct_frac,
+           round(top_c * 1.0 / n_bg, 4) AS top_bigram_frac
+    FROM wstats w JOIN bstats USING (doc_id) ORDER BY doc_id
+    """,
+    ref="text-repetition-quality (beyond reference)",
+    tags=("llm-data", "text"),
+)
+def q79_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (distinct-token fraction, dominant
+    bigram share) per document — the standard low-quality-scrape filter
+    inputs, all built-in expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        repetition_stats(docs, "doc_id", "text")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round("distinct_frac", 4).alias("distinct_frac"),
+            F.round("top_bigram_frac", 4).alias("top_bigram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q80_normalize_text",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS norm_md5,
+           CAST(len(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS BIGINT) AS norm_len
+    FROM documents ORDER BY doc_id
+    """,
+    ref="text-normalization (beyond reference)",
+    tags=("llm-data", "text"),
+)
+def q80_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization (lowercase, charset strip, whitespace
+    collapse) with md5 + length of the normalized text — the md5 makes the
+    whole normalized string the cross-engine contract, not a sample."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        normalize_text(docs, "text")
+        .select(
+            "doc_id",
+            F.md5("norm_text").alias("norm_md5"),
+            F.length("norm_text").cast("bigint").alias("norm_len"),
+        )
         .orderBy("doc_id")
     )

@@ -1,0 +1,58 @@
+"""Driver-environment robustness probes.
+
+The external harness builds its OWN SparkSession — no guarantee of UTC,
+parquet-reader defaults, or canonical sf_dir spelling. These tests replay
+the hostile variants against the same oracles so the contract in
+``pin_reader_conf`` stays load-bearing instead of accidental.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import TimestampType
+
+from python_async_sample_spark.plans.registry import load_all
+from python_async_sample_spark.sources.readers import load_table
+from tests.oracle_check import compare
+
+SPECS = load_all()
+
+
+def _with_conf(spark, key, value):
+    """Set a conf, return the previous value."""
+    old = spark.conf.get(key)
+    spark.conf.set(key, value)
+    return old
+
+
+def test_non_utc_session_still_matches_oracle(spark, sf_dir):
+    """A driver session pinned to another timezone must not change
+    timestamp-formatted outputs (load_table re-pins UTC per scan)."""
+    old = _with_conf(spark, "spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = SPECS["q15_scalar_functions"]
+        compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_ntz_inference_enabled_still_reads_instants(spark, sf_dir):
+    """Even with parquet NTZ inference forced on in the session, scans must
+    produce TIMESTAMP (an instant) — streaming watermarks reject NTZ."""
+    old = _with_conf(spark, "spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    try:
+        events = load_table(spark, sf_dir, "events")
+        assert isinstance(events.schema["ts"].dataType, TimestampType)
+    finally:
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", old)
+
+
+def test_trailing_slash_sf_dir(spark, sf_dir):
+    spec = SPECS["q01_pricing_summary"]
+    compare(spec.fn(spark, sf_dir + "/"), spec.oracle, sf_dir)
+
+
+def test_registry_is_idempotent(spark):
+    a = load_all()
+    b = load_all()
+    assert list(a) == list(b)
+    assert all(a[k] is b[k] for k in a)
