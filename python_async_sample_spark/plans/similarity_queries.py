@@ -83,7 +83,10 @@ def _with_recall_guard(out: DataFrame, exact: DataFrame, floor: float, what: str
     the rows-only driver check still carries signal — a silent recall
     collapse fails the gate instead of returning plausible garbage. The
     exact side rides the GEMM kernel (sub-second), and the one-row recall
-    scalar broadcasts onto the output."""
+    scalar broadcasts onto the output. ``out`` feeds both the result and the
+    recall probe — materialized once so the approximate pipeline doesn't
+    re-run per consumer."""
+    out = out.localCheckpoint(eager=True)
     hits = out.join(
         exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
     ).agg(F.count(F.lit(1)).alias("__hits"))
