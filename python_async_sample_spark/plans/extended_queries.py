@@ -317,3 +317,100 @@ def q63_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "approx_distinct")
         .orderBy("event_type")
     )
+
+
+_WINDOW_SUITE_SQL = """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(row_number() OVER w AS BIGINT) AS rn,
+             CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             round(cume_dist() OVER w, 6) AS cdist,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                  - lag(CAST(o_totalprice AS DECIMAL(18,2)), 1,
+                        CAST(0 AS DECIMAL(18,2))) OVER w AS DOUBLE) AS delta_prev,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT * FROM o WHERE o_custkey % 100 = 0 ORDER BY o_custkey, rn
+"""
+
+
+@query(
+    "q81_window_suite",
+    oracle=_WINDOW_SUITE_SQL,
+    ref="O1-O7 via SQL surface (ranking/distribution/offset window functions)",
+    tags=("relational", "sql-surface"),
+)
+def q81_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANSI window-function family in one pass — ranking
+    (row_number, ntile), distribution (percent_rank, cume_dist), offset
+    (lag) and windowed aggregate — same SQL text on both engines. Offset
+    deltas and the per-customer total ride DECIMAL so the values are exact,
+    order-independent doubles."""
+    register_views(spark, sf_dir)
+    return spark.sql(_WINDOW_SUITE_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(r_name) AS BIGINT) AS g_region,
+           CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name),
+                            (o_orderpriority), ())
+    ORDER BY 1, 2, 4, 5
+"""
+
+
+@query(
+    "q82_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    ref="grouping sets beyond rollup/cube (explicit lattice + GROUPING())",
+    tags=("relational", "sql-surface"),
+)
+def q82_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS lattice with GROUPING() disambiguation — the
+    general form behind q62's ROLLUP and q70's CUBE; one multi-level
+    aggregate, no union of scans."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+_SET_OPS_SQL = """
+    WITH high AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 150000
+    ),
+    urgent AS (
+      SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT 'high_and_urgent' AS op, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT k FROM high INTERSECT SELECT k FROM urgent)
+    UNION ALL
+    SELECT 'high_not_urgent', CAST(count(*) AS BIGINT)
+    FROM (SELECT k FROM high EXCEPT SELECT k FROM urgent)
+    UNION ALL
+    SELECT 'high_or_urgent', CAST(count(*) AS BIGINT)
+    FROM (SELECT k FROM high UNION SELECT k FROM urgent)
+    ORDER BY op
+"""
+
+
+@query(
+    "q83_set_operations",
+    oracle=_SET_OPS_SQL,
+    ref="set operations (INTERSECT/EXCEPT/UNION) via SQL surface",
+    tags=("relational", "sql-surface"),
+)
+def q83_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over customer key sets — Catalyst plans
+    them as semi/anti/distinct joins; same SQL text is the oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SET_OPS_SQL)
