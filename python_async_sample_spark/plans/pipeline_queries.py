@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from python_async_sample_spark.api.scatter_gather import KeyedQuery
 from python_async_sample_spark.pipelines.rot_pipeline import run_rot
 from python_async_sample_spark.plans.registry import query
-from python_async_sample_spark.sources.readers import load_table, read_keys_csv
+from python_async_sample_spark.sources.readers import load_table, read_jsonl, read_keys_csv
 
 
 # The reference reads its keys from an external sample.csv
@@ -373,3 +373,45 @@ def q29_summary_mv_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv_path = f"{tmp}/process_summary_mv"
     summary.write.mode("overwrite").parquet(mv_path)
     return spark.read.parquet(mv_path).orderBy("dt", "event_type")
+
+
+# JSONL mirror of the documents table, manufactured ONCE per sf_dir outside
+# the timed query body (same policy as the q26 key CSV): the gate/bench
+# measure the JSON scan + aggregation, not fixture I/O.
+_JSONL_DIRS: dict[str, str] = {}
+
+
+def _documents_jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _JSONL_DIRS:
+        tmp = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+        path = f"{tmp}/documents_jsonl"
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").json(path)
+        _JSONL_DIRS[sf_dir] = path
+    return _JSONL_DIRS[sf_dir]
+
+
+@query(
+    "q84_jsonl_source",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    ref="S6-adjacent: JSON-lines corpus source (beyond reference)",
+    tags=("llm-data", "source"),
+)
+def q84_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats computed from a JSON-lines mirror of the
+    documents table — explicit schema (no inference pass over the input)
+    and PERMISSIVE corrupt-record routing, checked against the parquet
+    oracle: format must not change the answer."""
+    docs_schema = load_table(spark, sf_dir, "documents").schema
+    docs = read_jsonl(spark, _documents_jsonl_dir(spark, sf_dir), schema=docs_schema)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )

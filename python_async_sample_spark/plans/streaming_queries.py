@@ -23,6 +23,7 @@ from python_async_sample_spark.sources.readers import load_table
 from python_async_sample_spark.streaming.jobs import (
     stream_dedup_counts_to_parquet,
     stream_session_stats_to_parquet,
+    stream_static_enrich_to_parquet,
     stream_stream_join_to_parquet,
     stream_window_counts_to_parquet,
 )
@@ -200,3 +201,29 @@ def q60_stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "session_no", "n_events", "start_us", "end_us"
     ).orderBy("user_id", "session_no")
+
+
+@query(
+    "q85_stream_static_enrich",
+    oracle="""
+    SELECT n.n_name, e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="stream-static dimension enrichment (beyond reference)",
+    tags=("streaming",),
+)
+def q85_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event stream enriched against the static customer→nation
+    dimension inside the streaming engine (per-batch broadcast join, no
+    watermark needed for a stateless join) — must equal the all-batch
+    three-way join (same oracle as q76's salted batch variant)."""
+    tmp = tempfile.mkdtemp(prefix="spark_graft_enrich_")
+    out = stream_static_enrich_to_parquet(spark, sf_dir, tmp)
+    return out.select("n_name", "event_type", "n_events", "sum_value").orderBy(
+        "n_name", "event_type"
+    )

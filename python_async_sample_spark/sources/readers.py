@@ -98,3 +98,20 @@ def read_keys_csv(spark: SparkSession, path: str, column: str = "glass_id") -> D
     sample.csv into a python list; here it becomes a one-column DataFrame so
     the fan-out lookup collapses into a distributed join)."""
     return spark.read.csv(path, header=False).toDF(column)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source — the interchange format LLM corpus pipelines
+    ingest alongside parquet.
+
+    An explicit schema skips Spark's inference pass (which reads the whole
+    input once before the real scan — forbidden at 100 TB); corrupt lines
+    land in ``_corrupt_record`` via PERMISSIVE mode instead of failing the
+    job, mirroring the error-row side-output contract (SURVEY §2.1 S10).
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", "_corrupt_record"
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

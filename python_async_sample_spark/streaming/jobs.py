@@ -189,6 +189,38 @@ def stream_stream_join_to_parquet(
     return spark.read.parquet(f"{work_dir}/sink")
 
 
+def stream_static_enrich_to_parquet(
+    spark: SparkSession, sf_dir: str, work_dir: str
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the (batch)
+    customer→nation dimension, then aggregated per nation/type.
+
+    The static side is an ordinary DataFrame re-resolved every micro-batch —
+    the standard slowly-changing-dimension enrichment shape. Spark plans the
+    per-batch join like any batch join (broadcast here, dim-sized), and the
+    stateless join needs no watermark; the downstream complete-mode agg
+    drains through the same foreachBatch sink as the windowed counts.
+    """
+    from python_async_sample_spark.sources.readers import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dim = F.broadcast(cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey))
+    enriched = (
+        stream.join(dim, "user_id")
+        .groupBy("n_name", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    run_available_now(enriched, f"{work_dir}/sink", f"{work_dir}/checkpoint")
+    return spark.read.parquet(f"{work_dir}/sink")
+
+
 def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
     """Copy the events file into a staging source dir and append two
     one-row sentinel files with far-future timestamps.

@@ -58,7 +58,8 @@ def test_no_cartesian_products(spark, sf_dir):
         if name in ("q17_incremental_catchup", "q18_stream_window_counts",
                     "q29_summary_mv_recompute", "q60_stream_sessionization",
                     "q61_wide_tool_table", "q71_stream_exactly_once_dedup",
-                    "q75_stream_stateful_profiles", "q77_stream_stream_join"):
+                    "q75_stream_stateful_profiles", "q77_stream_stream_join",
+                    "q85_stream_static_enrich"):
             continue  # side-effecting runners; plans checked via their outputs
         df = spec.fn(spark, sf_dir)
         plan = plan_str(df, "simple")
