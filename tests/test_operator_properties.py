@@ -1,0 +1,154 @@
+"""Property tests: the distributed operators equal pure-Python references
+on arbitrary inputs (hypothesis generates the corpora, Python computes the
+ground truth, Spark must match exactly).
+
+Few examples per property — each example is a full Spark job — but the
+inputs are adversarial in exactly the spots fixture data never covers:
+equal timestamps, gap boundaries, zero-token docs, self-loop-free random
+graphs with long chains.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.cluster import dedup_clusters
+from python_async_sample_spark.operators.packing import pack_sequences
+from python_async_sample_spark.operators.sessionize import sessionize
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+GAP_US = 30 * 60 * 1_000_000
+BASE = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+
+
+@st.composite
+def event_sets(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=0, max_value=3))
+        # offsets cluster around the 30-min boundary to hit the edge cases,
+        # including exact-equal timestamps within a user
+        off = draw(
+            st.one_of(
+                st.integers(min_value=0, max_value=5 * GAP_US),
+                st.sampled_from([0, GAP_US - 1, GAP_US, GAP_US + 1, 2 * GAP_US]),
+            )
+        )
+        rows.append((i, user, BASE + off))
+    return rows
+
+
+def _sessions_reference(rows):
+    """Pure-Python sessionizer: per user, order by (ts, event_id), new
+    session when gap > 30 min."""
+    out = {}
+    by_user: dict[int, list] = {}
+    for eid, user, tus in rows:
+        by_user.setdefault(user, []).append((tus, eid))
+    for user, evs in by_user.items():
+        evs.sort()
+        sess, prev = 0, None
+        for tus, eid in evs:
+            if prev is None or tus - prev > GAP_US:
+                sess += 1
+            out[eid] = (user, sess)
+            prev = tus
+    return out
+
+
+@given(event_sets())
+@settings(**_SETTINGS)
+def test_sessionize_matches_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(eid, user, datetime.fromtimestamp(tus / 1e6, tz=timezone.utc)) for eid, user, tus in rows],
+        "event_id long, user_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: (r["user_id"], r["session_no"])
+        for r in sessionize(df).collect()
+    }
+    assert got == _sessions_reference(rows)
+
+
+@st.composite
+def edge_lists(draw):
+    n_nodes = draw(st.integers(min_value=1, max_value=20))
+    n_edges = draw(st.integers(min_value=0, max_value=30))
+    edges = [
+        tuple(
+            sorted(
+                (
+                    draw(st.integers(min_value=0, max_value=n_nodes - 1)),
+                    draw(st.integers(min_value=0, max_value=n_nodes - 1)),
+                )
+            )
+        )
+        for _ in range(n_edges)
+    ]
+    return n_nodes, [(a, b) for a, b in edges if a != b]
+
+
+def _components_reference(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+@given(edge_lists())
+@settings(**_SETTINGS)
+def test_dedup_clusters_match_union_find(spark, graph):
+    n_nodes, edges = graph
+    docs = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+    pairs = spark.createDataFrame(edges or [(0, 0)], "d1 long, d2 long")
+    if not edges:
+        pairs = pairs.where(F.lit(False))
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(docs, pairs, "doc_id").collect()
+    }
+    assert got == _components_reference(n_nodes, edges)
+
+
+@st.composite
+def token_streams(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    return [draw(st.integers(min_value=0, max_value=40)) for _ in range(n)]
+
+
+@given(token_streams(), st.integers(min_value=1, max_value=16))
+@settings(**_SETTINGS)
+def test_packing_matches_running_sum(spark, toks, budget):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    )
+    df1 = df.withColumn("stream", F.lit(1))
+    packed = {
+        r["doc_id"]: (r["cum_before"], r["pack_id"], r["pack_offset"], r["pack_end"])
+        for r in pack_sequences(df1, ["stream"], "doc_id", "n_tokens", budget)
+        .collect()
+    }
+    cum = 0
+    for i, t in enumerate(toks):
+        pack_id, off = divmod(cum, budget)
+        end = (cum + max(t, 1) - 1) // budget
+        assert packed[i] == (cum, pack_id, off, end), f"doc {i}"
+        cum += t
