@@ -408,3 +408,59 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization
+# ---------------------------------------------------------------------------
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str, q_col: str = "q_vec", scale_col: str = "q_scale"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x| / 127``,
+    ``q[i] = round(x[i] / scale)``.
+
+    The 4× (vs float32) / 8× (vs float64) memory lever for a 100 TB
+    embedding store: ANN shuffles, bucket indexes and cache-resident
+    corpora carry tinyint arrays; scoring dequantizes per batch inside the
+    GEMM kernel. Zero vectors keep scale 0 and an all-zero code. Built-in
+    higher-order functions only — quantization itself never leaves the JVM.
+    """
+    arr = F.col(vec_col).cast("array<double>")
+    amax = F.aggregate(
+        F.transform(arr, lambda x: F.abs(x)), F.lit(0.0), lambda a, v: F.greatest(a, v)
+    )
+    scale = (amax / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        amax > 0,
+        F.transform(arr, lambda x: F.round(x / (amax / F.lit(127.0))).cast("tinyint")),
+    ).otherwise(F.transform(arr, lambda x: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize(
+    df: DataFrame, q_col: str, scale_col: str, out_col: str
+) -> DataFrame:
+    """Reconstruct ``array<double>`` from (int8 codes, per-vector scale)."""
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )
+
+
+def quantized_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force top-k over the int8-quantized corpus: quantize → store
+    codes → dequantize per batch → same GEMM kernel. Queries stay float
+    (they are broadcast-small); only the corpus pays the quantization
+    error, which is what a production int8 store does."""
+    qcorp = dequantize(
+        quantize_int8(corpus, vec_col), "q_vec", "q_scale", "_deq"
+    ).select(F.col(id_col), F.col("_deq").alias(vec_col))
+    return brute_force_topk(qcorp, queries, id_col, vec_col, k=k)

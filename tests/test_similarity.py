@@ -49,3 +49,34 @@ def test_ivf_matches_exact_when_probing_everything(spark, sf_dir):
     full = _topk_sets(ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8))
     # probing every cell degrades IVF to exact search
     assert full == exact
+
+
+def test_int8_quantization_contract(spark, sf_dir):
+    from pyspark.sql.types import ArrayType, ByteType
+
+    from python_async_sample_spark.operators.similarity import (
+        cosine_col,
+        dequantize,
+        quantize_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "embedding")
+    assert isinstance(q.schema["q_vec"].dataType, ArrayType)
+    assert isinstance(q.schema["q_vec"].dataType.elementType, ByteType)
+
+    d = dequantize(q, "q_vec", "q_scale", "deq")
+    worst = d.select(
+        F.max(
+            F.abs(
+                cosine_col(F.col("embedding").cast("array<double>"), F.col("deq"))
+                - 1.0
+            )
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert worst < 1e-3  # int8 reconstruction keeps cosine within 0.001
+
+    # zero vectors stay representable: scale 0, all-zero code
+    z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    row = quantize_int8(z, "embedding").collect()[0]
+    assert row["q_scale"] == 0.0 and list(row["q_vec"]) == [0, 0, 0]
