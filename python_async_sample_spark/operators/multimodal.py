@@ -245,3 +245,44 @@ def sample_frames(
             yield pd.DataFrame(out, columns=[id_col, "frame_no", "frame"])
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema=out_schema)
+
+
+def media_phash(df: DataFrame, id_col: str) -> DataFrame:
+    """64-bit average-hash (aHash) per payload: the decoded pixel/sample
+    byte stream is resampled into 64 buckets and each bit records whether
+    its bucket's mean exceeds the global mean.
+
+    The standard perceptual fingerprint for media dedup at corpus scale:
+    fixed-width, mergeable, and near-dup payloads land within a few bits.
+    Identical payloads hash identically by construction — the completeness
+    invariant the q87 gate query enforces in-plan. Runs as one Arrow kernel
+    over the payload column; only (id, 64-bit hash) leaves it.
+    """
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, phash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(b) == 0:
+                    ids.append(doc_id)
+                    hashes.append(0)
+                    continue
+                # resample to 64 buckets (pad to a multiple of 64)
+                pad = (-len(b)) % 64
+                v = np.pad(b, (0, pad), mode="edge").astype(np.float64)
+                buckets = v.reshape(64, -1).mean(axis=1)
+                bits = buckets > v.mean()
+                h = 0
+                for i, bit in enumerate(bits):
+                    if bit:
+                        h |= 1 << i
+                # to signed 64-bit for Spark's LongType
+                ids.append(doc_id)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema=out_schema)

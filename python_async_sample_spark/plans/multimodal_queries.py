@@ -14,9 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.operators.dedup import simhash_near_pairs
 from python_async_sample_spark.operators.multimodal import (
     attach_media,
     extract_features,
+    media_phash,
     sample_frames,
 )
 from python_async_sample_spark.plans.registry import query
@@ -114,4 +116,48 @@ def q52_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("payload")).alias("total_bytes"),
+    )
+
+
+@query(
+    "q87_media_phash_pairs",
+    oracle=None,  # the 64-bit aHash is kernel-defined; completeness vs exact
+    # payload duplicates is enforced in-plan, clustering asserted in tests
+    ref="media perceptual-hash dedup (beyond reference)",
+    tags=("llm-data", "multimodal", "dedup"),
+)
+def q87_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs: 64-bit aHash per payload, then the SAME 4×16-bit
+    chunk-blocked Hamming join the SimHash text path uses (pigeonhole-complete
+    at distance ≤ 3). In-plan completeness guard: every exact-duplicate
+    payload pair (equal md5) MUST appear at hamming 0 — identical bytes hash
+    identically by construction, so a miss means the kernel or the blocking
+    broke, and the query raises."""
+    media = _with_payload(spark, sf_dir)
+    ph = media_phash(media, "doc_id")
+    pairs = simhash_near_pairs(
+        ph.withColumnRenamed("phash", "simhash"), "doc_id", max_hamming=3
+    )
+
+    dups = (
+        media.select("doc_id", F.md5(F.col("payload")).alias("k"))
+        .alias("a")
+        .join(
+            media.select("doc_id", F.md5(F.col("payload")).alias("k")).alias("b"),
+            "k",
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    )
+    missing = dups.join(
+        pairs.where(F.col("hamming") == 0).select("d1", "d2"), ["d1", "d2"], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("__missing"))
+    guard = F.when(F.col("__missing") == 0, F.lit(True)).otherwise(
+        F.raise_error("exact-duplicate payload pair missing from phash pairs")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(missing))
+        .where(guard)
+        .drop("__missing")
+        .orderBy("d1", "d2")
     )

@@ -83,3 +83,27 @@ def test_unsupported_format_fails_loudly(spark):
     df = _media_df(spark, [(1, b"\x89PNG", "png")])
     with pytest.raises(Exception, match="cannot decode format='png'"):
         decode_media(df, "doc_id", HeaderDecoder()).collect()
+
+
+def test_media_phash_invariants(spark):
+    from python_async_sample_spark.operators.multimodal import attach_media, media_phash
+
+    base = b"A" * 600 + b"B" * 424  # 1024 bytes, strong block structure
+    near = b"A" * 600 + b"B" * 400 + b"C" * 24  # tail perturbation
+    far = bytes(range(256)) * 4
+    df = attach_media(
+        spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, far), (5, b"")],
+            "doc_id long, blob binary",
+        ),
+        "blob",
+        media_type="image",
+        fmt="png",
+    )
+    h = {r["doc_id"]: r["phash"] for r in media_phash(df, "doc_id").collect()}
+    assert h[1] == h[2]  # identical payloads hash identically
+    assert h[5] == 0  # empty payload → zero hash
+    ham_near = bin((h[1] ^ h[3]) & (2**64 - 1)).count("1")
+    ham_far = bin((h[1] ^ h[4]) & (2**64 - 1)).count("1")
+    assert ham_near <= 3  # tail perturbation stays within blocking reach
+    assert ham_far > ham_near  # unrelated content is farther away
