@@ -51,3 +51,24 @@ def pack_sequences(
         )
         .withColumn("spans_packs", (F.col("pack_end") - F.col("pack_id") + 1).cast("bigint"))
     )
+
+
+def assign_shards(
+    packed: DataFrame,
+    n_shards: int,
+    pack_col: str = "pack_id",
+    stream_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign each packed document to one of ``n_shards`` output shards.
+
+    Precondition: documents are pre-chunked to at most the packing budget
+    (the standard pipeline order — chunk, pack, shard). Under it every
+    chunk hosts at least one document start and carries under two budgets
+    of starting mass, so round-robin over the chunk index keeps shard
+    token sums within a few budgets of each other — no second pass, no
+    driver-side greedy bin-packing, no shuffle beyond the write's own
+    partitioning. Documents spanning a chunk boundary follow their first
+    token's chunk so a document is never split across shards."""
+    return packed.withColumn(
+        "shard_id", (F.col(pack_col) % n_shards).cast("bigint")
+    )

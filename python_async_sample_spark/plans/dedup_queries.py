@@ -35,7 +35,9 @@ _SHINGLE_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
 def _shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    key = (id(spark), sf_dir.rstrip("/"), n)
+    # applicationId, not id(spark): a Python object id can be reused after GC,
+    # which would hand a dead session's checkpointed RDDs to a new session.
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), n)
     if key not in _SHINGLE_CACHE:
         docs = load_table(spark, sf_dir, "documents")
         _SHINGLE_CACHE[key] = shingle_index(docs, "doc_id", "text", n=n)

@@ -152,3 +152,38 @@ def test_packing_matches_running_sum(spark, toks, budget):
         end = (cum + max(t, 1) - 1) // budget
         assert packed[i] == (cum, pack_id, off, end), f"doc {i}"
         cum += t
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=16), min_size=1, max_size=30),
+    st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_shard_assignment_balances_tokens(spark, toks, n_shards):
+    """Docs are pre-chunked to <= budget (the operator's documented
+    precondition) — under it, round-robin over budget-sized chunks keeps
+    shard token sums within a few budgets."""
+    from python_async_sample_spark.operators.packing import assign_shards
+
+    budget = 16
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    ).withColumn("stream", F.lit(1))
+    packed = pack_sequences(df, ["stream"], "doc_id", "n_tokens", budget)
+    sharded = assign_shards(packed, n_shards)
+    per_shard = {
+        r["shard_id"]: r["toks"]
+        for r in sharded.groupBy("shard_id")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    assert set(per_shard) <= set(range(n_shards))
+    # every document follows its first token's chunk: shard = pack_id % n
+    for r in sharded.collect():
+        assert r["shard_id"] == r["pack_id"] % n_shards
+    # balance: with docs <= budget every chunk hosts at least one start and
+    # carries < 2 budgets of starting mass; round-robin then bounds the
+    # spread to a few budgets regardless of stream length
+    if len(per_shard) == n_shards and sum(toks) >= n_shards * budget:
+        spread = max(per_shard.values()) - min(per_shard.values())
+        assert spread <= 3 * budget
