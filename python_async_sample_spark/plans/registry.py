@@ -52,6 +52,7 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # whose §2 coverage is duplicated by an in-window query (q03→J1 via q04, O7
 # via q46's LIMIT; q05→J3 via q66's EXISTS-semi, J5 via q26;
 # q19→sessionization via q60 (same oracle, streaming surface);
+# q30→dedup-exact via q88's composition oracle (GROUP BY md5, min-id keep);
 # q20→A7/kernel via q22, closed-form≡lstsq property-tested;
 # q28/q72→S9 via q27, S10 via q25/q27, R3 via q14; q40/q44/q45→text row via
 # q41/q42/q43 and q47's token accounting; q52→multimodal via q50;
@@ -83,7 +84,6 @@ _PRIORITY: tuple[str, ...] = (
     "q26_scatter_gather_lookup",
     "q27_rot_pipeline_header",
     "q29_summary_mv_recompute",
-    "q30_exact_dedup",
     "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
     "q34_embedding_cosine_pairs",
@@ -111,9 +111,11 @@ _PRIORITY: tuple[str, ...] = (
     "q49_decontaminate",
     "q76_salted_hot_key_join",
     "q77_stream_stream_join",
+    "q88_corpus_prep_pipeline",
 )
 
 _TAIL: tuple[str, ...] = (
+    "q30_exact_dedup",
     "q05_semi_join_urgent_buyers",
     "q19_sessionization",
     "q72_mea_pipeline_detail",
