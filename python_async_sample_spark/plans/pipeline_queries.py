@@ -415,3 +415,46 @@ def q84_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ORC mirror of the documents table, manufactured once per sf_dir (same
+# fixture policy as the JSONL and key-CSV mirrors).
+_ORC_DIRS: dict[str, str] = {}
+
+
+def _documents_orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _ORC_DIRS:
+        tmp = tempfile.mkdtemp(prefix="spark_graft_orc_")
+        path = f"{tmp}/documents_orc"
+        load_table(spark, sf_dir, "documents").write.mode("overwrite").orc(path)
+        _ORC_DIRS[sf_dir] = path
+    return _ORC_DIRS[sf_dir]
+
+
+@query(
+    "q90_orc_source",
+    oracle="""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc, CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    ref="columnar-format parity: ORC source (beyond reference)",
+    tags=("llm-data", "source"),
+)
+def q90_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same per-language stats computed from an ORC mirror of the
+    documents table — Spark's second native columnar format, with the same
+    pushdown/pruning machinery as parquet; format must not change the
+    answer (oracle reads the parquet)."""
+    docs = spark.read.orc(_documents_orc_dir(spark, sf_dir))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )

@@ -273,3 +273,51 @@ def q80_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_UNIGRAM_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, count(*) * 1.0 AS c FROM toks GROUP BY tok),
+    total AS (SELECT sum(c) AS n FROM tf),
+    scored AS (
+      SELECT t.doc_id, ln(tf.c / total.n) AS lp
+      FROM toks t JOIN tf USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(lp) / count(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "q89_unigram_logprob",
+    oracle=_UNIGRAM_ORACLE,
+    ref="text-unigram-lm-scoring (beyond reference)",
+    tags=("llm-data", "text"),
+)
+def q89_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    empirical distribution — the classic cheap LM quality/importance signal
+    (gibberish and boilerplate both score away from the bulk). Two
+    aggregations and a broadcast-sized vocabulary join; one corpus scan
+    feeds both via a materialized token relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).localCheckpoint(eager=True)
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    total = tf.agg(F.sum("c").alias("n"))
+    scored = toks.join(F.broadcast(tf), "tok").crossJoin(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum(F.log(F.col("c") / F.col("n"))) / F.count(F.lit(1)), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
