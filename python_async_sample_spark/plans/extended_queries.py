@@ -414,3 +414,59 @@ def q83_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     them as semi/anti/distinct joins; same SQL text is the oracle."""
     register_views(spark, sf_dir)
     return spark.sql(_SET_OPS_SQL)
+
+
+@query(
+    "q91_approx_quantiles",
+    oracle=None,  # sketch output is engine-defined; the rank-error contract
+    # is enforced in-plan (raise_error) instead
+    ref="sketch-quantiles (beyond reference)",
+    tags=("extended", "sketch"),
+)
+def q91_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 of value from the quantile sketch
+    (``percentile_approx``, rank error ≤ 1/accuracy), q63's loud-bound
+    pattern: for each estimate the plan recomputes its TRUE rank
+    (fraction of rows at or below it) and raises unless it sits within
+    2/accuracy of the target probability — so the rows-only driver check
+    still fails on a broken sketch instead of recording plausible
+    garbage."""
+    from python_async_sample_spark.operators.sketches import approx_quantiles
+
+    accuracy = 1_000
+    probs = [0.5, 0.95, 0.99]
+    events = load_table(spark, sf_dir, "events")
+    est = approx_quantiles(events, ["event_type"], "value", probs, accuracy)
+    est = est.select(
+        "event_type",
+        *[F.col("quantiles")[i].alias(f"p{int(p * 100)}") for i, p in enumerate(probs)],
+    )
+
+    counts = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("__n"))
+    joined = events.join(est, "event_type")
+    ranks = joined.groupBy("event_type").agg(
+        *[
+            (F.sum(F.when(F.col("value") <= F.col(f"p{int(p * 100)}"), 1).otherwise(0)))
+            .alias(f"__le{int(p * 100)}")
+            for p in probs
+        ]
+    )
+    guarded = est.join(ranks, "event_type").join(counts, "event_type")
+    ok = F.lit(True)
+    for p in probs:
+        frac = F.col(f"__le{int(p * 100)}") / F.col("__n")
+        # rank error is two-sided (±n/accuracy), and the estimate is an
+        # actual element so its own mass adds up to 1/n of overshoot
+        slack = F.lit(2.0 / accuracy) + F.lit(1.0) / F.col("__n")
+        ok = ok & (frac >= F.lit(p) - slack) & (frac <= F.lit(p) + slack)
+    guard = F.when(ok, F.lit(True)).otherwise(
+        F.raise_error("quantile sketch outside rank-error bound")
+    )
+    return (
+        guarded.where(guard)
+        .select(
+            "event_type",
+            *[F.round(F.col(f"p{int(p * 100)}"), 4).alias(f"p{int(p * 100)}") for p in probs],
+        )
+        .orderBy("event_type")
+    )
