@@ -470,3 +470,60 @@ def q91_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_RESAMPLE_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch_us(date_trunc('microseconds', ts)) AS tus,
+             CAST(floor(epoch_us(date_trunc('microseconds', ts)) / 3600000000.0) AS BIGINT) AS bucket
+      FROM events WHERE user_id % 50 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, bucket
+                                   ORDER BY tus DESC, event_id DESC) AS rn
+      FROM e
+    ),
+    obs AS (
+      SELECT user_id, bucket,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(CASE WHEN rn = 1 THEN value END) AS obs
+      FROM ranked GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id, g.b AS bucket
+      FROM bounds CROSS JOIN unnest(generate_series(lo, hi)) AS g(b)
+    ),
+    filled AS (
+      SELECT g.user_id, g.bucket,
+             coalesce(o.n_events, 0) AS n_events,
+             last_value(o.obs IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+      FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+    )
+    SELECT user_id, bucket, n_events, round(value, 4) AS value
+    FROM filled ORDER BY user_id, bucket
+"""
+
+
+@query(
+    "q92_resample_ffill",
+    oracle=_RESAMPLE_ORACLE,
+    ref="time-series resample + forward fill (operator Spark lacks; beyond reference)",
+    tags=("extended", "timeseries"),
+)
+def q92_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-user grid over the event stream with last-observation
+    forward fill — grid rows scale with keys × hours, never events; one
+    keyed join + one ordered window per key."""
+    from python_async_sample_spark.operators.resample import resample_ffill
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    out = resample_ffill(events, "user_id", "ts", "value", "event_id", interval_s=3600)
+    return out.select(
+        "user_id", "bucket", "n_events", F.round("value", 4).alias("value")
+    ).orderBy("user_id", "bucket")
