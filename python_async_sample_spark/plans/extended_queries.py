@@ -527,3 +527,54 @@ def q92_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "bucket", "n_events", F.round("value", 4).alias("value")
     ).orderBy("user_id", "bucket")
+
+
+_SLIDING_ORACLE = """
+    WITH e AS (
+      SELECT event_type, value,
+             epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events
+    ),
+    hopped AS (
+      SELECT event_type, value, tus,
+             (CAST(floor(tus / 10800000000.0) AS BIGINT) - g.i) * 10800000000 AS start_us
+      FROM e CROSS JOIN unnest(generate_series(0, 1)) AS g(i)
+    )
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M') AS w_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM hopped
+    WHERE tus >= start_us AND tus < start_us + 21600000000 AND start_us >= 0
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "q93_sliding_windows",
+    oracle=_SLIDING_ORACLE,
+    ref="hopping/sliding event-time windows (batch face of streaming windows)",
+    tags=("extended", "timeseries"),
+)
+def q93_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows hopping every 3 hours over the event stream — each
+    event lands in exactly 2 windows; Spark's window() explodes the
+    assignment while the oracle derives it from floor arithmetic, so the
+    epoch-aligned window boundaries are pinned cross-engine."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("w_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("w_start", "event_type")
+    )
