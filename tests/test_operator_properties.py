@@ -187,3 +187,101 @@ def test_shard_assignment_balances_tokens(spark, toks, n_shards):
     if len(per_shard) == n_shards and sum(toks) >= n_shards * budget:
         spread = max(per_shard.values()) - min(per_shard.values())
         assert spread <= 3 * budget
+
+
+@st.composite
+def asof_frames(draw):
+    n_left = draw(st.integers(min_value=1, max_value=15))
+    n_right = draw(st.integers(min_value=0, max_value=15))
+    # coarse timestamps force plenty of exact ties across and within sides
+    t = lambda: draw(st.integers(min_value=0, max_value=8)) * 1_000_000
+    k = lambda: draw(st.integers(min_value=0, max_value=2))
+    left = [(i, k(), BASE + t()) for i in range(n_left)]
+    right = [(100 + i, k(), BASE + t(), float(i)) for i in range(n_right)]
+    return left, right
+
+
+@given(asof_frames())
+@settings(**_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, frames):
+    import pandas as pd
+
+    from python_async_sample_spark.operators.asof import asof_join
+
+    left, right = frames
+    ldf = spark.createDataFrame(
+        [(i, u, datetime.fromtimestamp(t / 1e6, tz=timezone.utc)) for i, u, t in left],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(i, u, datetime.fromtimestamp(t / 1e6, tz=timezone.utc), v) for i, u, t, v in right],
+        "rid long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["asof_value"]
+        for r in asof_join(
+            ldf, rdf, ["user_id"], "ts", "ts", payload_cols=["rid", "value"]
+        ).collect()
+    }
+
+    if not right:
+        assert all(v is None for v in got.values())
+        return
+    lpd = pd.DataFrame(left, columns=["event_id", "user_id", "tus"]).sort_values(
+        ["tus", "event_id"], kind="stable"
+    )
+    # pandas keeps the LAST right row on ties; the operator breaks payload
+    # ties deterministically by the payload sort key — sort right so the
+    # last row per (key, ts) is the max (rid, value), matching the operator
+    rpd = pd.DataFrame(right, columns=["rid", "user_id", "tus", "value"]).sort_values(
+        ["tus", "rid", "value"], kind="stable"
+    )
+    want_df = pd.merge_asof(
+        lpd, rpd, on="tus", by="user_id", direction="backward"
+    )
+    want = dict(zip(want_df["event_id"], want_df["value"]))
+    for eid in got:
+        w = want[eid]
+        if got[eid] is None:
+            assert pd.isna(w)
+        else:
+            assert got[eid] == w
+
+
+@given(event_sets())
+@settings(**_SETTINGS)
+def test_resample_ffill_matches_reference(spark, rows):
+    from python_async_sample_spark.operators.resample import resample_ffill
+
+    df = spark.createDataFrame(
+        [
+            (eid, user, datetime.fromtimestamp(tus / 1e6, tz=timezone.utc), float(eid))
+            for eid, user, tus in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    got = {
+        (r["user_id"], r["bucket"]): (r["n_events"], r["value"])
+        for r in resample_ffill(
+            df, "user_id", "ts", "value", "event_id", interval_s=3600
+        ).collect()
+    }
+
+    by_user: dict[int, list] = {}
+    for eid, user, tus in rows:
+        by_user.setdefault(user, []).append((tus, eid))
+    want = {}
+    for user, evs in by_user.items():
+        buckets: dict[int, list] = {}
+        for tus, eid in evs:
+            buckets.setdefault(tus // 3_600_000_000, []).append((tus, eid))
+        lo, hi = min(buckets), max(buckets)
+        last = None
+        for b in range(lo, hi + 1):
+            if b in buckets:
+                # last observation in bucket: max (ts, event_id); value = eid
+                last = float(max(buckets[b])[1])
+                want[(user, b)] = (len(buckets[b]), last)
+            else:
+                want[(user, b)] = (0, last)
+    assert got == want
