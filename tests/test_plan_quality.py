@@ -116,6 +116,14 @@ def test_salted_join_scatters_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_unigram_vocab_join_broadcasts(spark, sf_dir):
+    """q89's token→frequency join must broadcast the vocabulary — shuffling
+    the token stream to meet a dictionary-sized side is the scale bug."""
+    df = SPECS["q89_unigram_logprob"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_packing_window_is_partitioned(spark, sf_dir):
     """q47's running sum must be partitioned by the stream key (lang), never
     a single global window (the 100 TB parallelism unit)."""
