@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from python_async_sample_spark.sources.readers import pin_reader_conf
 
@@ -82,3 +83,67 @@ def cluster_by(
         .parquet(out_path)
     )
     return spark.read.parquet(out_path)
+
+
+def delete_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+) -> dict:
+    """Targeted record deletion (the GDPR verb): remove every row whose
+    ``key_col`` is in ``keys``, rewriting ONLY the files whose parquet
+    footer min/max range can contain a target key — on a range-clustered
+    table (:func:`cluster_by`) that is a handful of files, not the table.
+
+    Untouched files are left byte-identical. Returns
+    ``{"rewritten": n, "untouched": m, "deleted_rows": k}``. Driver work is
+    one footer read per file (metadata, not data); the rewrite is one job
+    over only the affected files.
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    pin_reader_conf(spark)
+    files = sorted(_glob.glob(f"{path.rstrip('/')}/part-*.parquet"))
+    targets = sorted(keys)
+    affected = []
+    for f in files:
+        meta = pq.read_metadata(f)
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == key_col
+            )
+            st = col.statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None and any(lo <= k <= hi for k in targets):
+            affected.append(f)
+
+    deleted = 0
+    if affected:
+        df = spark.read.parquet(*affected)
+        keep = df.where(~F.col(key_col).isin(targets))
+        deleted = df.count() - keep.count()
+        # rewrite affected files atomically-per-directory: stage, then swap
+        stage = f"{path.rstrip('/')}/.delete_stage"
+        keep.repartition(len(affected)).write.mode("overwrite").parquet(stage)
+        for f in affected:
+            import os as _os
+
+            _os.remove(f)
+        import shutil as _shutil
+
+        for i, f in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
+            _shutil.move(f, f"{path.rstrip('/')}/deleted-{i:05d}.parquet")
+        _shutil.rmtree(stage, ignore_errors=True)
+
+    return {
+        "rewritten": len(affected),
+        "untouched": len(files) - len(affected),
+        "deleted_rows": deleted,
+    }

@@ -82,3 +82,36 @@ def test_compact_never_overwrites(spark, fragmented):
     compact(spark, fragmented, out, target_file_mb=128)
     with pytest.raises(Exception):
         compact(spark, fragmented, out, target_file_mb=128)
+
+
+def test_delete_keys_rewrites_only_affected_files(spark, fragmented):
+    from python_async_sample_spark.sources.layout import delete_keys
+
+    out = tempfile.mkdtemp(prefix="layout_out_") + "/gdpr"
+    cluster_by(spark, fragmented, out, ["user_id"], n_files=4)
+    before_files = {f: pq.read_metadata(f).num_rows for f in _files(out)}
+    before_count = spark.read.parquet(out).count()
+    # pick two users from the FIRST file's range so other files stay put
+    first = sorted(before_files)[0]
+    lo_users = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(first).select("user_id").distinct().collect()
+    )[:2]
+    n_target = (
+        spark.read.parquet(out).where(F.col("user_id").isin(lo_users)).count()
+    )
+    assert n_target > 0
+
+    stats = delete_keys(spark, out, "user_id", lo_users)
+    assert stats["deleted_rows"] == n_target
+    assert stats["rewritten"] >= 1
+    assert stats["rewritten"] + stats["untouched"] == 4
+
+    after = spark.read.parquet(out)
+    assert after.where(F.col("user_id").isin(lo_users)).count() == 0
+    assert after.count() == before_count - n_target
+    # untouched files are byte-identical (same path, same row count)
+    survivors = [f for f in _files(out) if f in before_files]
+    assert len(survivors) == stats["untouched"]
+    for f in survivors:
+        assert pq.read_metadata(f).num_rows == before_files[f]
