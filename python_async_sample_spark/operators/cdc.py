@@ -1,0 +1,54 @@
+"""Snapshot differencing: change capture between two table versions.
+
+The reference captures change by timestamp interval (SURVEY §2.9 I2);
+snapshot diff is the complementary verb when the upstream can't emit
+timestamps: given yesterday's and today's table, classify every key as
+added / removed / changed / unchanged. One full outer join on the key plus
+a content-hash comparison — no per-row Python, and the hash collapses
+arbitrarily wide rows into one comparable column so the join carries two
+narrow columns per side regardless of schema width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Classify every key across two snapshots.
+
+    Returns (key, change_type) with ``change_type`` in
+    added / removed / changed (and unchanged when requested). Comparison is
+    an md5 over the named columns (default: all non-key columns present in
+    BOTH snapshots), concatenated with a non-ambiguous unit separator and a
+    null sentinel so (null, "x") never collides with ("x", null).
+    """
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != key_col and c in new.columns
+        ]
+    sig = F.md5(
+        F.concat_ws(
+            "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in compare_cols]
+        )
+    )
+    o = old.select(F.col(key_col), sig.alias("__old_sig"))
+    n = new.select(F.col(key_col), sig.alias("__new_sig"))
+    diff = o.join(n, key_col, "full_outer").select(
+        key_col,
+        F.when(F.col("__old_sig").isNull(), F.lit("added"))
+        .when(F.col("__new_sig").isNull(), F.lit("removed"))
+        .when(F.col("__old_sig") != F.col("__new_sig"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+    )
+    if not include_unchanged:
+        diff = diff.where(F.col("change_type") != "unchanged")
+    return diff

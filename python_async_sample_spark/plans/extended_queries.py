@@ -578,3 +578,57 @@ def q93_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w_start", "event_type")
     )
+
+
+_SNAPSHOT_DIFF_ORACLE = """
+    WITH old AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+               coalesce(CAST(lang AS VARCHAR), chr(0)),
+               coalesce(CAST(text AS VARCHAR), chr(0)))) AS sig
+      FROM documents WHERE doc_id % 31 <> 0
+    ),
+    new AS (
+      SELECT doc_id, md5(concat_ws(chr(31),
+               coalesce(CAST(lang AS VARCHAR), chr(0)),
+               coalesce(CAST(CASE WHEN doc_id % 17 = 0 THEN upper(text)
+                                  ELSE text END AS VARCHAR), chr(0)))) AS sig
+      FROM documents WHERE doc_id % 29 <> 0
+    )
+    SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+           CASE WHEN old.sig IS NULL THEN 'added'
+                WHEN new.sig IS NULL THEN 'removed'
+                WHEN old.sig <> new.sig THEN 'changed'
+           END AS change_type
+    FROM old FULL OUTER JOIN new USING (doc_id)
+    WHERE old.sig IS NULL OR new.sig IS NULL OR old.sig <> new.sig
+    ORDER BY doc_id
+"""
+
+
+@query(
+    "q94_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    ref="I2-adjacent: snapshot change capture (beyond reference)",
+    tags=("extended", "cdc"),
+)
+def q94_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change capture between two deterministic snapshot views of the
+    documents table (old drops doc_id%31, new drops doc_id%29 and
+    uppercases text for doc_id%17): one content-hash full outer join
+    classifies every key added/removed/changed — the snapshot-diff
+    complement of the reference's timestamp-interval capture."""
+    from python_async_sample_spark.operators.cdc import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 31 != 0).select("doc_id", "lang", "text")
+    new = (
+        docs.where(F.col("doc_id") % 29 != 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("doc_id") % 17 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    return snapshot_diff(old, new, "doc_id", ["lang", "text"]).orderBy("doc_id")
