@@ -52,3 +52,16 @@ def snapshot_diff(
     if not include_unchanged:
         diff = diff.where(F.col("change_type") != "unchanged")
     return diff
+
+
+def apply_diff(old: DataFrame, new: DataFrame, diff: DataFrame, key_col: str) -> DataFrame:
+    """Reconstruct the new snapshot from the old one plus a diff: drop
+    removed/changed keys from ``old``, then union the changed/added rows
+    (payloads taken from ``new``). One anti join + one semi join — the
+    incremental-apply path when shipping full snapshots is unaffordable and
+    the diff is small."""
+    drop = diff.where(F.col("change_type").isin("removed", "changed")).select(key_col)
+    take = diff.where(F.col("change_type").isin("added", "changed")).select(key_col)
+    kept = old.join(drop, key_col, "left_anti")
+    incoming = new.join(take, key_col, "left_semi")
+    return kept.unionByName(incoming)

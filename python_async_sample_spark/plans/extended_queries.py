@@ -632,3 +632,81 @@ def q94_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, "doc_id", ["lang", "text"]).orderBy("doc_id")
+
+
+_FUNNEL_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_type,
+             epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, min(tus) AS s_us FROM e
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(tus) AS c_us
+      FROM e JOIN s USING (user_id)
+      WHERE event_type = 'click' AND tus > s_us GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(tus) AS p_us
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND tus > c_us GROUP BY 1
+    )
+    SELECT s.user_id, s_us, c_us, p_us,
+           CASE WHEN p_us IS NOT NULL THEN 3
+                WHEN c_us IS NOT NULL THEN 2 ELSE 1 END AS stage
+    FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    ORDER BY s.user_id
+"""
+
+
+@query(
+    "q95_event_funnel",
+    oracle=_FUNNEL_ORACLE,
+    ref="ordered-sequence funnel analysis (beyond reference)",
+    tags=("extended", "timeseries"),
+)
+def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered signup → click → purchase funnel per user: each stage is the
+    earliest qualifying event strictly after the previous stage. Three
+    min-aggregations chained by key joins — one partitioner (user_id)
+    reused across every stage, no window over the full stream."""
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("s_us"))
+    )
+    c = (
+        e.join(s, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("tus") > F.col("s_us")))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("c_us"))
+    )
+    p = (
+        e.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("tus") > F.col("c_us")))
+        .groupBy("user_id")
+        .agg(F.min("tus").alias("p_us"))
+    )
+    return (
+        s.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "s_us",
+            "c_us",
+            "p_us",
+            F.when(F.col("p_us").isNotNull(), 3)
+            .when(F.col("c_us").isNotNull(), 2)
+            .otherwise(1)
+            .cast("int")
+            .alias("stage"),
+        )
+        .orderBy("user_id")
+    )

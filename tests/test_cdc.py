@@ -23,3 +23,28 @@ def test_unchanged_rows_filtered_by_default(spark):
         for r in snapshot_diff(old, new, "k", include_unchanged=True).collect()
     }
     assert full[1] == "unchanged"
+
+
+def test_apply_diff_reconstructs_new_snapshot(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.cdc import apply_diff, snapshot_diff
+    from python_async_sample_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 31 != 0).select("doc_id", "lang", "text")
+    new = (
+        docs.where(F.col("doc_id") % 29 != 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("doc_id") % 17 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+    )
+    diff = snapshot_diff(old, new, "doc_id", ["lang", "text"])
+    rebuilt = apply_diff(old, new, diff, "doc_id")
+    assert rebuilt.count() == new.count()
+    assert new.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(new).count() == 0
