@@ -710,3 +710,59 @@ def q95_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_ROLLING_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events WHERE user_id % 50 = 0
+    )
+    SELECT user_id, event_id,
+           round(avg(value) OVER w, 4) AS avg5,
+           round(sum(value) OVER w, 4) AS sum5,
+           round(min(value) OVER w, 4) AS min5,
+           round(max(value) OVER w, 4) AS max5,
+           CAST(count(*) OVER w AS BIGINT) AS n5
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, tus, event_id
+"""
+
+
+@query(
+    "q96_rolling_aggregates",
+    oracle=_ROLLING_ORACLE,
+    ref="rolling/moving window aggregates (beyond reference)",
+    tags=("extended", "timeseries"),
+)
+def q96_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 5-event rolling avg/sum/min/max per user — one bounded-frame
+    window over the (user, time) sort; frame state is O(frame), never the
+    stream."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    e = events.select(
+        "user_id", "event_id", "value", F.unix_micros("ts").alias("tus")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(-4, W.currentRow)
+    )
+    return (
+        e.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("avg5"),
+            F.round(F.sum("value").over(w), 4).alias("sum5"),
+            F.round(F.min("value").over(w), 4).alias("min5"),
+            F.round(F.max("value").over(w), 4).alias("max5"),
+            F.count(F.lit(1)).over(w).alias("n5"),
+            "tus",
+        )
+        .orderBy("user_id", "tus", "event_id")
+        .drop("tus")
+    )
