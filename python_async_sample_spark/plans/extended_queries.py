@@ -766,3 +766,73 @@ def q96_rolling_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "tus", "event_id")
         .drop("tus")
     )
+
+
+@query(
+    "q97_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_with_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+      AND json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    ref="semi-structured JSON extraction (beyond reference)",
+    tags=("extended", "json"),
+)
+def q97_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events payload column holds JSON strings; extract ``$.k`` JVM-side
+    (``get_json_object``, no Python) and aggregate — the semi-structured
+    path every event pipeline needs, pinned against DuckDB's JSON
+    functions."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.where(F.col("props").isNotNull() & k.isNotNull())
+        .withColumn("__k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_with_k"),
+            F.sum("__k").alias("sum_k"),
+            F.min("__k").alias("min_k"),
+            F.max("__k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q98_array_agg",
+    oracle="""
+    SELECT n_name,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    ref="array aggregation / collection functions (beyond reference)",
+    tags=("extended", "sql-surface"),
+)
+def q98_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregation: the distinct order priorities per nation as
+    a SORTED array — collect_set is unordered by contract, so the sort is
+    what makes the value deterministic and cross-engine comparable."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.countDistinct("o_custkey").alias("n_buyers"),
+        )
+        .orderBy("n_name")
+    )
