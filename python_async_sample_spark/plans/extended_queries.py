@@ -836,3 +836,60 @@ def q98_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_QUANTILE_OUTLIER_ORACLE = """
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.50) AS q2,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           round(q1, 6) AS p25, round(q2, 6) AS p50, round(q3, 6) AS p75,
+           CAST(count(*) FILTER (WHERE e.value < q1 - 1.5 * (q3 - q1)
+                                    OR e.value > q3 + 1.5 * (q3 - q1))
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN q USING (event_type)
+    GROUP BY 1, q1, q2, q3 ORDER BY 1
+"""
+
+
+@query(
+    "q99_exact_quantile_outliers",
+    oracle=_QUANTILE_OUTLIER_ORACLE,
+    ref="exact quantiles + IQR outlier screen (beyond reference)",
+    tags=("extended", "stats"),
+)
+def q99_exact_quantile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type quartiles (Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the linear-interpolation definition — pinned
+    here cross-engine) plus the classic 1.5·IQR outlier count: one
+    aggregation for the quartiles, one broadcast join back for the
+    screen."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.5)").alias("q2"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q2", "q3")
+        .agg(
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.round("q1", 6).alias("p25"),
+            F.round("q2", 6).alias("p50"),
+            F.round("q3", 6).alias("p75"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )
