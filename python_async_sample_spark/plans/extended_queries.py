@@ -893,3 +893,51 @@ def q99_exact_quantile_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_TOPK_GROUP_ORACLE = """
+    WITH ranked AS (
+      SELECT n_name, o_orderkey, o_totalprice,
+             dense_rank() OVER (PARTITION BY n_name
+                                ORDER BY round(o_totalprice, 2) DESC) AS rnk
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT n_name, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           round(o_totalprice, 2) AS totalprice, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY n_name, rnk, o_orderkey
+"""
+
+
+@query(
+    "q100_topk_per_group",
+    oracle=_TOPK_GROUP_ORACLE,
+    ref="O5+ (top-k per group with tie semantics — dense_rank, not row_number)",
+    tags=("relational", "sql-surface"),
+)
+def q100_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 order prices per nation with DENSE ties: every order at a
+    winning price survives (row_number would drop tied rows
+    nondeterministically) — the per-group pattern q12 covers for latest-1
+    extended to k with ties, one window over the joined fact."""
+    from pyspark.sql.window import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    w = W.partitionBy("n_name").orderBy(F.desc(F.round("o_totalprice", 2)))
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .withColumn("rnk", F.dense_rank().over(w).cast("bigint"))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "n_name",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "rnk",
+        )
+        .orderBy("n_name", "rnk", "o_orderkey")
+    )
