@@ -59,9 +59,24 @@ class IncrementalRunner:
 
     def source_high_water(self, stage: IncrementalStage) -> datetime | None:
         """Source max(ts) — the reference's Oracle watermark probe (A1,
-        ``dbs/nikon.py:204-217``)."""
-        row = stage.source(self.spark).agg(F.max(stage.ts_col)).first()
-        return row[0] if row else None
+        ``dbs/nikon.py:204-217``).
+
+        Probed as integer microseconds, not as a timestamp row: collecting a
+        TimestampType converts through the DRIVER's OS timezone, while the
+        naive datetimes this pipeline feeds back into window predicates are
+        interpreted in the SESSION timezone (UTC) — on a non-UTC driver the
+        two disagree by the UTC offset and the catch-up silently drops the
+        tail of the window. Integer micros → naive-UTC datetime is
+        timezone-independent end to end.
+        """
+        row = stage.source(self.spark).agg(
+            F.unix_micros(F.max(stage.ts_col)).alias("us")
+        ).first()
+        if not row or row["us"] is None:
+            return None
+        from datetime import timezone as _tz
+
+        return datetime.fromtimestamp(row["us"] / 1e6, tz=_tz.utc).replace(tzinfo=None)
 
     def run(self, stage: IncrementalStage, stages: dict[str, IncrementalStage] | None = None) -> int:
         """Catch the stage up in bounded chunks. Returns chunk count."""

@@ -31,6 +31,20 @@ from python_async_sample_spark.sources import hadoop_fs
 DT_COL = "__dt"
 
 
+def _utc_lit(dt: datetime) -> F.Column:
+    """Timestamp literal pinned to UTC wall time.
+
+    ``F.lit(naive_datetime)`` converts through the driver's LOCAL timezone
+    (``time.mktime``), so on a non-UTC driver the window predicate shifts by
+    the UTC offset and boundary rows are silently lost. Routing through
+    integer microseconds makes the literal a pure function of the naive-UTC
+    wall time this subsystem uses everywhere."""
+    from datetime import timezone as _tz
+
+    us = int(dt.replace(tzinfo=_tz.utc).timestamp() * 1_000_000)
+    return F.timestamp_micros(F.lit(us))
+
+
 def overwrite_window(
     df: DataFrame,
     target_path: str,
@@ -43,7 +57,7 @@ def overwrite_window(
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    new_rows = df.where((F.col(ts_col) > F.lit(lo)) & (F.col(ts_col) <= F.lit(hi)))
+    new_rows = df.where((F.col(ts_col) > _utc_lit(lo)) & (F.col(ts_col) <= _utc_lit(hi)))
     new_rows = new_rows.withColumn(DT_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
 
     # Existing partitions the window touches. Only those need the boundary
@@ -60,7 +74,7 @@ def overwrite_window(
     if touched:
         existing = spark.read.option("basePath", target_path).parquet(*touched)
         keep = existing.where(
-            ~((F.col(ts_col) > F.lit(lo)) & (F.col(ts_col) <= F.lit(hi)))
+            ~((F.col(ts_col) > _utc_lit(lo)) & (F.col(ts_col) <= _utc_lit(hi)))
         )
         # Materialize the retained boundary rows before deleting the
         # partitions they were read from.

@@ -56,3 +56,33 @@ def test_registry_is_idempotent(spark):
     b = load_all()
     assert list(a) == list(b)
     assert all(a[k] is b[k] for k in a)
+
+
+def test_utc_lit_is_driver_timezone_independent(spark):
+    """F.lit(naive_datetime) converts through the driver's LOCAL timezone —
+    the incremental sink must not depend on it. _utc_lit pins the wall time
+    to UTC regardless of the driver's TZ."""
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.incremental.sink import _utc_lit
+
+    dt = datetime.fromisoformat("2024-01-24 00:00:00")
+    want_us = int(dt.replace(tzinfo=timezone.utc).timestamp() * 1_000_000)
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        got = spark.range(1).select(
+            F.unix_micros(_utc_lit(dt)).alias("us")
+        ).collect()[0]["us"]
+        assert got == want_us
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
