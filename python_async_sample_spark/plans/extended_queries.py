@@ -941,3 +941,62 @@ def q100_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name", "rnk", "o_orderkey")
     )
+
+
+_SHARE_ORACLE = """
+    WITH rev AS (
+      SELECT n_name,
+             sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS r
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1
+    )
+    SELECT n_name,
+           CAST(round(r, 2) AS DOUBLE) AS revenue,
+           round(CAST(r AS DOUBLE) / CAST(sum(r) OVER () AS DOUBLE), 6) AS share
+    FROM rev ORDER BY n_name
+"""
+
+
+@query(
+    "q101_revenue_share",
+    oracle=_SHARE_ORACLE,
+    ref="percent-of-total analytics (windowed ratio over exact decimal sums)",
+    tags=("relational", "sql-surface"),
+)
+def q101_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each nation's share of total revenue: per-nation DECIMAL sums (exact,
+    order-independent), then one window total over the 25-row AGGREGATE —
+    the unpartitioned window never sees fact rows, so the single-partition
+    stage is 25 rows at any corpus size."""
+    from pyspark.sql.window import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        # orders is a fact: no broadcast hint (AQE decides); dims are hinted
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("r")
+        )
+    )
+    total = F.sum("r").over(W.partitionBy())
+    return (
+        rev.select(
+            "n_name",
+            F.round("r", 2).cast("double").alias("revenue"),
+            F.round(F.col("r").cast("double") / total.cast("double"), 6).alias("share"),
+        )
+        .orderBy("n_name")
+    )
