@@ -301,16 +301,20 @@ _UNIGRAM_ORACLE = """
 def q89_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     empirical distribution — the classic cheap LM quality/importance signal
-    (gibberish and boilerplate both score away from the bulk). Two
-    aggregations and a broadcast-sized vocabulary join; one corpus scan
-    feeds both via a materialized token relation."""
+    (gibberish and boilerplate both score away from the bulk).
+
+    Scale posture: the vocabulary (term-frequency relation) is O(distinct
+    tokens in the corpus) — billions of rows at 100 TB — so it is joined on
+    ``tok`` as a SHUFFLE join (AQE picks the physical strategy and splits
+    the Zipf-head skew via skew-join), never broadcast.  The exploded token
+    relation is recomputed for each consumer rather than materialized: two
+    scans of the source beat pinning O(corpus tokens) in executor storage.
+    Only the single-row corpus total is broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("tok")
-    ).localCheckpoint(eager=True)
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
     total = tf.agg(F.sum("c").alias("n"))
-    scored = toks.join(F.broadcast(tf), "tok").crossJoin(F.broadcast(total))
+    scored = toks.join(tf, "tok").crossJoin(F.broadcast(total))
     return (
         scored.groupBy("doc_id")
         .agg(

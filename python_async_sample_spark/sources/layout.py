@@ -100,18 +100,30 @@ def delete_keys(
     ``{"rewritten": n, "untouched": m, "deleted_rows": k}``. Driver work is
     one footer read per file (metadata, not data); the rewrite is one job
     over only the affected files.
+
+    Re-invocation safe: ALL ``*.parquet`` files are scanned (including the
+    ``part-<uuid>`` outputs of a previous pass) and rewritten files get
+    fresh collision-free names, so no key can hide in a prior pass's output
+    and no pass can clobber another's files. Crash safe in the
+    never-lose-rows direction: staged files move IN before the originals
+    are removed, so a crash mid-swap leaves duplicates (re-deletable) —
+    never missing kept rows.
     """
     import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
     import pyarrow.parquet as pq
 
     pin_reader_conf(spark)
-    files = sorted(_glob.glob(f"{path.rstrip('/')}/part-*.parquet"))
+    files = sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet"))
     targets = sorted(keys)
     affected = []
     for f in files:
         meta = pq.read_metadata(f)
         lo = hi = None
+        stats_missing = False
         for rg in range(meta.num_row_groups):
             col = next(
                 meta.row_group(rg).column(i)
@@ -119,9 +131,14 @@ def delete_keys(
                 if meta.row_group(rg).column(i).path_in_schema == key_col
             )
             st = col.statistics
+            if st is None or st.min is None or st.max is None:
+                # writer omitted footer stats (e.g. very long strings):
+                # conservatively treat the file as possibly containing keys
+                stats_missing = True
+                break
             lo = st.min if lo is None else min(lo, st.min)
             hi = st.max if hi is None else max(hi, st.max)
-        if lo is not None and any(lo <= k <= hi for k in targets):
+        if stats_missing or (lo is not None and any(lo <= k <= hi for k in targets)):
             affected.append(f)
 
     deleted = 0
@@ -129,17 +146,14 @@ def delete_keys(
         df = spark.read.parquet(*affected)
         keep = df.where(~F.col(key_col).isin(targets))
         deleted = df.count() - keep.count()
-        # rewrite affected files atomically-per-directory: stage, then swap
+        # rewrite affected files: stage, move staged IN (unique names), then
+        # remove originals — crash between the two leaves duplicates, not loss
         stage = f"{path.rstrip('/')}/.delete_stage"
         keep.repartition(len(affected)).write.mode("overwrite").parquet(stage)
+        for f in sorted(_glob.glob(f"{stage}/part-*.parquet")):
+            _shutil.move(f, f"{path.rstrip('/')}/part-{_uuid.uuid4().hex}.parquet")
         for f in affected:
-            import os as _os
-
             _os.remove(f)
-        import shutil as _shutil
-
-        for i, f in enumerate(sorted(_glob.glob(f"{stage}/part-*.parquet"))):
-            _shutil.move(f, f"{path.rstrip('/')}/deleted-{i:05d}.parquet")
         _shutil.rmtree(stage, ignore_errors=True)
 
     return {

@@ -115,3 +115,57 @@ def test_delete_keys_rewrites_only_affected_files(spark, fragmented):
     assert len(survivors) == stats["untouched"]
     for f in survivors:
         assert pq.read_metadata(f).num_rows == before_files[f]
+
+
+def test_delete_keys_second_pass_scans_rewritten_files(spark, fragmented):
+    """Keys living in a prior pass's rewritten output must still be
+    deletable, and a second pass must never clobber the first pass's kept
+    rows (the GDPR contract across repeated invocations)."""
+    from python_async_sample_spark.sources.layout import delete_keys
+
+    out = tempfile.mkdtemp(prefix="layout_out_") + "/gdpr_twice"
+    cluster_by(spark, fragmented, out, ["user_id"], n_files=4)
+    all_users = sorted(
+        r["user_id"]
+        for r in spark.read.parquet(out).select("user_id").distinct().collect()
+    )
+    first_batch, second_batch = all_users[:1], all_users[1:2]
+    total = spark.read.parquet(out).count()
+    n1 = spark.read.parquet(out).where(F.col("user_id").isin(first_batch)).count()
+    n2 = spark.read.parquet(out).where(F.col("user_id").isin(second_batch)).count()
+    assert n1 > 0 and n2 > 0
+
+    s1 = delete_keys(spark, out, "user_id", first_batch)
+    assert s1["deleted_rows"] == n1
+    # second pass targets users whose rows now live in pass-1's rewritten
+    # files (same clustered range) — they must be found and removed, and
+    # pass-1's kept rows must survive
+    s2 = delete_keys(spark, out, "user_id", second_batch)
+    assert s2["deleted_rows"] == n2
+    after = spark.read.parquet(out)
+    assert after.where(F.col("user_id").isin(first_batch + second_batch)).count() == 0
+    assert after.count() == total - n1 - n2
+
+
+def test_delete_keys_tolerates_missing_footer_stats(spark):
+    """Files whose writer omitted column statistics are conservatively
+    treated as affected instead of crashing the job."""
+    import pyarrow as pa
+
+    from python_async_sample_spark.sources.layout import delete_keys
+
+    out = tempfile.mkdtemp(prefix="layout_out_") + "/nostats"
+    df = spark.createDataFrame(
+        [(i, f"payload-{i}") for i in range(100)], "user_id bigint, body string"
+    )
+    df.write.parquet(out)
+    # add one file written WITHOUT footer statistics
+    tbl = pa.table({"user_id": pa.array([500, 501], pa.int64()),
+                    "body": pa.array(["x", "y"])})
+    pq.write_table(tbl, f"{out}/nostats-extra.parquet", write_statistics=False)
+
+    stats = delete_keys(spark, out, "user_id", [500, 3])
+    assert stats["deleted_rows"] == 2
+    after = spark.read.parquet(out)
+    assert after.where(F.col("user_id").isin([500, 3])).count() == 0
+    assert after.count() == 100 + 2 - 2

@@ -116,12 +116,36 @@ def test_salted_join_scatters_on_salt(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
-def test_unigram_vocab_join_broadcasts(spark, sf_dir):
-    """q89's token→frequency join must broadcast the vocabulary — shuffling
-    the token stream to meet a dictionary-sized side is the scale bug."""
-    df = SPECS["q89_unigram_logprob"].fn(spark, sf_dir)
-    plan = plan_str(df, "simple")
-    assert "BroadcastHashJoin" in plan, plan
+def test_unigram_vocab_join_shuffles_not_broadcasts(spark, sf_dir):
+    """q89's token→frequency join must NOT force a broadcast of the
+    vocabulary — the vocabulary is O(distinct corpus tokens), billions of
+    rows at 100 TB, far over any broadcast ceiling.  The scale-safe plan is
+    a shuffle join on ``tok`` (AQE splits the Zipf-head skew); only the
+    single-row corpus total may broadcast."""
+    with Q89_NO_AUTO_BROADCAST(spark):
+        df = SPECS["q89_unigram_logprob"].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+    # the tok-keyed join is a shuffle join; the only broadcast left is the
+    # single-row total via the explicit crossJoin(F.broadcast(total))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+class Q89_NO_AUTO_BROADCAST:
+    """Disable the auto-broadcast threshold so the tiny test vocabulary
+    can't be broadcast by stats — at 100 TB it never would be."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", self.saved)
+        return False
 
 
 def test_packing_window_is_partitioned(spark, sf_dir):
