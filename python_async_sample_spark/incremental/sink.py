@@ -14,9 +14,13 @@ partition overwrite alone cannot delete a partition that ends up empty. At
 86 400 s) so the read-back side is empty and each iteration rewrites whole
 partitions — no table-wide shuffle, no delete scan. All partition metadata
 ops go through the Hadoop FileSystem API (``sources/hadoop_fs``), so the sink
-is scheme-agnostic (file/hdfs/s3a). Crash-consistency matches the reference:
-a failure between delete and insert leaves the window absent until the next
-(idempotent) re-delivery.
+is scheme-agnostic (file/hdfs/s3a). Crash-consistency is strictly better
+than the reference's delete-then-insert: the full replacement content
+(boundary ∪ new) is written to a hidden staging directory FIRST, then swapped
+in per-partition via rename, so a crash anywhere during the (long) Spark
+write leaves the old window fully readable; only the per-partition
+metadata-swap window remains, and a crash there is healed by the next
+idempotent re-delivery.
 """
 
 from __future__ import annotations
@@ -53,9 +57,27 @@ def overwrite_window(
     hi: datetime,
 ) -> None:
     """Idempotently replace the half-open window ``(lo, hi]`` of the target
-    with ``df``'s rows in that window."""
+    with ``df``'s rows in that window.
+
+    Commit protocol (write-ahead, swap-last):
+
+    1. compute ``out = boundary-rows-outside-window ∪ new-rows`` for every
+       date partition the window touches;
+    2. write ``out`` partitioned by day to a hidden ``.stage-*`` directory
+       under the target (readers ignore dot-dirs) — the ONLY data-sized
+       step, and the old window stays fully readable throughout;
+    3. swap each staged partition into place: delete the old partition dir,
+       rename the staged one in (one metadata RPC each);
+    4. delete touched partitions that produced no staged output (a window
+       whose every row was retracted upstream must vanish).
+
+    A crash in (1)-(2) leaves the target byte-identical; a crash in (3)-(4)
+    leaves some partitions old and some new — healed by re-running the same
+    idempotent delivery. No session-wide conf is mutated.
+    """
+    import uuid
+
     spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     new_rows = df.where((F.col(ts_col) > _utc_lit(lo)) & (F.col(ts_col) <= _utc_lit(hi)))
     new_rows = new_rows.withColumn(DT_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
@@ -66,29 +88,35 @@ def overwrite_window(
     touched = []
     d = lo.date()
     while d <= hi.date():
-        part_dir = f"{target_path}/{DT_COL}={d.isoformat()}"
-        if hadoop_fs.exists(spark, part_dir):
-            touched.append(part_dir)
+        part = f"{DT_COL}={d.isoformat()}"
+        if hadoop_fs.exists(spark, f"{target_path}/{part}"):
+            touched.append(part)
         d += timedelta(days=1)
 
     if touched:
-        existing = spark.read.option("basePath", target_path).parquet(*touched)
+        existing = spark.read.option("basePath", target_path).parquet(
+            *(f"{target_path}/{p}" for p in touched)
+        )
         keep = existing.where(
             ~((F.col(ts_col) > _utc_lit(lo)) & (F.col(ts_col) <= _utc_lit(hi)))
         )
-        # Materialize the retained boundary rows before deleting the
-        # partitions they were read from.
-        keep = keep.localCheckpoint(eager=True)
         out = keep.unionByName(new_rows)
-        # Delete-then-insert: a touched partition whose every row was
-        # retracted upstream must vanish, and dynamic overwrite only rewrites
-        # partitions present in `out`.
-        for part_dir in touched:
-            hadoop_fs.delete(spark, part_dir)
     else:
         out = new_rows
 
-    out.write.mode("overwrite").partitionBy(DT_COL).parquet(target_path)
+    # Stage the full replacement content before touching the target.
+    stage = f"{target_path}/.stage-{uuid.uuid4().hex}"
+    try:
+        out.write.mode("overwrite").partitionBy(DT_COL).parquet(stage)
+        staged = [p for p in hadoop_fs.listdir(spark, stage) if p.startswith(f"{DT_COL}=")]
+        for part in staged:
+            hadoop_fs.delete(spark, f"{target_path}/{part}")
+            hadoop_fs.rename(spark, f"{stage}/{part}", f"{target_path}/{part}")
+        for part in touched:
+            if part not in staged:
+                hadoop_fs.delete(spark, f"{target_path}/{part}")
+    finally:
+        hadoop_fs.delete(spark, stage)
 
 
 def read_target(spark: SparkSession, target_path: str) -> DataFrame:

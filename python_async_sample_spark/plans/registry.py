@@ -48,77 +48,106 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # The driver's CORRECTNESS pass checks only the first 50 registry entries, so
 # ordering is part of the contract.  The prefix below lists the 50 queries that
 # must land inside the checked window (all SQL-oracled, each SURVEY §2 row
-# keeps at least one in-window query).  _TAIL holds, in order: oracled queries
-# whose §2 coverage is duplicated by an in-window query (q03→J1 via q04, O7
-# via q46's LIMIT; q05→J3 via q66's EXISTS-semi, J5 via q26;
-# q19→sessionization via q60 (same oracle, streaming surface);
-# q30→dedup-exact via q88's composition oracle (GROUP BY md5, min-id keep);
-# q20→A7/kernel via q22, closed-form≡lstsq property-tested;
-# q28/q72→S9 via q27, S10 via q25/q27, R3 via q14; q40/q44/q45→text row via
-# q41/q42/q43 and q47's token accounting; q52→multimodal via q50;
-# q08→J10 via q23, q21→R4 via q14, q51→via q50, q67→via q66, q69→via q68,
-# q70→via q62), then the rows-only checks (q33/q36/q37/q63 — `no_oracle` by
-# design, their invariants asserted in tests/).  Queries registered but listed
-# in neither group slot in between: after the gate-critical prefix, before the
-# deliberate tail.
+# keeps at least one in-window query).
+#
+# ROUND-3 ROTATION: 13 long-stable residents whose §2 coverage is duplicated
+# by another in-window query were swapped out for 13 round-2 queries that had
+# never earned a driver row (the 44-query local-only surface).  Coverage
+# bookkeeping for the rotated-out residents:
+#   q07→J8 full-outer via q72's measured↔design join; q09→A3 distinct via
+#   q83's set-op dedup semantics; q13→R1 via q61, R2 per-measure pivot via
+#   q72's Diff_X/Diff_Y dcast; q14→R3 melt + R4 rename-select via q72's
+#   detail stage; q15→scalar rows via q80 (string), q92/q11 (date/time),
+#   q99/q22 (math), casts ubiquitous; q25→S10/P9/X3 via q27's coded error
+#   side-output (same operators/validate.py path); q31→ngram-Jaccard row via
+#   q38's PPJoin; q34→blocked-GEMM cosine via q78 (same block-pair GEMM
+#   stage) and q35's GEMM kernel; q42/q43→text row via q41; q62→rollup/cube
+#   family via q82's grouping sets (the general form); q65→asof/range row
+#   via q64; q68→mixture/split row via q74.
+# All rotated-out queries keep full verification in _TAIL via
+# tests/test_oracle_parity.py and scripts/driver_sim.py.
+#
+# _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
+# an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
+# EXISTS-semi, J5 via q26; q19→sessionization via q60 (same oracle,
+# streaming surface); q30→dedup-exact via q88's composition oracle;
+# q20→A7/kernel via q22, closed-form≡lstsq property-tested; q28→S9 via
+# q27/q72; q40/q44/q45→text row via q41 and q47's token accounting;
+# q52→multimodal via q50; q08→J10 via q23, q21→R4 via q72, q51→via q50,
+# q67→via q66, q69→via q74, q70→via q82), then the rows-only checks
+# (q33/q36/q37/q63 — `no_oracle` by design, their invariants asserted in
+# tests/).  Queries registered but listed in neither group slot in between:
+# after the gate-critical prefix, before the deliberate tail.
 _PRIORITY: tuple[str, ...] = (
     "q01_pricing_summary",
     "q02_like_in_filter",
     "q04_region_nation_revenue",
     "q06_anti_join_orderless_customers",
-    "q07_full_outer_nation_counts",
-    "q09_distinct_flags",
     "q10_watermark_probe",
     "q11_interval_extract",
     "q12_latest_order_per_customer",
-    "q13_pivot_events_wide",
-    "q14_unpivot_part",
-    "q15_scalar_functions",
     "q16_nation_buyer_stats",
     "q17_incremental_catchup",
     "q18_stream_window_counts",
     "q22_rot_fit_pandas_udf",
     "q23_grid_validation",
     "q24_position_labeling",
-    "q25_validation_split",
     "q26_scatter_gather_lookup",
     "q27_rot_pipeline_header",
     "q29_summary_mv_recompute",
-    "q31_ngram_jaccard_pairs",
     "q32_minhash_lsh_pairs",
-    "q34_embedding_cosine_pairs",
     "q35_ann_bruteforce_topk",
     "q38_jaccard_prefix_filter",
     "q39_dedup_clusters",
     "q41_quality_score",
-    "q42_language_id",
-    "q43_fingerprints",
     "q46_bm25_search",
     "q47_sequence_packing",
     "q48_redact_pii",
     "q50_media_features",
     "q60_stream_sessionization",
     "q61_wide_tool_table",
-    "q62_rollup_revenue",
     "q64_asof_click_purchase",
-    "q65_range_join_errors_in_windows",
     "q66_exists_correlated",
-    "q68_train_test_split",
     "q71_stream_exactly_once_dedup",
+    "q72_mea_pipeline_detail",
     "q73_bucketed_join",
     "q74_weighted_mix",
     "q75_stream_stateful_profiles",
     "q49_decontaminate",
     "q76_salted_hot_key_join",
     "q77_stream_stream_join",
+    "q78_embedding_dedup",
+    "q79_repetition_quality",
+    "q80_normalize_text",
+    "q82_grouping_sets",
+    "q83_set_operations",
+    "q84_jsonl_source",
     "q88_corpus_prep_pipeline",
+    "q89_unigram_logprob",
+    "q92_resample_ffill",
+    "q94_snapshot_diff",
+    "q95_event_funnel",
+    "q96_rolling_aggregates",
+    "q99_exact_quantile_outliers",
 )
 
 _TAIL: tuple[str, ...] = (
     "q30_exact_dedup",
     "q05_semi_join_urgent_buyers",
     "q19_sessionization",
-    "q72_mea_pipeline_detail",
+    "q07_full_outer_nation_counts",
+    "q09_distinct_flags",
+    "q13_pivot_events_wide",
+    "q14_unpivot_part",
+    "q15_scalar_functions",
+    "q25_validation_split",
+    "q31_ngram_jaccard_pairs",
+    "q34_embedding_cosine_pairs",
+    "q42_language_id",
+    "q43_fingerprints",
+    "q62_rollup_revenue",
+    "q65_range_join_errors_in_windows",
+    "q68_train_test_split",
     "q45_vocab_stats",
     "q03_top_orders_by_revenue",
     "q20_rot_fit_closed_form",

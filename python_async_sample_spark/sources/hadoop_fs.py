@@ -32,3 +32,21 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     if not fs.exists(jpath):
         return False
     return bool(fs.delete(jpath, recursive))
+
+
+def listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) directly under ``path``; empty if the
+    path does not exist."""
+    fs, jpath = _fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(jpath)]
+
+
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename ``src`` to ``dst`` — atomic on HDFS/POSIX; on object stores
+    (s3a) a copy+delete, which is why callers keep the renamed unit small
+    (one partition directory, not the table)."""
+    fs, jsrc = _fs(spark, src)
+    jdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(jsrc, jdst))

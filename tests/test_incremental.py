@@ -72,6 +72,44 @@ def test_overwrite_window_idempotent(spark, sf_dir, tmpdir):
     assert tgt.count() == tgt.select("event_id").distinct().count()
 
 
+def test_overwrite_window_crash_during_write_leaves_old_window(spark, sf_dir, tmpdir):
+    """Atomic-visibility commit: a failure anywhere in the data-sized write
+    step must leave the previously-committed window fully readable (the old
+    delete-then-insert protocol left the window absent)."""
+    events = load_table(spark, sf_dir, "events")
+    target = f"{tmpdir}/target"
+    lo, hi = ts("2024-01-05 00:00:00"), ts("2024-01-10 00:00:00")
+    overwrite_window(events, target, "ts", lo, hi)
+    before = sorted(r["event_id"] for r in read_target(spark, target).collect())
+    assert before
+
+    # re-deliver the same window with a payload that fails mid-write
+    @F.udf("double")
+    def boom(v):
+        raise RuntimeError("injected mid-write failure")
+
+    poisoned = events.withColumn("value", boom(F.col("value")))
+    with pytest.raises(Exception, match="injected|Job aborted|boom|Task"):
+        overwrite_window(poisoned, target, "ts", lo, hi)
+
+    # old window intact, no stage litter visible to readers
+    after = sorted(r["event_id"] for r in read_target(spark, target).collect())
+    assert after == before
+    import glob as _glob
+
+    assert not _glob.glob(f"{target}/.stage-*")
+
+
+def test_overwrite_window_does_not_mutate_session_conf(spark, sf_dir, tmpdir):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key)
+    events = load_table(spark, sf_dir, "events")
+    overwrite_window(
+        events, f"{tmpdir}/t", "ts", ts("2024-01-05 00:00:00"), ts("2024-01-07 00:00:00")
+    )
+    assert spark.conf.get(key) == saved
+
+
 def test_schema_reconciliation(spark):
     target = T.StructType(
         [
