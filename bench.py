@@ -52,17 +52,23 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(result)
+    print(line)
+    # File-durable copy: the driver captures stdout with a bounded tail, so
+    # the JSON line can be cut off by Spark log noise. BENCH_SELF.json next
+    # to this script is the canonical machine-readable record.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries the result
     spark.stop()
 
 

@@ -11,9 +11,19 @@ distributed job for that row would be pure scheduler overhead (measured ~4 s
 per advance on local[32]). I/O goes through ``pyarrow.fs`` resolved from the
 path's URI scheme, so the store works on local paths and on hdfs://​/s3://
 alike; the write is staged-then-moved, which is atomic on POSIX and HDFS but
-copy+delete on object stores. At cluster scale this slot is filled by a
-transactional table (Delta/JDBC) — the access pattern (read at start, written
-once per committed window) is identical, and the data plane is untouched.
+copy+delete on object stores.
+
+**Concurrency contract: single writer per store path.** The reference has
+exactly one ETL driver advancing ``lastendtime`` (``nikon_ETL.py:627-632``
+runs the stages sequentially) and this store inherits that design: writers
+rewrite the whole (tiny) file, so two concurrent advances race whole-file —
+last writer wins, no torn file on POSIX/HDFS (rename is atomic), but the
+loser's row-level update is overwritten if both buffered before either
+wrote. ``test_incremental`` pins the last-writer-wins behavior. Multiple
+concurrent pipelines must either use distinct store paths or fill this slot
+with a transactional table (Delta/JDBC) — the access pattern (read at
+start, written once per committed window) is identical either way, and the
+data plane is untouched.
 """
 
 from __future__ import annotations

@@ -36,7 +36,13 @@ def connected_components(
     Returns (node, component) where ``component`` is the minimum node id
     reachable from ``node``. Nodes appearing only as edge endpoints are
     included; isolated nodes (no edges) are the caller's to union in.
-    """
+
+    Raises ``RuntimeError`` if labels have not converged after ``max_iter``
+    rounds — returning partially-propagated labels would silently split
+    clusters, which a dedup pipeline translates into kept duplicates. The
+    bound is the component diameter; hitting it means the edge set is not
+    the shallow near-dup topology this operator is sized for (raise
+    ``max_iter``, or pre-contract the graph)."""
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
@@ -48,6 +54,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
 
+    converged = False
     for _ in range(max_iter):
         # min label over the closed neighborhood: own label ∪ neighbors'
         neighbor_best = (
@@ -69,7 +76,13 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds; partially-propagated labels would silently split clusters"
+        )
     return labels.select(F.col("node").alias("n"), F.col("component"))
 
 

@@ -96,9 +96,12 @@ class FakeByteDecoder(MediaDecoder):
 
 
 class HeaderDecoder(MediaDecoder):
-    """Stdlib-only REAL decoder for uncompressed BMP images and PCM WAV
-    audio — proves the seam carries genuinely decoded features end-to-end
-    without codec libraries. Other formats raise, loudly, like the
+    """Stdlib-only REAL decoder: full pixel/sample decode for uncompressed
+    BMP images and PCM WAV audio, plus header-level decode (dimensions,
+    channels — magic-byte parsing, no codec) for PNG, JPEG and GIF. Proves
+    the seam carries genuinely decoded features end-to-end without codec
+    libraries; pixel-level decode of the compressed formats would slot in
+    behind the same method. Other formats raise, loudly, like the
     production decoder would for an unsupported codec."""
 
     def decode(self, payload: bytes, fmt: str) -> Decoded:
@@ -107,7 +110,74 @@ class HeaderDecoder(MediaDecoder):
             return self._bmp(b)
         if fmt == "wav":
             return self._wav(b)
+        if fmt == "png":
+            return self._png(b)
+        if fmt in ("jpeg", "jpg"):
+            return self._jpeg(b)
+        if fmt == "gif":
+            return self._gif(b)
         raise NotImplementedError(f"HeaderDecoder cannot decode format={fmt!r}")
+
+    @staticmethod
+    def _png(b: bytes) -> Decoded:
+        # PNG: 8-byte signature, then the IHDR chunk (must be first):
+        # 4-byte length, b"IHDR", width/height (big-endian u32),
+        # bit depth, color type
+        import struct
+
+        if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
+            raise ValueError("not a PNG payload")
+        width, height = struct.unpack_from(">II", b, 16)
+        bit_depth, color_type = b[24], b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        del bit_depth
+        return Decoded(
+            media_type="image", format="png",
+            width=width, height=height, channels=channels,
+        )
+
+    @staticmethod
+    def _jpeg(b: bytes) -> Decoded:
+        # JPEG: walk the marker stream to the first SOFn (start-of-frame)
+        # segment, which carries height/width (big-endian u16) + components
+        import struct
+
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload")
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack_from(">H", b, i + 2)[0]
+            # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                height, width = struct.unpack_from(">HH", b, i + 5)
+                channels = b[i + 9]
+                return Decoded(
+                    media_type="image", format="jpeg",
+                    width=width, height=height, channels=channels,
+                )
+            i += 2 + seg_len
+        raise ValueError("JPEG payload has no SOF marker")
+
+    @staticmethod
+    def _gif(b: bytes) -> Decoded:
+        # GIF87a/89a: 6-byte signature, then logical-screen width/height
+        # (little-endian u16)
+        import struct
+
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        width, height = struct.unpack_from("<HH", b, 6)
+        return Decoded(
+            media_type="image", format="gif",
+            width=width, height=height, channels=3,
+        )
 
     @staticmethod
     def _bmp(b: bytes) -> Decoded:

@@ -57,7 +57,6 @@ def assign_shards(
     packed: DataFrame,
     n_shards: int,
     pack_col: str = "pack_id",
-    stream_cols: list[str] | None = None,
 ) -> DataFrame:
     """Assign each packed document to one of ``n_shards`` output shards.
 

@@ -38,7 +38,9 @@ def resample_ffill(
     the key's first observation).
     """
     us = interval_s * 1_000_000
-    bucket = (F.unix_micros(F.col(ts_col)) / us).cast("bigint")
+    # floor, not a truncating cast: they differ for pre-epoch (negative)
+    # timestamps, and the q92 oracle floors
+    bucket = F.floor(F.unix_micros(F.col(ts_col)) / us).cast("bigint")
     rn = W.partitionBy(key_col, "bucket").orderBy(
         F.desc(ts_col), F.desc(order_col)
     )

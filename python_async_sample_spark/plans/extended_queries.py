@@ -311,8 +311,12 @@ def q63_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.abs(F.col("approx_distinct") - F.col("__exact"))
         <= F.lit(5 * rsd) * F.col("__exact")
     )
+    # exact side is the base (left join): a group the sketch path LOST would
+    # vanish from an inner join before the bound ever saw it — here it
+    # surfaces as a null estimate, bound_ok evaluates null, and the
+    # otherwise(raise_error) branch fires.
     return (
-        approx.join(exact, "event_type")
+        exact.join(approx, "event_type", "left")
         .where(F.when(bound_ok, F.lit(True)).otherwise(F.raise_error("HLL estimate outside 5*rsd bound")))
         .select("event_type", "approx_distinct")
         .orderBy("event_type")
@@ -451,7 +455,11 @@ def q91_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in probs
         ]
     )
-    guarded = est.join(ranks, "event_type").join(counts, "event_type")
+    # counts (derived from the raw events, never the sketch) is the join
+    # base: a group the sketch path lost shows up as null estimates, the
+    # bound conjunction evaluates null, and otherwise(raise_error) fires —
+    # an inner join would silently drop it instead.
+    guarded = counts.join(est, "event_type", "left").join(ranks, "event_type", "left")
     ok = F.lit(True)
     for p in probs:
         frac = F.col(f"__le{int(p * 100)}") / F.col("__n")

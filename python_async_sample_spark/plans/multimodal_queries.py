@@ -152,12 +152,14 @@ def q87_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing = dups.join(
         pairs.where(F.col("hamming") == 0).select("d1", "d2"), ["d1", "d2"], "left_anti"
     ).agg(F.count(F.lit(1)).alias("__missing"))
-    guard = F.when(F.col("__missing") == 0, F.lit(True)).otherwise(
-        F.raise_error("exact-duplicate payload pair missing from phash pairs")
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
+    # union-poison, not a where() on the rows: fires even if `pairs` is empty
+    # (the total-collapse case the guard exists for)
+    pairs = pairs.localCheckpoint(eager=True)
+    guarded = _union_poison_guard(
+        pairs,
+        missing.where(~(F.col("__missing") == 0)),
+        "exact-duplicate payload pair missing from phash pairs",
     )
-    return (
-        pairs.crossJoin(F.broadcast(missing))
-        .where(guard)
-        .drop("__missing")
-        .orderBy("d1", "d2")
-    )
+    return guarded.orderBy("d1", "d2")

@@ -95,10 +95,31 @@ def _with_recall_guard(out: DataFrame, exact: DataFrame, floor: float, what: str
     recall = hits.crossJoin(total).select(
         (F.col("__hits") / F.col("__n")).alias("__recall")
     )
-    guard = F.when(F.col("__recall") >= floor, F.lit(True)).otherwise(
-        F.raise_error(f"{what} recall below floor {floor}")
+    return _union_poison_guard(
+        out,
+        recall.where(F.col("__recall").isNull() | (F.col("__recall") < floor)),
+        f"{what} recall below floor {floor}",
     )
-    return out.crossJoin(F.broadcast(recall)).where(guard).drop("__recall")
+
+
+def _union_poison_guard(out: DataFrame, violation: DataFrame, msg: str) -> DataFrame:
+    """Attach an in-plan guard that fires even when ``out`` is EMPTY.
+
+    A ``where(when(ok).otherwise(raise_error))`` on the output rows is never
+    evaluated when the approximate result is empty — the exact collapse the
+    guard exists to catch.  Instead the (at-most-one-row) ``violation``
+    relation is projected through ``raise_error`` and unioned into ``out``:
+    executing the query always executes the union child, so a violation
+    raises regardless of ``out``'s cardinality, and a clean run unions zero
+    rows.  Callers must make ``violation`` null-tripping
+    (``isNull() | (x < floor)``) so a degenerate 0/0 recall also fires."""
+    poison = violation.select(
+        *[
+            (F.raise_error(msg) if i == 0 else F.lit(None)).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(out.schema.fields)
+        ]
+    )
+    return out.unionByName(poison)
 
 
 @query(

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Explicit skew thresholds (the defaults, pinned as engine contract):
+        # a shuffle partition > factor × median AND > threshold bytes splits
+        # into advisory-sized reads at runtime — the planted-hot-key test in
+        # test_plan_quality asserts the split actually happens.
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "5.0")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         # Naive parquet timestamp[us] reads as an instant (UTC), not NTZ —

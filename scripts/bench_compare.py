@@ -28,11 +28,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load_current(args) -> dict:
     if args.run:
-        out = subprocess.run(
+        subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
-        ).stdout.strip().splitlines()[-1]
-        return json.loads(out)
+        )
+        # bench.py writes its JSON durably to BENCH_SELF.json (stdout can be
+        # polluted by Spark log noise)
+        with open(os.path.join(REPO, "BENCH_SELF.json")) as f:
+            return json.load(f)
     with open(args.bench_json) as f:
         return json.load(f)
 

@@ -38,3 +38,21 @@ def test_no_edges(spark):
     pairs = _edges(spark, [])
     rows = dedup_clusters(docs, pairs, "doc_id").collect()
     assert all(r.doc_id == r.cluster_id and r.is_canonical for r in rows)
+
+
+def test_convergence_at_diameter_bound(spark):
+    """A path of diameter d converges in <= d rounds; max_iter == d passes,
+    max_iter < d must raise instead of silently returning split labels."""
+    import pytest
+
+    d = 8
+    e = _edges(spark, [(i, i + 1) for i in range(1, d + 1)])  # path 1..9
+    # labels settle after d rounds + 1 no-change round to OBSERVE convergence
+    got = {
+        r.n: r.component
+        for r in connected_components(e, "d1", "d2", max_iter=d + 1).collect()
+    }
+    assert set(got.values()) == {1}
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(e, "d1", "d2", max_iter=2).collect()

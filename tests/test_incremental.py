@@ -100,6 +100,33 @@ def test_overwrite_window_crash_during_write_leaves_old_window(spark, sf_dir, tm
     assert not _glob.glob(f"{target}/.stage-*")
 
 
+def test_watermark_store_concurrent_advance_last_writer_wins(spark, tmpdir):
+    """Two store handles racing on the same path: whole-file rewrite means
+    the last put() wins and the file is never torn (documented single-writer
+    contract; POSIX rename is atomic)."""
+    path = f"{tmpdir}/state"
+    a = WatermarkStore(spark, path)
+    b = WatermarkStore(spark, path)
+    assert b.get("NIKON", "EDC_Import") is None  # b caches the pre-a view
+    a.put("NIKON", "EDC_Import", ts("2024-01-05 00:00:00"))
+    # b writes from its stale cache; the whole-file rewrite drops a's row
+    b.put("NIKON", "ROT_Transform", ts("2024-01-03 00:00:00"))
+
+    fresh = WatermarkStore(spark, path)
+    # last writer (b) wins wholesale: a's EDC row is gone, b's ROT row is
+    # intact and readable — no torn/partial file
+    assert fresh.get("NIKON", "ROT_Transform") == ts("2024-01-03 00:00:00")
+    assert fresh.get("NIKON", "EDC_Import") is None
+
+    # sequential advances through ONE handle (the supported contract) keep
+    # every row
+    c = WatermarkStore(spark, path)
+    c.put("NIKON", "EDC_Import", ts("2024-01-06 00:00:00"))
+    final = WatermarkStore(spark, path)
+    assert final.get("NIKON", "EDC_Import") == ts("2024-01-06 00:00:00")
+    assert final.get("NIKON", "ROT_Transform") == ts("2024-01-03 00:00:00")
+
+
 def test_overwrite_window_does_not_mutate_session_conf(spark, sf_dir, tmpdir):
     key = "spark.sql.sources.partitionOverwriteMode"
     saved = spark.conf.get(key)

@@ -80,9 +80,61 @@ def test_default_fake_decoder_is_deterministic(spark):
 
 
 def test_unsupported_format_fails_loudly(spark):
-    df = _media_df(spark, [(1, b"\x89PNG", "png")])
-    with pytest.raises(Exception, match="cannot decode format='png'"):
+    df = _media_df(spark, [(1, b"RIFF....WEBP", "webp")])
+    with pytest.raises(Exception, match="cannot decode format='webp'"):
         decode_media(df, "doc_id", HeaderDecoder()).collect()
+
+
+def _png_bytes(width: int, height: int, color_type: int = 2) -> bytes:
+    import zlib
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+    chunk += struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    return b"\x89PNG\r\n\x1a\n" + chunk
+
+
+def _jpeg_bytes(width: int, height: int, channels: int = 3) -> bytes:
+    # SOI, APP0 (JFIF stub), DQT stub, SOF0, EOI — enough of a marker
+    # stream to exercise the walk (length-bearing segments before SOF0)
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+    dqt = b"\xff\xdb" + struct.pack(">H", 4) + b"\x00\x00"
+    sof_payload = bytes([8]) + struct.pack(">HH", height, width) + bytes([channels])
+    sof_payload += bytes([1, 0x11, 0]) * channels
+    sof0 = b"\xff\xc0" + struct.pack(">H", 2 + len(sof_payload)) + sof_payload
+    return b"\xff\xd8" + app0 + dqt + sof0 + b"\xff\xd9"
+
+
+def _gif_bytes(width: int, height: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00\x3b"
+
+
+def test_header_decoder_png_jpeg_gif(spark):
+    df = _media_df(
+        spark,
+        [
+            (1, _png_bytes(640, 480), "png"),
+            (2, _jpeg_bytes(1920, 1080), "jpeg"),
+            (3, _gif_bytes(13, 7), "gif"),
+            (4, _png_bytes(2, 2, color_type=6), "png"),  # RGBA
+        ],
+    )
+    rows = {r.doc_id: r for r in decode_media(df, "doc_id", HeaderDecoder()).collect()}
+    assert (rows[1].format, rows[1].width, rows[1].height, rows[1].channels) == (
+        "png", 640, 480, 3,
+    )
+    assert (rows[2].format, rows[2].width, rows[2].height, rows[2].channels) == (
+        "jpeg", 1920, 1080, 3,
+    )
+    assert (rows[3].format, rows[3].width, rows[3].height, rows[3].channels) == (
+        "gif", 13, 7, 3,
+    )
+    assert rows[4].channels == 4
+
+    # corrupt magic bytes fail loudly, not silently
+    bad = _media_df(spark, [(9, b"\x89PNX" + b"\x00" * 30, "png")])
+    with pytest.raises(Exception, match="not a PNG payload"):
+        decode_media(bad, "doc_id", HeaderDecoder()).collect()
 
 
 def test_media_phash_invariants(spark):

@@ -154,3 +154,43 @@ def test_packing_window_is_partitioned(spark, sf_dir):
     df = SPECS["q47_sequence_packing"].fn(spark, sf_dir)
     plan = plan_str(df, "simple")
     assert "SinglePartition" not in plan, plan
+
+
+def test_aqe_splits_planted_skewed_join(spark):
+    """The session's pinned skew-join posture must actually split a
+    planted hot key at runtime: with thresholds scaled to test data, the
+    executed (adaptive) plan's sort-merge join shows skew=true. At 100 TB
+    the same mechanism fires at the default 256 MB threshold."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8k"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0"),
+        ("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1k"),
+    ]
+    saved = {k: spark.conf.get(k) for k, _ in keys}
+    try:
+        for k, v in keys:
+            spark.conf.set(k, v)
+        hot = spark.range(0, 300_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("v")
+        )
+        rest = spark.range(0, 3_000).select(
+            (F.col("id") % 64).alias("k"), F.col("id").alias("v")
+        )
+        left = hot.unionByName(rest)
+        right = spark.range(0, 64).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("r")
+        )
+        # aggregate after the join so the collect is tiny; executing THIS
+        # DataFrame (not a write-clone) finalizes its adaptive plan
+        joined = left.join(right, "k").groupBy().agg(F.sum("r").alias("s"))
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final
+        assert "skew=true" in final, final
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -80,3 +80,25 @@ def test_int8_quantization_contract(spark, sf_dir):
     z = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
     row = quantize_int8(z, "embedding").collect()[0]
     assert row["q_scale"] == 0.0 and list(row["q_vec"]) == [0, 0, 0]
+
+
+def test_recall_guard_fires_on_empty_output(spark):
+    """The in-plan recall guard must fail loudly when the approximate
+    result is COMPLETELY empty — the total-collapse scenario. A where()
+    guard on output rows is never evaluated on zero rows; the union-poison
+    construction is."""
+    import pytest
+
+    from python_async_sample_spark.plans.similarity_queries import _with_recall_guard
+
+    exact = spark.createDataFrame(
+        [(1, 2), (1, 3)], "query_id long, neighbor_id long"
+    )
+    empty = exact.where(F.lit(False))
+    guarded = _with_recall_guard(empty, exact, floor=0.5, what="collapse-test")
+    with pytest.raises(Exception, match="recall below floor"):
+        guarded.collect()
+
+    # and a clean result passes through unchanged
+    ok = _with_recall_guard(exact, exact, floor=0.5, what="clean-test")
+    assert sorted((r.query_id, r.neighbor_id) for r in ok.collect()) == [(1, 2), (1, 3)]
