@@ -1,0 +1,64 @@
+"""Record-linkage / fuzzy-join gate queries (beyond reference).
+
+The reference's scatter-gather query API joins on EXACT glass ids
+(``eda_query.py:200-214``); a training-data pipeline additionally needs the
+near-equal form — linking dirty feeds to a master relation under small edit
+distance. q100 manufactures a deterministic dirty feed from the part table
+(one character deleted at a partkey-derived position), links it back with
+the blocked ED≤1 join, and is oracled by a BRUTE-FORCE all-pairs DuckDB
+levenshtein — so the oracle match proves the blocking scheme's completeness,
+not just the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.linkage import fuzzy_join_ed1
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+_FUZZY_ORACLE = """
+    WITH master AS (
+      SELECT p_partkey AS master_id, p_name AS nm FROM part
+    ),
+    dirty AS (
+      SELECT p_partkey AS dirty_id,
+             substr(p_name, 1, 3 + (p_partkey % 3))
+               || substr(p_name, 5 + (p_partkey % 3)) AS nm
+      FROM part WHERE p_partkey % 10 = 0
+    )
+    SELECT d.dirty_id, m.master_id,
+           CAST(levenshtein(d.nm, m.nm) AS BIGINT) AS ed
+    FROM dirty d CROSS JOIN master m
+    WHERE levenshtein(d.nm, m.nm) <= 1
+    ORDER BY dirty_id, master_id
+"""
+
+
+@query(
+    "q100_fuzzy_join_ed1",
+    oracle=_FUZZY_ORACLE,
+    ref="record linkage / blocked fuzzy join (beyond reference; cf. J6/J7 exact lookup join eda_query.py:200-214)",
+    tags=("llm-data", "linkage", "join"),
+)
+def q100_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance≤1 linkage of a deterministically-corrupted
+    dirty feed against the part master. The Spark side candidate-generates
+    via 3-char prefix/suffix blocks (inverted-index join, no all-pairs);
+    the oracle IS the all-pairs join — a hash match certifies the blocking
+    lost nothing."""
+    part = load_table(spark, sf_dir, "part")
+    master = part.select(
+        F.col("p_partkey").alias("master_id"), F.col("p_name").alias("nm")
+    )
+    dirty = part.where(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.expr(
+            "substring(p_name, 1, 3 + cast(p_partkey % 3 as int)) || "
+            "substring(p_name, 5 + cast(p_partkey % 3 as int))"
+        ).alias("nm"),
+    )
+    out = fuzzy_join_ed1(dirty, master, "dirty_id", "master_id", "nm")
+    return out.orderBy("dirty_id", "master_id")

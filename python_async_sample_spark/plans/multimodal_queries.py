@@ -156,7 +156,6 @@ def q87_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # union-poison, not a where() on the rows: fires even if `pairs` is empty
     # (the total-collapse case the guard exists for)
-    pairs = pairs.localCheckpoint(eager=True)
     guarded = _union_poison_guard(
         pairs,
         missing.where(~(F.col("__missing") == 0)),

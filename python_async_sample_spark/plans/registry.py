@@ -180,9 +180,11 @@ def load_all() -> dict[str, QuerySpec]:
         dedup_queries,
         extended_queries,
         incremental_queries,
+        linkage_queries,
         multimodal_queries,
         pipeline_queries,
         relational,
+        rollup_queries,
         similarity_queries,
         streaming_queries,
         text_queries,

@@ -85,6 +85,55 @@ def cluster_by(
     return spark.read.parquet(out_path)
 
 
+def _spread_bits(c):
+    """Spread a 16-bit value's bits to the even positions of a 32-bit word
+    (the classic Morton magic-mask chain)."""
+    c = c.bitwiseAND(F.lit(0xFFFF))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    return c
+
+
+def morton2(x, y):
+    """Interleave two 16-bit integer columns into one 32-bit Morton
+    (Z-curve) value: locality in EITHER dimension maps to locality on the
+    curve, so range-clustering by it gives every file a small min/max
+    rectangle in BOTH dimensions."""
+    return _spread_bits(x).bitwiseOR(F.shiftleft(_spread_bits(y), 1)).cast("bigint")
+
+
+def zorder_by(
+    spark: SparkSession,
+    in_path: str,
+    out_path: str,
+    x_col: str,
+    y_col: str,
+    target_file_mb: int = 128,
+    n_files: int | None = None,
+) -> DataFrame:
+    """Multi-dimension clustering: compact AND order the rows along the
+    Z-curve of (``x_col``, ``y_col``) — the two-column generalization of
+    :func:`cluster_by`. Single-column range clustering prunes only its lead
+    column; Z-ordering makes parquet footer min/max useful for BOX
+    predicates on both columns at once (a two-column OPTIMIZE ... ZORDER
+    BY). Columns are used modulo 2^16 — scale/quantize wider domains into
+    16 bits first (ranks, buckets), which is what production Z-order
+    implementations do internally."""
+    pin_reader_conf(spark)
+    n = n_files or target_file_count(spark, in_path, target_file_mb)
+    z = morton2(F.col(x_col), F.col(y_col))
+    (
+        spark.read.parquet(in_path)
+        .repartitionByRange(n, z)
+        .sortWithinPartitions(z)
+        .write.mode("error")
+        .parquet(out_path)
+    )
+    return spark.read.parquet(out_path)
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,

@@ -169,3 +169,56 @@ def test_delete_keys_tolerates_missing_footer_stats(spark):
     after = spark.read.parquet(out)
     assert after.where(F.col("user_id").isin([500, 3])).count() == 0
     assert after.count() == 100 + 2 - 2
+
+
+def _file_ranges(path, col):
+    out = {}
+    for f in _files(path):
+        meta = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            c = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        out[f] = (min(mins), max(maxs))
+    return out
+
+
+def test_zorder_prunes_box_queries_on_both_dims(spark, fragmented):
+    """Z-ordering by (user_id, int(value)) must give files small min/max
+    rectangles in BOTH dimensions, so a box predicate can prune files on
+    either column — single-column clustering can only prune its lead
+    column."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.sources.layout import zorder_by
+
+    zout = tempfile.mkdtemp(prefix="layout_out_") + "/zorder"
+    # events value is double — quantize to ints for the curve
+    tmp = tempfile.mkdtemp(prefix="layout_out_") + "/quantized"
+    spark.read.parquet(fragmented).withColumn(
+        "value_i", F.col("value").cast("int")
+    ).write.parquet(tmp)
+    z = zorder_by(spark, tmp, zout, "user_id", "value_i", n_files=8)
+
+    before = spark.read.parquet(tmp)
+    assert before.exceptAll(z).count() == 0 and z.exceptAll(before).count() == 0
+
+    u_ranges = _file_ranges(zout, "user_id")
+    v_ranges = _file_ranges(zout, "value_i")
+    files = list(u_ranges)
+    assert len(files) == 8
+
+    # box: user_id <= 1 AND value_i <= 40
+    def intersects(f):
+        return u_ranges[f][0] <= 1 and v_ranges[f][0] <= 40
+
+    surviving = [f for f in files if intersects(f)]
+    assert len(surviving) < len(files)  # the box prunes files
+    # and specifically the VALUE dimension prunes at least one file whose
+    # user range still matches — impossible under user_id-only clustering
+    assert any(u_ranges[f][0] <= 1 and v_ranges[f][0] > 40 for f in files)
