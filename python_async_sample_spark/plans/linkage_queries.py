@@ -38,12 +38,12 @@ _FUZZY_ORACLE = """
 
 
 @query(
-    "q100_fuzzy_join_ed1",
+    "q106_fuzzy_join_ed1",
     oracle=_FUZZY_ORACLE,
     ref="record linkage / blocked fuzzy join (beyond reference; cf. J6/J7 exact lookup join eda_query.py:200-214)",
     tags=("llm-data", "linkage", "join"),
 )
-def q100_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q106_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance≤1 linkage of a deterministically-corrupted
     dirty feed against the part master. The Spark side candidate-generates
     via 3-char prefix/suffix blocks (inverted-index join, no all-pairs);

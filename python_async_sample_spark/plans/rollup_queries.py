@@ -1,11 +1,11 @@
 """Rollup-maintenance and feature-engineering gate queries (beyond reference).
 
-q101 exercises the mergeable-partial-aggregate path end-to-end: day-grain
+q107 exercises the mergeable-partial-aggregate path end-to-end: day-grain
 partials merged to month grain, oracled against the direct month aggregate
 from raw — the incremental form of the reference's full MV recompute
 (``dbs/nikon.py:188-197``, q29's batch analog).
 
-q104/q105 are the two feature-engineering staples every training pipeline
+q109/q110 are the two feature-engineering staples every training pipeline
 runs over tabular signals: exact-rank decile binning and per-group z-score
 normalization — both pure window/aggregate plans, both exactly
 SQL-oracle-able.
@@ -43,12 +43,12 @@ _SPECS = [
 
 
 @query(
-    "q101_partial_agg_merge",
+    "q107_partial_agg_merge",
     oracle=_PARTIAL_MERGE_ORACLE,
     ref="mergeable rollup maintenance (beyond reference; incremental form of S13 dbs/nikon.py:188-197)",
     tags=("rollup", "incremental"),
 )
-def q101_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q107_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-grain partials merged to month grain. The month result is
     computed WITHOUT touching raw again — the merge's input is the partial
     relation only — and must equal the direct month aggregate (the oracle).
@@ -116,12 +116,12 @@ _ZORDER_ORACLE = """
 
 
 @query(
-    "q102_zorder_curve",
+    "q108_zorder_curve",
     oracle=_ZORDER_ORACLE,
     ref="multi-dim z-order clustering key (beyond reference; sources/layout.py zorder_by)",
     tags=("layout",),
 )
-def q102_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q108_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Morton (Z-curve) clustering key zorder_by sorts files with,
     surfaced as a query so the bit-interleave arithmetic is pinned
     cross-engine: first 50 events along the curve of (user_id, int(value)).
@@ -158,12 +158,12 @@ _DECILE_ORACLE = """
 
 
 @query(
-    "q104_decile_binning",
+    "q109_decile_binning",
     oracle=_DECILE_ORACLE,
     ref="feature binning (beyond reference)",
     tags=("feature", "window"),
 )
-def q104_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q109_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-rank decile binning of order totals (ntile with a
     deterministic orderkey tiebreak), summarized per bin. The global-order
     window is the EXACT form; at 100 TB the same feature ships via the
@@ -201,12 +201,12 @@ _ZSCORE_ORACLE = """
 
 
 @query(
-    "q105_groupwise_zscore",
+    "q110_groupwise_zscore",
     oracle=_ZSCORE_ORACLE,
     ref="per-group normalization (beyond reference; cf. scale() R/basic_fun.R:83)",
     tags=("feature",),
 )
-def q105_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q110_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score normalization (the reference z-scores
     x-coordinates driver-side at R/basic_fun.R:83; here it is one grouped
     aggregate broadcast back onto the stream — two scans, no window sort,
