@@ -227,3 +227,32 @@ def q85_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("n_name", "event_type", "n_events", "sum_value").orderBy(
         "n_name", "event_type"
     )
+
+
+@query(
+    "q103_stream_bounded_dedup",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="I3,I6 streaming-native with BOUNDED dedup state (dropDuplicatesWithinWatermark)",
+    tags=("streaming",),
+)
+def q103_stream_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events file delivered TWICE in separate micro-batches, deduped
+    with state bounded to the re-delivery horizon
+    (dropDuplicatesWithinWatermark — q71's dropDuplicates keeps all keys
+    forever, which no unbounded 100 TB stream can afford), then windowed
+    per-day counts via chained stateful operators in append mode. Result
+    must equal a single clean batch pass."""
+    from python_async_sample_spark.streaming.jobs import (
+        stream_bounded_dedup_counts_to_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_bounded_dedup_")
+    out = stream_bounded_dedup_counts_to_parquet(spark, sf_dir, tmp)
+    return out.select("dt", "event_type", "n_events", "sum_value").orderBy(
+        "dt", "event_type"
+    )

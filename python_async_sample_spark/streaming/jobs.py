@@ -221,9 +221,10 @@ def stream_static_enrich_to_parquet(
     return spark.read.parquet(f"{work_dir}/sink")
 
 
-def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
-    """Copy the events file into a staging source dir and append two
-    one-row sentinel files with far-future timestamps.
+def _stage_source_with_sentinels(sf_dir: str, src_dir: str, copies: int = 1) -> None:
+    """Copy the events file into a staging source dir (``copies`` times —
+    >1 simulates at-least-once re-delivery) and append two one-row sentinel
+    files with far-future timestamps.
 
     Why: in append mode the streaming engine emits a session only in the
     batch *after* the watermark passes it, and the watermark itself advances
@@ -238,7 +239,8 @@ def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
 
     os.makedirs(src_dir, exist_ok=True)
     events_path = f"{sf_dir.rstrip('/')}/events.parquet"
-    shutil.copy(events_path, f"{src_dir}/00_events.parquet")
+    for c in range(copies):
+        shutil.copy(events_path, f"{src_dir}/0{c}_events.parquet")
     table = pq.read_table(events_path, columns=["ts"])
     max_ts = pa.compute.max(table["ts"]).as_py()
     schema = pq.read_schema(events_path)
@@ -254,7 +256,7 @@ def _stage_source_with_sentinels(sf_dir: str, src_dir: str) -> None:
         sentinel = pa.Table.from_pydict(
             {k: row[k] for k in schema.names}, schema=schema
         )
-        pq.write_table(sentinel, f"{src_dir}/0{i}_sentinel.parquet")
+        pq.write_table(sentinel, f"{src_dir}/9{i}_sentinel.parquet")
 
 
 def stream_dedup_counts_to_parquet(
@@ -297,6 +299,75 @@ def stream_dedup_counts_to_parquet(
     )
     run_available_now(counts, f"{work_dir}/sink", f"{work_dir}/checkpoint")
     return spark.read.parquet(f"{work_dir}/sink")
+
+
+def stream_bounded_dedup_counts_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    work_dir: str,
+    redelivery_horizon: str = "1 day",
+) -> DataFrame:
+    """Exactly-once ingestion with BOUNDED dedup state — the production
+    form of :func:`stream_dedup_counts_to_parquet`.
+
+    ``dropDuplicates`` keeps every key ever seen; on an unbounded 100 TB
+    stream that state grows forever. ``dropDuplicatesWithinWatermark``
+    bounds state to the re-delivery horizon: a duplicate either matches
+    retained state (arrived within the horizon) or is older than the
+    watermark and is dropped as late — both paths discard it, and the state
+    store only ever holds ~horizon's worth of keys. The staged replay
+    delivers the whole events file twice in separate micro-batches
+    (``maxFilesPerTrigger=1``), so both paths are actually exercised: the
+    second batch's recent events dedup against state, its older events fall
+    below the advanced watermark. Downstream, an event-time windowed
+    aggregation (chained stateful operators, append mode) must emit
+    single-pass per-day counts.
+    """
+    src_dir = f"{work_dir}/src"
+    _stage_source_with_sentinels(sf_dir, src_dir, copies=2)
+
+    pin_reader_conf(spark)
+    ns_cols = _nanos_timestamp_columns(f"{src_dir}/00_events.parquet")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    for c in ns_cols:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+
+    counts = (
+        stream.withWatermark("ts", redelivery_horizon)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("dt"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    with bounded_drain_conf(spark):
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work_dir}/sink")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(f"{work_dir}/sink")
+        .where(F.col("event_type") != "__sentinel__")
+    )
 
 
 def stream_session_stats_to_parquet(
