@@ -35,23 +35,31 @@ from pyspark.sql import functions as F
 
 
 def _blocking_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
-    """Emit the two ED≤1-complete blocking keys per row: (side, 3-char
-    exact segment) for the prefix and the suffix."""
+    """Emit the ED≤1-complete blocking keys per row: (side, 3-char exact
+    segment) for the prefix and the suffix, plus — for strings of length
+    ≤ 6 only — a shared short-bucket key. The segment guarantee needs
+    ``min_len ≥ 6``; an ED≤1 pair with a shorter member has BOTH members
+    ≤ 6 chars (lengths differ by at most 1), so the short bucket catches
+    exactly the pairs the segments can miss. It is quadratic only across
+    the ≤6-char strings — a tiny, bounded domain at any corpus size."""
+    keys = F.array(
+        F.struct(
+            F.lit("p").alias("side"),
+            F.substring(F.col(name_col), 1, 3).alias("seg"),
+        ),
+        F.struct(
+            F.lit("s").alias("side"),
+            F.expr(f"right({name_col}, 3)").alias("seg"),
+        ),
+    )
+    keys = F.when(
+        F.length(name_col) <= 6,
+        F.concat(keys, F.array(F.struct(F.lit("t").alias("side"), F.lit("").alias("seg")))),
+    ).otherwise(keys)
     return df.select(
         F.col(id_col),
         F.col(name_col),
-        F.explode(
-            F.array(
-                F.struct(
-                    F.lit("p").alias("side"),
-                    F.substring(F.col(name_col), 1, 3).alias("seg"),
-                ),
-                F.struct(
-                    F.lit("s").alias("side"),
-                    F.expr(f"right({name_col}, 3)").alias("seg"),
-                ),
-            )
-        ).alias("bk"),
+        F.explode(keys).alias("bk"),
     ).select(id_col, name_col, "bk.side", "bk.seg")
 
 
@@ -65,9 +73,11 @@ def fuzzy_join_ed1(
     """Link every ``dirty`` row to every ``master`` row within edit
     distance 1 of its ``name_col`` (distance 0 = exact duplicates included).
 
-    Returns (dirty_id, master_id, ed). Complete for names of length ≥ 6
-    (see module docstring); the verify step is the only place edit distance
-    is computed, and only over key-sharing candidates.
+    Returns (dirty_id, master_id, ed). Complete for ALL name lengths: the
+    segment blocks guarantee pairs with both names ≥ 6 chars (module
+    docstring), and a short-bucket block covers pairs involving a ≤5-char
+    name. The verify step is the only place edit distance is computed, and
+    only over key-sharing candidates.
 
     The verify runs on DISTINCT name pairs, then expands back to id pairs
     with two hash joins — on real corpora names repeat heavily (duplicate

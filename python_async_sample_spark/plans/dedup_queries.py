@@ -196,3 +196,66 @@ def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir, n=3)
     pairs = jaccard_pairs(sh, threshold=0.8)
     return dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
+
+
+@query(
+    "q111_incremental_dedup",
+    oracle="""
+    WITH batch AS (
+      SELECT doc_id, md5(substr(lower(text), 1, 40)) AS k
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    history AS (
+      SELECT DISTINCT md5(substr(lower(text), 1, 40)) AS k
+      FROM documents WHERE doc_id % 4 <> 0
+    ),
+    ranked AS (
+      SELECT doc_id, k,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT r.doc_id, r.k AS content_key
+    FROM ranked r LEFT JOIN history h ON r.k = h.k
+    WHERE r.rn = 1 AND h.k IS NULL
+    ORDER BY r.doc_id
+    """,
+    ref="incremental corpus dedup (beyond reference; the operational form of dedup-exact)",
+    tags=("llm-data", "dedup", "incremental"),
+)
+def q111_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch against an already-deduped historical corpus —
+    the shape a continuously-ingesting training pipeline actually runs:
+    never re-mine history-vs-history pairs, only (a) batch-internal dedup
+    (min-id winner per content key) and (b) an anti-join of batch keys
+    against history keys. The key is a normalized-prefix fingerprint
+    (md5 of the first 40 lowercased chars — a canopy that actually
+    collides on this corpus's planted near-dups; exact md5(text) would be
+    vacuous here, and any content key slots in). History is touched by
+    exactly one distinct-key scan; at 100 TB the history key set is a
+    pre-materialized, bucketed table and step (b) is a co-located join.
+    Returns the surviving batch docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.substring(F.lower(F.col("text")), 1, 40))
+    batch = docs.where(F.col("doc_id") % 4 == 0).select(
+        "doc_id", key.alias("content_key")
+    )
+    history = (
+        docs.where(F.col("doc_id") % 4 != 0)
+        .select(key.alias("content_key"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window as W
+
+    first_in_batch = (
+        batch.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("content_key").orderBy("doc_id")),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        first_in_batch.join(history, "content_key", "left_anti")
+        .select("doc_id", "content_key")
+        .orderBy("doc_id")
+    )

@@ -46,6 +46,33 @@ def test_links_all_single_edit_kinds(spark):
     }
 
 
+def test_short_names_still_complete(spark):
+    """Pairs with a member under 6 chars can evade the segment blocks
+    (prefix3/suffix3 overlap the whole string); the short bucket must catch
+    them — including short-vs-6-char pairs."""
+    master = _df(spark, [(1, "cat"), (2, "abcde"), (3, "abcdef")], "master_id")
+    dirty = _df(
+        spark,
+        [
+            (10, "cot"),  # 3-char substitution in the middle
+            (11, "abde"),  # 4-char deletion vs abcde -> breaks BOTH segments
+            (12, "abdde"),  # 5-char vs abcde sub, and vs abcdef? ed 2 (no)
+            (13, "bbcdef"),  # 6-char vs abcdef: caught by suffix segment
+        ],
+        "dirty_id",
+    )
+    got = {
+        (r.dirty_id, r.master_id): r.ed
+        for r in fuzzy_join_ed1(dirty, master, "dirty_id", "master_id").collect()
+    }
+    assert got == {
+        (10, 1): 1,
+        (11, 2): 1,
+        (12, 2): 1,
+        (13, 3): 1,
+    }
+
+
 def test_blocked_equals_bruteforce_on_fixture(spark, sf_dir):
     """The blocking must lose nothing vs the all-pairs join on real data."""
     from python_async_sample_spark.sources.readers import load_table
