@@ -62,3 +62,39 @@ def q106_fuzzy_join_ed1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = fuzzy_join_ed1(dirty, master, "dirty_id", "master_id", "nm")
     return out.orderBy("dirty_id", "master_id")
+
+
+@query(
+    "q112_bloom_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    ref="bloom-pruned semi-join (beyond reference; the runtime-filter pattern as an operator)",
+    tags=("join", "scale"),
+)
+def q112_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join of lineitem against the selective p_size=5 part subset,
+    pre-pruned by a hand-built distributed Bloom filter (compact broadcast
+    map, k xxhash64 bit tests per probe row) before the exact verify. The
+    oracle is the plain IN-subquery semi-join: a hash match proves the
+    bloom path has NO false negatives, and the exact verify removed every
+    false positive. At 100 TB the filter is built once and persisted;
+    probe passes drop non-candidates before any shuffle."""
+    from python_async_sample_spark.operators.bloom import bloom_semi_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(F.col("p_size") == 5)
+    kept = bloom_semi_join(li, part, "l_partkey", "p_partkey")
+    return (
+        kept.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
