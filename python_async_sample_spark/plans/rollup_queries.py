@@ -226,3 +226,61 @@ def q110_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH touches AS (
+      SELECT user_id, event_id, epoch_us(date_trunc('microseconds', ts)) AS tus
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id,
+             epoch_us(date_trunc('microseconds', ts)) AS ctus
+      FROM events WHERE event_type = 'purchase'
+    ),
+    joined AS (
+      SELECT c.user_id, c.conv_id, t.event_id AS touch_id, t.tus
+      FROM conv c JOIN touches t
+        ON c.user_id = t.user_id AND t.tus <= c.ctus
+    )
+    SELECT user_id, conv_id,
+           CAST(min_by(touch_id, tus) AS BIGINT) AS first_touch,
+           CAST(max_by(touch_id, tus) AS BIGINT) AS last_touch,
+           CAST(count(*) AS BIGINT) AS n_touches
+    FROM joined GROUP BY user_id, conv_id ORDER BY user_id, conv_id
+"""
+
+
+@query(
+    "q113_touch_attribution",
+    oracle=_ATTRIBUTION_ORACLE,
+    ref="first/last-touch attribution (beyond reference; asof-family analytics)",
+    tags=("feature", "analytics"),
+)
+def q113_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch and last-touch attribution: every purchase is credited
+    to the earliest and latest click/view at-or-before it for the same
+    user. One user-keyed join bounded by the time predicate, then
+    min_by/max_by on the touch time — deterministic because (user, ts) is
+    unique among touches in this corpus (checked at all scales; a corpus
+    with ties would add an id tiebreak), partitioned by user, no global
+    sort. The conversion×touch join is bounded per user (the asof-join
+    family's state argument)."""
+    events = load_table(spark, sf_dir, "events")
+    tus = F.unix_micros(F.col("ts"))
+    touches = events.where(F.col("event_type").isin("click", "view")).select(
+        "user_id", F.col("event_id").alias("touch_id"), tus.alias("tus")
+    )
+    conv = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("conv_id"), tus.alias("ctus")
+    )
+    joined = conv.join(touches, "user_id").where(F.col("tus") <= F.col("ctus"))
+    return (
+        joined.groupBy("user_id", "conv_id")
+        .agg(
+            F.min_by("touch_id", F.col("tus")).cast("bigint").alias("first_touch"),
+            F.max_by("touch_id", F.col("tus")).cast("bigint").alias("last_touch"),
+            F.count(F.lit(1)).alias("n_touches"),
+        )
+        .orderBy("user_id", "conv_id")
+    )

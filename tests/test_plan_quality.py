@@ -59,7 +59,7 @@ def test_no_cartesian_products(spark, sf_dir):
                     "q29_summary_mv_recompute", "q60_stream_sessionization",
                     "q61_wide_tool_table", "q71_stream_exactly_once_dedup",
                     "q75_stream_stateful_profiles", "q77_stream_stream_join",
-                    "q85_stream_static_enrich"):
+                    "q85_stream_static_enrich", "q103_stream_bounded_dedup"):
             continue  # side-effecting runners; plans checked via their outputs
         df = spec.fn(spark, sf_dir)
         plan = plan_str(df, "simple")
@@ -194,3 +194,33 @@ def test_aqe_splits_planted_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_fuzzy_join_never_cartesian(spark, sf_dir):
+    """q106's candidate generation must be a key equi-join over blocking
+    segments — an all-pairs/cartesian plan is the exact thing the blocking
+    exists to avoid."""
+    df = SPECS["q106_fuzzy_join_ed1"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_probe_is_single_broadcast_map(spark, sf_dir):
+    """q112's probe side must meet the filter as ONE broadcast single-row
+    map (a BroadcastNestedLoopJoin against one row), never a cartesian or
+    a per-bit shuffle; the exact verify is the only key-shuffled join."""
+    df = SPECS["q112_bloom_semi_join"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_partial_merge_is_two_level_aggregate(spark, sf_dir):
+    """q107 must aggregate twice (day partials, then month merge) with no
+    join back to the fact table — the whole point is the merge touches
+    only the partial relation."""
+    df = SPECS["q107_partial_agg_merge"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × two levels
