@@ -325,3 +325,58 @@ def q89_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_CLASSIFIER_ORACLE = """
+    WITH feats AS (
+      SELECT doc_id,
+             length(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(list_distinct(string_split(text, ' ')))
+               * 1.0 / length(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(-2.0
+                                + 0.015 * least(n_tokens, 400)
+                                + 3.0  * distinct_ratio
+                                - 0.002 * (n_chars * 1.0 / n_tokens)))) AS p
+      FROM feats
+    )
+    SELECT doc_id, round(p, 6) AS p_keep,
+           CAST(p >= 0.5 AS BOOLEAN) AS keep
+    FROM scored ORDER BY doc_id
+"""
+
+
+@query(
+    "q114_quality_classifier",
+    oracle=_CLASSIFIER_ORACLE,
+    ref="model-based quality filter (beyond reference; frozen linear classifier over text features)",
+    tags=("llm-data", "text", "feature"),
+)
+def q114_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A frozen linear quality classifier (fastText-style logistic over
+    cheap text features) applied as pure JVM expressions — the
+    model-based keep/drop step of corpus prep. Weights are constants
+    broadcast in the plan; scoring is one scan, no UDF, no shuffle before
+    the gate's orderBy. Swapping in retrained weights is a literal
+    change, the dataflow is identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    distinct_ratio = F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.015) * F.least(n_tokens, F.lit(400))
+        + F.lit(3.0) * distinct_ratio
+        - F.lit(0.002) * (n_chars * F.lit(1.0) / n_tokens)
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(p, 6).alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
