@@ -380,3 +380,153 @@ def q114_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("p_keep"),
         (p >= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+_TFIDF_ORACLE = """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term <> '' GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs * 1.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    )
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tfidf
+    FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk
+"""
+
+
+@query(
+    "q115_tfidf_keywords",
+    oracle=_TFIDF_ORACLE,
+    ref="per-document TF-IDF keyword extraction (beyond reference; cf. BM25 q46)",
+    tags=("llm-data", "text"),
+)
+def q115_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the cheap keyword/topic signal a
+    corpus browser or mixture-balancing stage reads. tf and df are two
+    grouped aggregations over one exploded scan; df joins back on term as
+    a SHUFFLE join (document frequency is vocabulary-sized — same
+    never-broadcast rule as q89); the per-doc top-3 is a partitioned
+    window, deterministic via the term tiebreak."""
+    docs = load_table(spark, sf_dir, "documents")
+    # corpus size rides the plan as a broadcast one-row scalar — no eager
+    # driver-side count() action
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tfidf")
+        .orderBy("doc_id", "rk")
+    )
+
+
+_HEALTH_ORACLE = """
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' ')))
+               * 1.0 / len(string_split(text, ' ')) AS distinct_ratio,
+             md5(substr(lower(text), 1, 40)) AS canopy
+      FROM documents
+    ),
+    flagged AS (
+      SELECT lang,
+             CASE WHEN n_tokens < 20 THEN 'short'
+                  WHEN distinct_ratio < 0.5 THEN 'repetitive'
+                  ELSE 'ok' END AS quality_bucket,
+             count(*) OVER (PARTITION BY canopy) > 1 AS is_dup,
+             n_tokens
+      FROM feats
+    )
+    SELECT coalesce(lang, '<all>') AS lang,
+           coalesce(quality_bucket, '<all>') AS quality_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+    FROM flagged
+    GROUP BY GROUPING SETS ((lang, quality_bucket), (lang), ())
+    ORDER BY lang, quality_bucket
+"""
+
+
+@query(
+    "q116_corpus_health_report",
+    oracle=_HEALTH_ORACLE,
+    ref="corpus health dashboard (beyond reference; grouping-sets composition of quality/dup/lang signals)",
+    tags=("llm-data", "text", "rollup"),
+)
+def q116_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass ops dashboard a corpus owner reads before a training
+    run: per-(lang, quality-bucket) doc/token/duplicate counts with lang
+    and grand-total rollups via GROUPING SETS — one scan computes the
+    features, one window marks canopy duplicates, one multi-grain
+    aggregation replaces three separate dashboard queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    feats = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias(
+            "distinct_ratio"
+        ),
+        F.md5(F.substring(F.lower(F.col("text")), 1, 40)).alias("canopy"),
+    )
+    from pyspark.sql.window import Window as W
+
+    flagged = feats.select(
+        "lang",
+        F.when(F.col("n_tokens") < 20, "short")
+        .when(F.col("distinct_ratio") < 0.5, "repetitive")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+        (F.count(F.lit(1)).over(W.partitionBy("canopy")) > 1).alias("is_dup"),
+        "n_tokens",
+    )
+    return (
+        flagged.groupingSets(
+            [["lang", "quality_bucket"], ["lang"], []], "lang", "quality_bucket"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_docs"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("quality_bucket", F.lit("<all>")).alias("quality_bucket"),
+            "n_docs",
+            "total_tokens",
+            "n_dup_docs",
+        )
+        .orderBy("lang", "quality_bucket")
+    )
