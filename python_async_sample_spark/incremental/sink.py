@@ -104,19 +104,34 @@ def overwrite_window(
     else:
         out = new_rows
 
-    # Stage the full replacement content before touching the target.
+    # Garbage-collect stage dirs a previous crashed run left behind (the
+    # store is single-writer — see incremental/state.py — so any existing
+    # .stage-* is stale); then stage the full replacement content before
+    # touching the target.
+    for child in hadoop_fs.listdir(spark, target_path):
+        if child.startswith(".stage-"):
+            hadoop_fs.delete(spark, f"{target_path}/{child}")
     stage = f"{target_path}/.stage-{uuid.uuid4().hex}"
-    try:
-        out.write.mode("overwrite").partitionBy(DT_COL).parquet(stage)
-        staged = [p for p in hadoop_fs.listdir(spark, stage) if p.startswith(f"{DT_COL}=")]
-        for part in staged:
+    out.write.mode("overwrite").partitionBy(DT_COL).parquet(stage)
+
+    # Swap. Hadoop rename reports most failures by RETURNING FALSE, not
+    # raising — treat false as fatal BEFORE anything else is touched, and
+    # clean the stage dir only after every partition swapped: on any
+    # failure the staged copy (the only copy of an already-deleted
+    # partition's boundary rows) stays on disk for the next run's GC sweep
+    # / manual recovery rather than being destroyed in a finally block.
+    staged = [p for p in hadoop_fs.listdir(spark, stage) if p.startswith(f"{DT_COL}=")]
+    for part in staged:
+        hadoop_fs.delete(spark, f"{target_path}/{part}")
+        if not hadoop_fs.rename(spark, f"{stage}/{part}", f"{target_path}/{part}"):
+            raise RuntimeError(
+                f"overwrite_window: rename of staged partition {part!r} into "
+                f"{target_path!r} failed; staged data preserved at {stage!r}"
+            )
+    for part in touched:
+        if part not in staged:
             hadoop_fs.delete(spark, f"{target_path}/{part}")
-            hadoop_fs.rename(spark, f"{stage}/{part}", f"{target_path}/{part}")
-        for part in touched:
-            if part not in staged:
-                hadoop_fs.delete(spark, f"{target_path}/{part}")
-    finally:
-        hadoop_fs.delete(spark, stage)
+    hadoop_fs.delete(spark, stage)
 
 
 def read_target(spark: SparkSession, target_path: str) -> DataFrame:

@@ -24,6 +24,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _normalized_key(df: DataFrame, key_col: str):
+    """xxhash64 hashes IntegerType and LongType DIFFERENTLY, so a filter
+    built on a bigint key silently false-negatives against an int probe
+    key — fatal for the no-false-negative contract. Normalize every
+    integral key to long on BOTH sides before hashing."""
+    dt = df.schema[key_col].dataType
+    col = F.col(key_col)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return col.cast("long")
+    return col
 
 
 def _bit_positions(col, k: int, m_bits: int):
@@ -52,7 +65,7 @@ def build_bloom(
     """Aggregate the build side's keys into a (word, word_mask) filter
     relation of at most ``m_bits/64`` rows."""
     return (
-        build.select(F.explode(_bit_positions(F.col(key_col), k, m_bits)).alias("b"))
+        build.select(F.explode(_bit_positions(_normalized_key(build, key_col), k, m_bits)).alias("b"))
         .select("b.word", "b.mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("word_mask"))
@@ -72,7 +85,7 @@ def bloom_might_contain(
         F.map_from_entries(F.collect_list(F.struct("word", "word_mask"))).alias("__bm")
     )
     tagged = probe.withColumn(
-        "__bp", _bit_positions(F.col(key_col), k, m_bits)
+        "__bp", _bit_positions(_normalized_key(probe, key_col), k, m_bits)
     ).crossJoin(F.broadcast(bloom_map))
     keep = F.forall(
         "__bp",

@@ -18,7 +18,7 @@ length ≥ 6: write the two strings as ``P·u·S`` / ``P·v·S`` with
 ED ≤ 1 pair admits); then ``|P|+|S| ≥ min_len − 1 ≥ 5``, so ``|P| ≥ 3`` or
 ``|S| ≥ 3`` — the pair shares its first 3 or last 3 characters exactly.
 This is the segment-pigeonhole idea behind PassJoin (Li et al., VLDB'11),
-cut down to the ED ≤ 1 case where two fixed segments suffice. q100's
+cut down to the ED ≤ 1 case where two fixed segments suffice. q106's
 brute-force DuckDB oracle *proves* the completeness claim on every run: a
 single missed pair hash-mismatches the gate.
 
@@ -49,7 +49,9 @@ def _blocking_keys(df: DataFrame, id_col: str, name_col: str) -> DataFrame:
         ),
         F.struct(
             F.lit("s").alias("side"),
-            F.expr(f"right({name_col}, 3)").alias("seg"),
+            # negative-start substring == right(, 3), without splicing the
+            # column name into a SQL string
+            F.substring(F.col(name_col), -3, 3).alias("seg"),
         ),
     )
     keys = F.when(

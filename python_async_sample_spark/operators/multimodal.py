@@ -150,6 +150,11 @@ class HeaderDecoder(MediaDecoder):
                 i += 1
                 continue
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # 0xFF fill byte before a marker — skip it
+                continue
+            if marker == 0xD9:
+                break  # EOI before any SOF
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

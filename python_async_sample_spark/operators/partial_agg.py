@@ -17,7 +17,7 @@ partial/final split Spark itself performs inside a single aggregation
 (partial_sum → sum) — this operator lifts that split across TABLES so the
 partial state can be persisted between runs.
 
-q101 pins correctness: merging day-partials to month must hash-match the
+q107 pins correctness: merging day-partials to month must hash-match the
 direct month aggregate computed from raw.
 """
 

@@ -3,7 +3,7 @@
 The reference's scatter-gather query API joins on EXACT glass ids
 (``eda_query.py:200-214``); a training-data pipeline additionally needs the
 near-equal form — linking dirty feeds to a master relation under small edit
-distance. q100 manufactures a deterministic dirty feed from the part table
+distance. q106 manufactures a deterministic dirty feed from the part table
 (one character deleted at a partkey-derived position), links it back with
 the blocked ED≤1 join, and is oracled by a BRUTE-FORCE all-pairs DuckDB
 levenshtein — so the oracle match proves the blocking scheme's completeness,

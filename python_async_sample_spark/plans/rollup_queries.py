@@ -80,8 +80,11 @@ _ZORDER_ORACLE = """
       SELECT event_id, user_id AS x, CAST(floor(value) AS INT) AS y FROM events
     ),
     sx AS (
+      -- BIGINT throughout: INTEGER << overflows (DuckDB raises, Spark
+      -- wraps negative) once spread bits reach position 30
       SELECT event_id, x, y,
-             (x & 65535) AS a0, (y & 65535) AS b0
+             (CAST(x AS BIGINT) & 65535) AS a0,
+             (CAST(y AS BIGINT) & 65535) AS b0
       FROM q
     ),
     sp AS (

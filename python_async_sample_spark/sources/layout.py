@@ -87,12 +87,14 @@ def cluster_by(
 
 def _spread_bits(c):
     """Spread a 16-bit value's bits to the even positions of a 32-bit word
-    (the classic Morton magic-mask chain)."""
-    c = c.bitwiseAND(F.lit(0xFFFF))
-    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF))
-    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F))
-    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333))
-    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555))
+    (the classic Morton magic-mask chain). All arithmetic rides LONG: on
+    int columns, y ≥ 0x8000 reaches bit 30 and the final shift would wrap
+    negative in 32-bit math — half the documented 16-bit domain."""
+    c = c.cast("long").bitwiseAND(F.lit(0xFFFF).cast("long"))
+    c = (c.bitwiseOR(F.shiftleft(c, 8))).bitwiseAND(F.lit(0x00FF00FF).cast("long"))
+    c = (c.bitwiseOR(F.shiftleft(c, 4))).bitwiseAND(F.lit(0x0F0F0F0F).cast("long"))
+    c = (c.bitwiseOR(F.shiftleft(c, 2))).bitwiseAND(F.lit(0x33333333).cast("long"))
+    c = (c.bitwiseOR(F.shiftleft(c, 1))).bitwiseAND(F.lit(0x55555555).cast("long"))
     return c
 
 

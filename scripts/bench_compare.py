@@ -28,12 +28,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load_current(args) -> dict:
     if args.run:
-        subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
         )
-        # bench.py writes its JSON durably to BENCH_SELF.json (stdout can be
-        # polluted by Spark log noise)
+        # Prefer THIS run's stdout JSON line; fall back to BENCH_SELF.json
+        # (the durable copy) only if stdout was polluted. Never silently
+        # compare against a stale committed file when the fresh run's
+        # output is parseable.
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(parsed, dict) and "queries" in parsed:
+                return parsed
         with open(os.path.join(REPO, "BENCH_SELF.json")) as f:
             return json.load(f)
     with open(args.bench_json) as f:

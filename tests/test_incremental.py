@@ -92,9 +92,15 @@ def test_overwrite_window_crash_during_write_leaves_old_window(spark, sf_dir, tm
     with pytest.raises(Exception, match="injected|Job aborted|boom|Task"):
         overwrite_window(poisoned, target, "ts", lo, hi)
 
-    # old window intact, no stage litter visible to readers
+    # old window intact; a crashed stage dir may remain (readers ignore
+    # dot-dirs, and it is preserved deliberately — it can hold the only
+    # copy of boundary rows when a later swap fails)
     after = sorted(r["event_id"] for r in read_target(spark, target).collect())
     assert after == before
+
+    # the next successful delivery garbage-collects stale stage dirs
+    overwrite_window(events, target, "ts", lo, hi)
+    assert sorted(r["event_id"] for r in read_target(spark, target).collect()) == before
     import glob as _glob
 
     assert not _glob.glob(f"{target}/.stage-*")

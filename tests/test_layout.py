@@ -222,3 +222,23 @@ def test_zorder_prunes_box_queries_on_both_dims(spark, fragmented):
     # and specifically the VALUE dimension prunes at least one file whose
     # user range still matches — impossible under user_id-only clustering
     assert any(u_ranges[f][0] <= 1 and v_ranges[f][0] > 40 for f in files)
+
+
+def test_morton_covers_full_16bit_domain(spark):
+    """The spread-bits chain must ride long arithmetic: on ints, inputs
+    >= 0x8000 reach bit 30 and the final shift wraps negative in 32-bit
+    math — half the documented domain."""
+    from python_async_sample_spark.sources.layout import morton2
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (65535, 65535), (32768, 32768), (65535, 0)],
+        "x int, y int",
+    )
+    got = {(r.x, r.y): r.z for r in df.withColumn("z", morton2(F.col("x"), F.col("y"))).collect()}
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1
+    assert got[(0, 1)] == 2
+    assert got[(65535, 65535)] == 0xFFFFFFFF
+    assert got[(32768, 32768)] == 0xC0000000
+    assert got[(65535, 0)] == 0x55555555
+    assert all(z >= 0 for z in got.values())

@@ -159,3 +159,17 @@ def test_media_phash_invariants(spark):
     ham_far = bin((h[1] ^ h[4]) & (2**64 - 1)).count("1")
     assert ham_near <= 3  # tail perturbation stays within blocking reach
     assert ham_far > ham_near  # unrelated content is farther away
+
+
+def test_jpeg_fill_bytes_and_eoi(spark):
+    """0xFF fill bytes before markers are legal JPEG padding; the marker
+    walk must skip them, and an EOI before any SOF must fail loudly."""
+    filled = b"\xff\xd8" + b"\xff\xff\xff" + _jpeg_bytes(64, 32)[2:]
+    df = _media_df(spark, [(1, filled, "jpeg")])
+    r = decode_media(df, "doc_id", HeaderDecoder()).collect()[0]
+    assert (r.width, r.height) == (64, 32)
+
+    no_sof = b"\xff\xd8\xff\xd9"
+    bad = _media_df(spark, [(2, no_sof, "jpeg")])
+    with pytest.raises(Exception, match="no SOF"):
+        decode_media(bad, "doc_id", HeaderDecoder()).collect()
