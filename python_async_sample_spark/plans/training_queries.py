@@ -422,3 +422,100 @@ def q88_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_CHUNK_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    s AS (
+      SELECT doc_id, w, g.i AS st,
+             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY g.i) - 1
+                  AS BIGINT) AS chunk_no
+      FROM t CROSS JOIN
+           unnest(generate_series(1, greatest(len(w) - 8, 1), 56)) AS g(i)
+    )
+    SELECT doc_id, chunk_no,
+           CAST(least(64, len(w) - st + 1) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(w, st, least(st + 63, len(w))), ' ') AS chunk
+    FROM s ORDER BY doc_id, chunk_no
+"""
+
+
+@query(
+    "q117_document_chunking",
+    oracle=_CHUNK_ORACLE,
+    ref="document chunking with overlap (beyond reference; the step before q47's packing)",
+    tags=("llm-data", "text", "training"),
+)
+def q117_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split every document into 64-token chunks with 8-token overlap —
+    the chunk step of chunk → pack → shard. Chunk starts come from
+    ``sequence`` (rows ∝ chunks), text from ``slice``+``array_join``; a
+    pure row-local map with NO shuffle — the packer downstream is the
+    pipeline's first exchange."""
+    from python_async_sample_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+    return out.orderBy("doc_id", "chunk_no")
+
+
+_TEMPERATURE_ORACLE = """
+    WITH counts AS (
+      SELECT lang, count(*) * 1.0 AS n FROM documents GROUP BY lang
+    ),
+    weights AS (
+      -- alpha = 0.5 temperature flattening; rates normalized so the
+      -- LARGEST language keeps rate 1.0 (pure down-sampling)
+      SELECT lang, pow(n, 0.5) / n AS raw FROM counts
+    ),
+    rates AS (
+      SELECT lang, raw / (SELECT max(raw) FROM weights) AS rate FROM weights
+    ),
+    tagged AS (
+      SELECT d.doc_id, d.lang, r.rate,
+             CAST(CAST('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000 AS DOUBLE) / 10000.0 AS u
+      FROM documents d JOIN rates r USING (lang)
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           round(any_value(rate), 6) AS rate
+    FROM tagged WHERE u < rate
+    GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "q118_temperature_mixing",
+    oracle=_TEMPERATURE_ORACLE,
+    ref="temperature-based multilingual rebalancing (beyond reference; alpha-sampling)",
+    tags=("llm-data", "training", "sampling"),
+)
+def q118_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alpha=0.5 temperature sampling across languages — the standard
+    multilingual rebalancing: keep-rate ∝ n^alpha / n, normalized so the
+    biggest language is kept whole and smaller ones are up-WEIGHTED
+    relatively (down-sampled less). Membership is content-hash
+    deterministic (same rows on every engine, partitioning and retry);
+    rates ride the plan as a broadcast per-language dimension."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    weights = counts.select("lang", (F.pow("n", 0.5) / F.col("n")).alias("raw"))
+    max_raw = weights.agg(F.max("raw").alias("mx"))
+    rates = weights.crossJoin(F.broadcast(max_raw)).select(
+        "lang", (F.col("raw") / F.col("mx")).alias("rate")
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 10000
+    ).cast("double") / 10000.0
+    tagged = docs.join(F.broadcast(rates), "lang").withColumn("u", u)
+    return (
+        tagged.where(F.col("u") < F.col("rate"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.first("rate"), 6).alias("rate"),
+        )
+        .orderBy("lang")
+    )
