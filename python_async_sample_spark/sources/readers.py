@@ -115,3 +115,38 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's ``binaryFile`` source — the canonical
+    way media lands in a 100 TB pipeline: one row per file with (path,
+    modificationTime, length, content), feeding the multimodal decode seam
+    (``operators/multimodal.decode_media``) without any driver-side file
+    listing or per-file open loop.
+
+    ``glob`` filters file names (e.g. ``*.bmp``); ``max_bytes`` guards
+    against a single pathological file blowing executor memory — rows over
+    the cap are FILTERED with their metadata kept NULL-content-free, so
+    the caller can route them to a side output by length instead of OOMing.
+    The format derives from the file extension, lower-cased, ready for the
+    decoder's ``fmt`` dispatch.
+    """
+    from pyspark.sql import functions as F
+
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    return df.select(
+        F.col("path"),
+        F.col("length"),
+        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias("fmt"),
+        F.col("content"),
+    )
