@@ -519,3 +519,68 @@ def q118_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_LEAKSAFE_SPLIT_ORACLE = """
+    WITH d AS (
+      SELECT doc_id, md5(substr(lower(text), 1, 40)) AS canopy FROM documents
+    ),
+    tagged AS (
+      SELECT doc_id, canopy,
+             CASE WHEN CAST('0x' || substr(md5('leak' || canopy), 1, 8) AS BIGINT)
+                       % 100 < 10
+                  THEN 'test' ELSE 'train' END AS split
+      FROM d
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT canopy) AS BIGINT) AS n_clusters,
+           CAST((SELECT count(*) FROM (
+                   SELECT canopy FROM tagged
+                   GROUP BY canopy HAVING count(DISTINCT split) > 1))
+                AS BIGINT) AS leaked_clusters
+    FROM tagged GROUP BY split ORDER BY split
+"""
+
+
+@query(
+    "q120_leakage_safe_split",
+    oracle=_LEAKSAFE_SPLIT_ORACLE,
+    ref="near-dup-aware train/test split (beyond reference; cluster-level assignment)",
+    tags=("llm-data", "training", "sampling"),
+)
+def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split assigned at the near-dup CLUSTER level (canopy
+    fingerprint), not the document level — the leakage-prevention form:
+    q68's per-document hash split can put two near-identical documents on
+    opposite sides of the split, silently inflating eval scores. Splitting
+    by a content-hash of the canopy key makes cross-split leakage
+    structurally zero; the query computes the leaked-cluster count FROM
+    THE DATA (not by construction) and the oracle must agree it is 0."""
+    docs = load_table(spark, sf_dir, "documents")
+    canopy = F.md5(F.substring(F.lower(F.col("text")), 1, 40))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("leak"), canopy)), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        canopy.alias("canopy"),
+        F.when(bucket < 10, "test").otherwise("train").alias("split"),
+    )
+    leaked = (
+        tagged.groupBy("canopy")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("leaked_clusters"))
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canopy").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leaked))
+        .select("split", "n_docs", "n_clusters", "leaked_clusters")
+        .orderBy("split")
+    )

@@ -47,9 +47,15 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             status = f"FAIL {type(ex).__name__}: {ex}"
             failed.append(name)
+            # failures are rare and easy to lose in scrollback — keep a
+            # durable record so an intermittent one can be diagnosed later
+            with open("/tmp/driver_sim_failures.log", "a") as f:
+                f.write(f"{time.strftime('%F %T')} {sf_dir} {name}: {status}\n")
         print(f"{name}: {status} ({time.perf_counter() - t0:.2f}s)")
 
     print(f"\n{len(qs) - len(failed)}/{len(qs)} queries OK at {sf_dir}")
+    if failed:
+        print(f"FAILED: {failed}")
     return 1 if failed else 0
 
 
