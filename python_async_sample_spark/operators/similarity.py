@@ -61,8 +61,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_cosine: float | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query vector (excluding self).
+
+    ``max_cosine`` masks candidates at or above the threshold — the
+    HARD-NEGATIVE mining form: the most similar vectors that are NOT
+    positives (q119). The mask runs inside the GEMM kernel so the
+    ≤k-rows-per-(query, batch) shuffle bound is unchanged.
 
     The (small) query set is broadcast into an Arrow kernel as a normalized
     numpy matrix; each corpus batch scores against it with ONE GEMM
@@ -83,6 +89,8 @@ def brute_force_topk(
             xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
             sim = xs @ qn.T  # n_batch × n_queries
             sim[nids[:, None] == qids[None, :]] = -np.inf  # exclude self
+            if max_cosine is not None:
+                sim[sim >= max_cosine] = -np.inf
             kk = min(k, len(nids))
             out_q, out_n, out_c = [], [], []
             for j in range(len(qids)):

@@ -226,3 +226,45 @@ def q86_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+_HARD_NEG_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored WHERE cos < 0.45
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+
+@query(
+    "q119_hard_negative_mining",
+    oracle=_HARD_NEG_ORACLE,
+    ref="hard-negative mining for contrastive training (beyond reference; q35's GEMM kernel with a positive-threshold mask)",
+    tags=("llm-data", "similarity", "training"),
+)
+def q119_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 HARD NEGATIVES per query vector: the most similar corpus
+    vectors strictly below the near-dup/positive threshold (0.45, q34's) —
+    what a contrastive-training batch builder mines. Same blocked-GEMM
+    kernel and ≤k-per-(query, batch) shuffle bound as q35; the threshold
+    mask runs inside the kernel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = brute_force_topk(emb, queries, "vec_id", "embedding", k=5, max_cosine=0.45)
+    return out.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    ).orderBy("query_id", "rank")
