@@ -38,3 +38,21 @@ def test_bloom_semi_join_equals_exact(spark):
     assert got.exceptAll(exact).count() == 0
     assert exact.exceptAll(got).count() == 0
     assert exact.count() > 0
+
+
+def test_bloom_filter_persists_and_reloads(spark, tmp_path):
+    """The build-once/persist/reuse claim: the filter relation round-trips
+    through parquet and prunes identically after reload — and the
+    integral-key normalization survives (an int-typed probe against the
+    persisted bigint-built filter loses nothing)."""
+    build = spark.range(0, 400).select((F.col("id") * 11).alias("k"))  # bigint
+    path = str(tmp_path / "bloom")
+    build_bloom(build, "k").write.parquet(path)
+
+    reloaded = spark.read.parquet(path)
+    probe_int = spark.range(0, 8_000).select(F.col("id").cast("int").alias("k"))
+    cand = bloom_might_contain(probe_int, reloaded, "k")
+    members = {r.k for r in build.collect()} & set(range(8_000))
+    got = {r.k for r in cand.collect()}
+    assert members <= got  # no false negatives across persist + type gap
+    assert len(got - members) <= 160  # FP rate stays sane

@@ -242,3 +242,31 @@ def test_morton_covers_full_16bit_domain(spark):
     assert got[(32768, 32768)] == 0xC0000000
     assert got[(65535, 0)] == 0x55555555
     assert all(z >= 0 for z in got.values())
+
+
+def test_delete_keys_on_zordered_table(spark, fragmented):
+    """The layout verbs compose: a GDPR delete on a Z-ordered table prunes
+    by footer stats exactly as on a range-clustered one — rewriting only
+    the files whose user_id range can contain the targets."""
+    from python_async_sample_spark.sources.layout import delete_keys, zorder_by
+
+    tmp = tempfile.mkdtemp(prefix="layout_out_") + "/zq"
+    spark.read.parquet(fragmented).withColumn(
+        "value_i", F.col("value").cast("int")
+    ).write.parquet(tmp)
+    out = tempfile.mkdtemp(prefix="layout_out_") + "/zgdpr"
+    zorder_by(spark, tmp, out, "user_id", "value_i", n_files=8)
+
+    vals = sorted(
+        r.value_i for r in spark.read.parquet(out).select("value_i").distinct().collect()
+    )
+    target = vals[:2]  # low-value keys live in the curve's low-z files
+    before = spark.read.parquet(out).count()
+    n_target = spark.read.parquet(out).where(F.col("value_i").isin(target)).count()
+    stats = delete_keys(spark, out, "value_i", target)
+    assert stats["deleted_rows"] == n_target
+    # the curve clusters value_i ranges, so high-value files stay untouched
+    assert stats["untouched"] >= 1
+    after = spark.read.parquet(out)
+    assert after.count() == before - n_target
+    assert after.where(F.col("value_i").isin(target)).count() == 0
