@@ -65,3 +65,39 @@ def apply_diff(old: DataFrame, new: DataFrame, diff: DataFrame, key_col: str) ->
     kept = old.join(drop, key_col, "left_anti")
     incoming = new.join(take, key_col, "left_semi")
     return kept.unionByName(incoming)
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Collapse an event stream into a Type-2 slowly-changing-dimension
+    history: one row per (key, consecutive state run) with
+    ``valid_from_us`` / ``valid_to_us`` epoch-microsecond bounds
+    (``valid_to_us`` NULL = current) and a per-key ``version`` counter.
+
+    Classic lag/lead construction: order each key's events by (ts,
+    tiebreak), keep rows where the state differs from its predecessor
+    (change points), then lead() supplies each change's end bound. Two
+    window passes over the SAME (key × order) partitioning — Spark plans
+    one shuffle and one sort, reused; state per key is bounded by its
+    change count, never its event count."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .where(F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev")))
+        .drop("__prev")
+    )
+    w2 = W.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        key_col,
+        state_col,
+        F.unix_micros(F.col(ts_col)).alias("valid_from_us"),
+        F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )

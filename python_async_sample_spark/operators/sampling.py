@@ -68,3 +68,31 @@ def weighted_sample(
     for stratum, frac in sorted(fractions.items()):
         cut = F.when(F.col(strata_col) == stratum, F.lit(int(round(frac * 100)))).otherwise(cut)
     return df.where(hash_bucket(key_col, 100, salt) < cut)
+
+
+def token_budget_take(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    salt: str = "budget",
+) -> DataFrame:
+    """Fill a per-group token budget deterministically: rank rows inside each
+    group by content hash (same stable-shuffle contract as
+    ``stratified_take``; any priority column slots in for the hash), take
+    rows while the inclusive running token total stays within ``budget``.
+
+    This is the sampling primitive a pretraining mixture actually needs —
+    budgets are specified in TOKENS, not row counts. One window pass per
+    group (single shuffle on ``group_col``); a group larger than executor
+    memory is a sort spill, not a failure."""
+    order = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(order, F.col(key_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return df.withColumn(
+        "cum_tokens", F.sum(tokens_col).over(w).cast("bigint")
+    ).where(F.col("cum_tokens") <= budget)

@@ -259,3 +259,66 @@ def q111_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "content_key")
         .orderBy("doc_id")
     )
+
+
+_REPEATED_SPAN_ORACLE = """
+    WITH grams AS (
+      SELECT doc_id, g.i AS pos,
+             w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] || ' ' || w[g.i+3]
+             || ' ' || w[g.i+4] || ' ' || w[g.i+5] || ' ' || w[g.i+6]
+             || ' ' || w[g.i+7] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      CROSS JOIN unnest(generate_series(1, len(w) - 7)) AS g(i)
+    ),
+    dup AS (
+      SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (SELECT doc_id, pos FROM grams JOIN dup USING (gram)),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM grams GROUP BY 1
+    ),
+    dups AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_grams FROM marked GROUP BY 1
+    ),
+    runs AS (
+      SELECT doc_id, CAST(max(run) AS BIGINT) AS max_dup_run
+      FROM (
+        SELECT doc_id, grp, count(*) AS run
+        FROM (
+          SELECT doc_id,
+                 pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM marked
+        ) GROUP BY doc_id, grp
+      ) GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_grams,
+           coalesce(d.n_dup_grams, 0) AS n_dup_grams,
+           round(coalesce(d.n_dup_grams, 0) * 1.0 / s.n_grams, 4) AS dup_ratio,
+           coalesce(r.max_dup_run, 0) AS max_dup_run
+    FROM sizes s
+    LEFT JOIN dups d USING (doc_id)
+    LEFT JOIN runs r USING (doc_id)
+    ORDER BY s.doc_id
+"""
+
+
+@query(
+    "q121_repeated_ngram_spans",
+    oracle=_REPEATED_SPAN_ORACLE,
+    ref="substring-level dedup / repeated-span detection (beyond reference; Lee et al. 2021 at n-gram granularity)",
+    tags=("llm-data", "dedup", "text"),
+)
+def q121_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span accounting: for every document, how many
+    of its positional 8-gram slots also occur in another document, and the
+    longest consecutive duplicated run (boilerplate/license detection —
+    the substring-granularity dedup that document-level keys miss). All
+    shuffles are key-partitioned (gram, then doc); the gram vocabulary is
+    data-sized and is never broadcast."""
+    from python_async_sample_spark.operators.substring_dedup import repeated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repeated_span_report(docs, "doc_id", "text", n=8)
+    return out.select(
+        F.col("doc").alias("doc_id"), "n_grams", "n_dup_grams", "dup_ratio", "max_dup_run"
+    ).orderBy("doc_id")

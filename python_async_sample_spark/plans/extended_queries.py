@@ -1008,3 +1008,46 @@ def q101_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+_SCD2_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_state
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    )
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+             AS valid_to_us,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS version
+    FROM changes
+    ORDER BY user_id, version
+"""
+
+
+@query(
+    "q123_scd2_user_state",
+    oracle=_SCD2_ORACLE,
+    ref="SCD Type-2 dimension build (beyond reference; the warehouse face of I2 change capture)",
+    tags=("cdc", "window"),
+)
+def q123_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history of each user's event_type
+    state: consecutive runs collapsed to (valid_from, valid_to] intervals
+    with a per-user version counter — the dimension-table build every
+    warehouse derives from a change stream. One shuffle on user_id; both
+    window passes reuse the same partitioning and sort."""
+    from python_async_sample_spark.operators.cdc import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(ev, "user_id", "event_type", "ts", "event_id").orderBy(
+        "user_id", "version"
+    )

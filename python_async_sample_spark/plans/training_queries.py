@@ -584,3 +584,50 @@ def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_clusters", "leaked_clusters")
         .orderBy("split")
     )
+
+
+_TOKEN_BUDGET_ORACLE = """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('budget' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 600
+    ORDER BY source, doc_id
+"""
+
+
+@query(
+    "q122_token_budget_sample",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    ref="token-budget mixture sampling (beyond reference; budgets in tokens, not rows)",
+    tags=("llm-data", "sampling"),
+)
+def q122_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill a 600-token budget per source: deterministic content-hash order
+    inside each source, inclusive running token total, keep rows under
+    budget. The shape a pretraining mixture builder runs per data source —
+    one window shuffle on source, reproducible across engines and
+    partitionings (the hash, not rand(), decides)."""
+    from python_async_sample_spark.operators.sampling import token_budget_take
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        token_budget_take(docs, "source", "doc_id", "n_tokens", budget=600)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .orderBy("source", "doc_id")
+    )

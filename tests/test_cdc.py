@@ -48,3 +48,45 @@ def test_apply_diff_reconstructs_new_snapshot(spark, sf_dir):
     assert rebuilt.count() == new.count()
     assert new.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(new).count() == 0
+
+
+def test_scd2_collapses_runs_and_bounds_intervals(spark):
+    from python_async_sample_spark.operators.cdc import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            (1, "a", "2024-01-01 00:00:00", 10),
+            (1, "a", "2024-01-01 01:00:00", 11),  # same state -> collapsed
+            (1, "b", "2024-01-01 02:00:00", 12),
+            (1, "a", "2024-01-01 03:00:00", 13),  # back to a -> NEW version
+            (2, "x", "2024-01-01 00:30:00", 14),
+        ],
+        "user_id long, event_type string, ts string, event_id long",
+    ).selectExpr("user_id", "event_type", "cast(ts as timestamp) ts", "event_id")
+    out = scd2_history(ev, "user_id", "event_type", "ts", "event_id").collect()
+    u1 = sorted([r for r in out if r["user_id"] == 1], key=lambda r: r["version"])
+    assert [r["event_type"] for r in u1] == ["a", "b", "a"]
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    # each interval's end is the next interval's start; last is open
+    assert u1[0]["valid_to_us"] == u1[1]["valid_from_us"]
+    assert u1[1]["valid_to_us"] == u1[2]["valid_from_us"]
+    assert u1[2]["valid_to_us"] is None
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert len(u2) == 1 and u2[0]["valid_to_us"] is None
+
+
+def test_scd2_tiebreak_orders_same_timestamp_events(spark):
+    from python_async_sample_spark.operators.cdc import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            (1, "b", "2024-01-01 00:00:00", 2),
+            (1, "a", "2024-01-01 00:00:00", 1),  # same ts: event_id decides
+        ],
+        "user_id long, event_type string, ts string, event_id long",
+    ).selectExpr("user_id", "event_type", "cast(ts as timestamp) ts", "event_id")
+    out = sorted(
+        scd2_history(ev, "user_id", "event_type", "ts", "event_id").collect(),
+        key=lambda r: r["version"],
+    )
+    assert [r["event_type"] for r in out] == ["a", "b"]
