@@ -68,3 +68,37 @@ def salted_join(
     )
     out = big_salted.join(small_rep, [*keys, SALT_COL], how)
     return out.drop(SALT_COL)
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 10) -> DataFrame:
+    """Hot-key diagnostics for a prospective join/agg key: the ``top_k``
+    heaviest keys with their row counts, share of the table, and cumulative
+    share — the report you run BEFORE deciding whether a join needs
+    salting (``salted_join``) or AQE skew handling.
+
+    Scale posture: per-key counts are one map-side-combinable groupBy; the
+    top-k is orderBy+limit, which Spark executes as a distributed
+    take-ordered (each partition keeps k, the driver merges k*partitions
+    rows) — never a global sort or single-partition window over the full
+    key relation. Only the k-row result uses an unpartitioned window for
+    the cumulative share."""
+    from pyspark.sql.window import Window as W
+
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").cast("double").alias("__t"))
+    top = counts.orderBy(F.col("n_rows").desc(), F.col(key_col)).limit(top_k)
+    w = W.orderBy(F.col("n_rows").desc(), F.col(key_col))
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).cast("bigint").alias("rank"),
+            key_col,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("__t"), 6).alias("share"),
+            F.round(
+                F.sum("n_rows").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                / F.col("__t"),
+                6,
+            ).alias("cum_share"),
+        )
+    )

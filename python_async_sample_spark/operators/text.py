@@ -219,3 +219,78 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     norm = F.regexp_replace(norm, r"[^a-z0-9 ]", "")
     norm = F.trim(F.regexp_replace(norm, r" +", " "))
     return df.withColumn("norm_text", norm)
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Document-level co-occurrence PMI over a bounded vocabulary.
+
+    PMI(a,b) = ln(P(a,b) / (P(a)P(b))) with document-frequency estimates:
+    P(a) = docs containing a / N. The vocabulary is capped at the
+    ``vocab_size`` most document-frequent tokens (ties broken by token) —
+    the boundedness is the scale argument: per-doc pair explosion is
+    <= vocab_size^2/2 regardless of corpus size, and the vocab relation is
+    legitimately broadcastable BECAUSE it is capped (contrast the full
+    token vocabulary, which is data-sized and must never be broadcast).
+
+    One scan -> distinct (doc, tok); one agg for document frequencies; a
+    doc-keyed self-join for pairs (shuffle on doc id); one agg on the pair
+    key. Returns (tok_a, tok_b, n_docs_pair, pmi) for pairs seen in at
+    least ``min_pair_docs`` documents.
+    """
+    from pyspark.sql.window import Window as W
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
+    ).where(F.length("tok") > 0)
+
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    vocab = (
+        dfreq.withColumn(
+            "__rk",
+            F.row_number().over(W.orderBy(F.col("df").desc(), F.col("tok"))),
+        )
+        .where(F.col("__rk") <= vocab_size)
+        .drop("__rk")
+    )
+
+    vtoks = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    n_docs = df.select(F.count(F.lit(1)).cast("double").alias("__n"))
+
+    a = vtoks.select(F.col("doc"), F.col("tok").alias("tok_a"))
+    b = vtoks.select(F.col("doc"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs_pair"))
+        .where(F.col("n_docs_pair") >= min_pair_docs)
+    )
+    return (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("__dfa"))),
+            "tok_a",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("__dfb"))),
+            "tok_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_docs_pair",
+            F.round(
+                F.log(
+                    F.col("n_docs_pair") * F.col("__n") / (F.col("__dfa") * F.col("__dfb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )

@@ -1051,3 +1051,39 @@ def q123_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_history(ev, "user_id", "event_type", "ts", "event_id").orderBy(
         "user_id", "version"
     )
+
+
+_SKEW_ORACLE = """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_rows) * 1.0 AS t FROM c),
+    top AS (
+      SELECT user_id, n_rows,
+             CAST(row_number() OVER (ORDER BY n_rows DESC, user_id) AS BIGINT) AS rank
+      FROM c QUALIFY rank <= 10
+    )
+    SELECT rank, user_id, n_rows,
+           round(n_rows / t, 6) AS share,
+           round(sum(n_rows) OVER (ORDER BY rank) / t, 6) AS cum_share
+    FROM top CROSS JOIN tot
+    ORDER BY rank
+"""
+
+
+@query(
+    "q126_skew_report",
+    oracle=_SKEW_ORACLE,
+    ref="hot-key skew diagnostics (beyond reference; the decision input for X-family parallelism and salted joins)",
+    tags=("scale", "skew"),
+)
+def q126_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 hottest event keys with per-key share and cumulative share —
+    the diagnostic a pipeline runs before choosing salting or AQE skew
+    handling for a join on user_id. Top-k is a distributed take-ordered,
+    never a global sort of the key relation."""
+    from python_async_sample_spark.operators.skew import skew_report
+
+    ev = load_table(spark, sf_dir, "events")
+    return skew_report(ev, "user_id", top_k=10).orderBy("rank")

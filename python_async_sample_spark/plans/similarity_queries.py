@@ -268,3 +268,33 @@ def q119_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "q127_kmeans_embeddings",
+    oracle=None,  # iterative algorithm — not SQL-expressible; Lloyd's
+    # monotonicity, argmin optimality, and partitioning invariance are
+    # asserted in tests/test_kmeans.py
+    ref="distributed Lloyd's k-means (beyond reference; full-corpus form of the IVF coarse quantizer)",
+    tags=("llm-data", "similarity", "no_oracle"),
+)
+def q127_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster the embedding corpus with 5 Lloyd iterations (k=8,
+    content-addressed deterministic init) and report per-cluster sizes and
+    mean squared distance. Assignment is a pure JVM expression tree
+    (centroids enter as literals); the update shuffles k*d cells and the
+    driver touches k*d doubles per iteration — bounded by hyperparameters,
+    not data size."""
+    from python_async_sample_spark.operators.kmeans import kmeans_fit, kmeans_predict
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=5)
+    out = kmeans_predict(emb, "vec_id", "embedding", cents)
+    return (
+        out.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster")
+    )

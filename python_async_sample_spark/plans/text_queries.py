@@ -530,3 +530,144 @@ def q116_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "quality_bucket")
     )
+
+
+_PMI_ORACLE = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS doc, tok
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE len(tok) > 0
+    ),
+    dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok, df FROM (
+        SELECT tok, df,
+               row_number() OVER (ORDER BY df DESC, tok) AS rk
+        FROM dfreq
+      ) WHERE rk <= 50
+    ),
+    vtoks AS (SELECT t.doc, t.tok FROM toks t JOIN vocab USING (tok)),
+    n AS (SELECT count(*) * 1.0 AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(count(*) AS BIGINT) AS n_docs_pair
+      FROM vtoks a JOIN vtoks b ON a.doc = b.doc AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.tok_a, p.tok_b, p.n_docs_pair,
+           round(ln(p.n_docs_pair * n.n_docs / (va.df * vb.df)), 4) AS pmi
+    FROM pairs p
+    JOIN vocab va ON p.tok_a = va.tok
+    JOIN vocab vb ON p.tok_b = vb.tok
+    CROSS JOIN n
+    ORDER BY tok_a, tok_b
+"""
+
+
+@query(
+    "q124_cooccurrence_pmi",
+    oracle=_PMI_ORACLE,
+    ref="token co-occurrence PMI (beyond reference; bounded-vocabulary association mining)",
+    tags=("llm-data", "text"),
+)
+def q124_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the corpus's 50 most
+    document-frequent tokens, from document-level co-occurrence counts.
+    The vocabulary cap is the scale contract: it bounds the per-doc pair
+    explosion and makes the vocab relation legitimately broadcastable
+    (a full token vocabulary is data-sized and never would be)."""
+    from python_async_sample_spark.operators.text import cooccurrence_pmi
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cooccurrence_pmi(docs, "doc_id", "text", vocab_size=50, min_pair_docs=5).orderBy(
+        "tok_a", "tok_b"
+    )
+
+
+_BIGRAM_ORACLE = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    big AS (
+      SELECT doc_id, ws[g.i] AS a, ws[g.i+1] AS b
+      FROM w CROSS JOIN unnest(generate_series(1, len(ws) - 1)) AS g(i)
+    ),
+    bc AS (SELECT a, b, count(*) * 1.0 AS cab FROM big GROUP BY 1, 2),
+    uc AS (
+      SELECT tok, count(*) * 1.0 AS ca
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1
+    ),
+    v AS (SELECT count(*) * 1.0 AS vsize FROM uc),
+    scored AS (
+      SELECT t.doc_id,
+             ln((bc.cab + 0.5) / (uc.ca + 0.5 * v.vsize)) AS lp
+      FROM big t
+      JOIN bc ON t.a = bc.a AND t.b = bc.b
+      JOIN uc ON t.a = uc.tok
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(sum(lp) / count(*), 4) AS avg_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "q125_bigram_logprob",
+    oracle=_BIGRAM_ORACLE,
+    ref="text-bigram-lm-scoring (beyond reference; conditional extension of q89's unigram signal)",
+    tags=("llm-data", "text"),
+)
+def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability with add-0.5 smoothing,
+    P(b|a) = (c(a,b)+k) / (c(a)+k|V|) — the conditional refinement of
+    q89's unigram signal (fluency, not just vocabulary burstiness).
+
+    Same scale posture as q89: bigram and unigram count relations are
+    vocabulary-sized (data-sized at 100 TB) so both ride SHUFFLE joins on
+    their keys — never broadcast; AQE splits the Zipf head. Only the
+    single-row vocab-size scalar is broadcast. The exploded bigram
+    relation is recomputed per consumer rather than pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(ws) - 2),
+            lambda i: F.struct(
+                F.element_at(ws, i + 1).alias("a"), F.element_at(ws, i + 2).alias("b")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    big = docs.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
+    )
+    bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("cab"))
+    uc = (
+        docs.select(F.explode(ws).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("ca"))
+    )
+    v = uc.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
+    scored = (
+        big.join(bc, ["a", "b"])
+        .join(uc.select(F.col("tok").alias("a"), "ca"), "a")
+        .crossJoin(F.broadcast(v))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log((F.col("cab") + 0.5) / (F.col("ca") + 0.5 * F.col("vsize"))))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
