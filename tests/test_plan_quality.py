@@ -224,3 +224,67 @@ def test_partial_merge_is_two_level_aggregate(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 4, plan  # partial+final × two levels
+
+
+def test_repeated_span_gram_join_shuffles_not_broadcasts(spark, sf_dir):
+    """q121's duplicated-gram semi-join keys on the gram — a data-sized
+    relation at 100 TB (same rule as q89's vocabulary): it must ride a
+    shuffle join, never a broadcast, and no global window may appear (the
+    run-length window is partitioned by doc)."""
+    with Q89_NO_AUTO_BROADCAST(spark):
+        df = SPECS["q121_repeated_ngram_spans"].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_model_joins_shuffle_not_broadcast(spark, sf_dir):
+    """q125's bigram/unigram count joins key on vocabulary-sized relations —
+    shuffle joins only; the one allowed broadcast is the single-row vocab
+    size scalar."""
+    with Q89_NO_AUTO_BROADCAST(spark):
+        df = SPECS["q125_bigram_logprob"].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+
+
+def test_pmi_vocab_is_broadcast_and_pairs_keyed_on_doc(spark, sf_dir):
+    """q124 is the CONTRAST case: its vocabulary is capped at 50 rows by
+    construction, so broadcasting it is the correct plan; the pair
+    self-join must key on the doc id (no cartesian)."""
+    df = SPECS["q124_cooccurrence_pmi"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_report_topk_is_take_ordered(spark, sf_dir):
+    """q126's top-k must plan as a distributed TakeOrdered, never a global
+    sort of the full key relation."""
+    df = SPECS["q126_skew_report"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_budget_window_is_partitioned(spark, sf_dir):
+    """q122's running token sum must be partitioned by source — never a
+    single global window."""
+    df = SPECS["q122_token_budget_sample"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "SinglePartition" not in plan, plan
+
+
+def test_kmeans_assignment_is_expression_only(spark, sf_dir):
+    """q127's assignment path: centroids enter the plan as literals, so the
+    predict DataFrame must contain no join, no python UDF, and no shuffle
+    beyond the final count aggregation."""
+    from python_async_sample_spark.operators.kmeans import kmeans_predict
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = [[0.0] * 32, [1.0] * 32]
+    plan = plan_str(kmeans_predict(emb, "vec_id", "embedding", cents), "simple")
+    for node in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in plan, (node, plan)
