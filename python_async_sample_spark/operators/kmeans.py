@@ -83,6 +83,14 @@ def kmeans_fit(
     Inertia is recorded BEFORE each update, so history[i] is the cost of
     the iteration-i centroids and must be non-increasing."""
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+    # every Lloyd iteration re-reads the vector relation; materialize it
+    # once (lineage cut, same pattern as connected components) instead of
+    # rescanning the source per iteration
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < par:
+        vecs = vecs.repartition(par)
+    vecs = vecs.localCheckpoint(eager=True)
     dim = len(vecs.select("__v").first()["__v"])
     cents = init_centroids(vecs, "__id", "__v", k)
     history: list[float] = []

@@ -63,7 +63,24 @@ def repeated_span_report(
     consecutive run of duplicated positions (0 when clean) — a run of k
     covers a shared span of k+n-1 words.
     """
-    grams = positional_shingles(df, id_col, text_col, n)
+    # gram-slot counts need no explode at all: n_grams = max(|words|-n+1, 0)
+    words = F.split(F.col(text_col), " ")
+    sizes = df.select(
+        F.col(id_col).alias("doc"),
+        F.greatest(F.size(words) - (n - 1), F.lit(0)).cast("bigint").alias("n_grams"),
+    ).where(F.col("n_grams") > 0)
+
+    # the positional gram relation feeds two consumers (duplicate mining and
+    # the mark join); materialize it once instead of re-running the
+    # split->explode lineage per consumer — same contract as
+    # ``dedup.shingle_index`` (at warehouse scale this IS the persisted
+    # positional index table). Small sources fan out first so the explode
+    # parallelizes; a real scan already has more splits than cores.
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    grams = positional_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
 
     # duplicated = gram seen in >=2 distinct docs. Key-partitioned shuffle;
     # the gram relation is data-sized, so no broadcast anywhere on this path.
@@ -75,34 +92,30 @@ def repeated_span_report(
     )
     marked = grams.join(dup, "gram", "left_semi")
 
-    sizes = grams.groupBy("doc").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
-    dups = marked.groupBy("doc").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_dup_grams")
-    )
-
     # classic gaps-and-islands: pos - row_number() is constant within a
-    # consecutive run of marked positions
+    # consecutive run of marked positions. One linear chain over `marked`
+    # yields BOTH the duplicated-slot count (sum of run lengths) and the
+    # longest run — no second scan.
     run_grp = (F.col("pos") - F.row_number().over(W.partitionBy("doc").orderBy("pos"))).alias(
         "grp"
     )
-    runs = (
+    dup_stats = (
         marked.select("doc", "pos", run_grp)
         .groupBy("doc", "grp")
         .agg(F.count(F.lit(1)).alias("run"))
         .groupBy("doc")
-        .agg(F.max("run").cast("bigint").alias("max_dup_run"))
+        .agg(
+            F.sum("run").cast("bigint").alias("n_dup_grams"),
+            F.max("run").cast("bigint").alias("max_dup_run"),
+        )
     )
 
-    return (
-        sizes.join(dups, "doc", "left")
-        .join(runs, "doc", "left")
-        .select(
-            "doc",
-            "n_grams",
-            F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
-            F.round(
-                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
-            ).alias("dup_ratio"),
-            F.coalesce("max_dup_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
-        )
+    return sizes.join(dup_stats, "doc", "left").select(
+        "doc",
+        "n_grams",
+        F.coalesce("n_dup_grams", F.lit(0)).cast("bigint").alias("n_dup_grams"),
+        F.round(
+            F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
+        ).alias("dup_ratio"),
+        F.coalesce("max_dup_run", F.lit(0)).cast("bigint").alias("max_dup_run"),
     )

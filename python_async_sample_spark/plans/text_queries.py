@@ -647,6 +647,13 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = docs.select("doc_id", F.explode(grams).alias("g")).select(
         "doc_id", F.col("g.a").alias("a"), F.col("g.b").alias("b")
     )
+    # two consumers (count build + final scoring join): materialize the
+    # exploded relation once instead of re-exploding per consumer — the
+    # positional-index contract from dedup.shingle_index
+    par = spark.sparkContext.defaultParallelism
+    if big.rdd.getNumPartitions() < par:
+        big = big.repartition(par)
+    big = big.localCheckpoint(eager=True)
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("cab"))
     uc = (
         docs.select(F.explode(ws).alias("tok"))
@@ -654,20 +661,24 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("double").alias("ca"))
     )
     v = uc.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
-    scored = (
-        big.join(bc, ["a", "b"])
-        .join(uc.select(F.col("tok").alias("a"), "ca"), "a")
+    # fold the model down to one lp per DISTINCT bigram first (vocab-sized
+    # relations joining each other), so the corpus-sized exploded relation
+    # rides exactly ONE shuffle join instead of two
+    model = (
+        bc.join(uc.select(F.col("tok").alias("a"), "ca"), "a")
         .crossJoin(F.broadcast(v))
+        .select(
+            "a",
+            "b",
+            F.log((F.col("cab") + 0.5) / (F.col("ca") + 0.5 * F.col("vsize"))).alias("lp"),
+        )
     )
     return (
-        scored.groupBy("doc_id")
+        big.join(model, ["a", "b"])
+        .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.sum(F.log((F.col("cab") + 0.5) / (F.col("ca") + 0.5 * F.col("vsize"))))
-                / F.count(F.lit(1)),
-                4,
-            ).alias("avg_logprob"),
+            F.round(F.sum("lp") / F.count(F.lit(1)), 4).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )
