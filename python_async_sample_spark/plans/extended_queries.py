@@ -1087,3 +1087,145 @@ def q126_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return skew_report(ev, "user_id", top_k=10).orderBy("rank")
+
+
+_CUMULATIVE_USERS_ORACLE = """
+    WITH first_seen AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS day FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_new,
+           CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) AS cum_users
+    FROM daily ORDER BY day
+"""
+
+
+@query(
+    "q128_cumulative_distinct_users",
+    oracle=_CUMULATIVE_USERS_ORACLE,
+    ref="cumulative distinct via first-seen (beyond reference; the scalable form of running COUNT DISTINCT)",
+    tags=("analytics", "window"),
+)
+def q128_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new users and the running total of distinct users ever seen.
+    The scalable formulation: distinct-per-day-then-window is wrong AND
+    quadratic; first-seen (one groupBy on user) reduces the problem to a
+    running sum over the tiny calendar relation. The only unpartitioned
+    window runs over days — bounded by the calendar, not the data."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.to_date(F.min("ts")).alias("day"))
+    daily = first.groupBy("day").agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_users"),
+    ).orderBy("day")
+
+
+_RETENTION_ORACLE = """
+    WITH cohort AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY 1
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           date_diff('day', c.cohort_week, a.week) // 7 AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "q129_retention_cohorts",
+    oracle=_RETENTION_ORACLE,
+    ref="cohort retention matrix (beyond reference; first-touch cohorting over the event stream)",
+    tags=("analytics",),
+)
+def q129_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention: users cohorted by first-seen week, counted in every
+    week they return (week_offset 0 = the cohort week itself). Two
+    map-side-combinable aggregations plus one join on user_id; the output
+    is bounded by weeks², never by events."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    ).distinct()
+    return (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_TRANSITION_ORACLE = """
+    WITH pairs AS (
+      SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, n_transitions,
+           round(n_transitions * 1.0 /
+                 sum(n_transitions) OVER (PARTITION BY event_type), 4) AS prob
+    FROM counts ORDER BY event_type, next_type
+"""
+
+
+@query(
+    "q130_event_transition_matrix",
+    oracle=_TRANSITION_ORACLE,
+    ref="Markov transition matrix (beyond reference; the generative complement of q95's funnel)",
+    tags=("analytics", "window"),
+)
+def q130_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and conditional probabilities
+    between consecutive event types per user. The per-user lead() rides the
+    user_id shuffle; the normalizing window runs over the aggregated
+    |types|x|types| relation — bounded by the vocabulary of event types,
+    not by events."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(W.partitionBy("event_type")),
+            4,
+        ).alias("prob"),
+    ).orderBy("event_type", "next_type")

@@ -98,7 +98,15 @@ def _make_profile_fn(gap_us: int):
             last = int(ts.iloc[-1])
         state.update((n, s, g, last, v))
         # Finalize once no in-order event can still arrive for this user.
-        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        # The natural timeout (last + gap) can already sit BEHIND the
+        # current watermark when this user's events are old relative to the
+        # batch's newest data — Spark rejects such timestamps, and whether
+        # that happens depends on how the source splits micro-batches (a
+        # flake, not a determinism guarantee). Clamp to watermark + 1 ms:
+        # same semantics (the user is already finalizable; the timeout
+        # fires at the next trigger), never invalid.
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last // 1000 + gap_us // 1000, wm + 1))
 
     return update
 

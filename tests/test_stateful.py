@@ -12,12 +12,16 @@ GAP_US = 30 * 60 * 1_000_000
 
 
 class FakeState:
-    def __init__(self):
+    def __init__(self, watermark_ms=0):
         self.exists = False
         self.hasTimedOut = False
         self._v = None
         self.timeout_ms = None
         self.removed = False
+        self.watermark_ms = watermark_ms
+
+    def getCurrentWatermarkMs(self):
+        return self.watermark_ms
 
     @property
     def get(self):
@@ -87,3 +91,13 @@ def test_timeout_emits_exactly_one_row_and_clears_state():
     assert row.max_gap_us == 1_000_000
     assert row.sum_value == 0.75
     assert st.removed
+
+
+def test_timeout_clamps_to_watermark_when_natural_timeout_is_stale():
+    # user's last event is far behind the watermark: the natural timeout
+    # (last + gap) would be invalid; it must clamp to watermark + 1
+    fn = _make_profile_fn(GAP_US)
+    wm_ms = 10**9
+    st = FakeState(watermark_ms=wm_ms)
+    list(fn((7,), iter([_batch([0, 1_000_000])]), st))
+    assert st.timeout_ms == wm_ms + 1
