@@ -256,3 +256,33 @@ def q103_stream_bounded_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("dt", "event_type", "n_events", "sum_value").orderBy(
         "dt", "event_type"
     )
+
+
+@query(
+    "q131_stream_incremental_mv",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    ref="incremental materialized-view maintenance (beyond reference; streaming form of S13's recompute, cf. nikon_ETL watermark merge)",
+    tags=("streaming", "incremental"),
+)
+def q131_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) aggregates maintained INCREMENTALLY across 4
+    micro-batches: each foreachBatch merges the batch's partial aggregates
+    into a versioned snapshot of the view (commit-marker isolation; merge
+    cost is O(batch + |view|), never O(event history)). The final snapshot
+    must equal the one-shot batch aggregate — the oracle IS that batch
+    SQL."""
+    from python_async_sample_spark.streaming.jobs import stream_incremental_mv_to_parquet
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_inc_mv_")
+    out = stream_incremental_mv_to_parquet(spark, sf_dir, tmp)
+    return out.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    ).orderBy("user_id", "event_type")
