@@ -101,3 +101,41 @@ def scd2_history(
         F.unix_micros(F.lead(ts_col).over(w2)).alias("valid_to_us"),
         F.row_number().over(w2).cast("bigint").alias("version"),
     )
+
+
+def table_checksum(
+    df: DataFrame, group_cols: list[str], content_cols: list[str]
+) -> DataFrame:
+    """Order-insensitive per-group content checksum — the reconciliation
+    verb for engine migrations and replica validation (this repo's own
+    Spark↔DuckDB parity gate, packaged as an operator).
+
+    Each row folds to a 32-bit-ish integer (first 8 md5 hex digits of the
+    unit-separated, null-sentineled content columns — the ``snapshot_diff``
+    signature convention) and the group checksum is the SUM of row
+    signatures, so it is independent of row order and partitioning and
+    additive across splits (checksum(A ∪ B) = checksum(A) + checksum(B) for
+    disjoint parts — mergeable the way a 100 TB scan needs). Doubles must
+    be normalized to fixed-scale DECIMAL by the caller; raw double→string
+    rendering is engine-specific."""
+    sig = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                        for c in content_cols
+                    ],
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(sig).cast("bigint").alias("checksum"),
+    )

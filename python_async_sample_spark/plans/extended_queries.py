@@ -1229,3 +1229,91 @@ def q130_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("prob"),
     ).orderBy("event_type", "next_type")
+
+
+_PEAK_ORACLE = """
+    WITH deltas AS (
+      SELECT ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta FROM events
+    ),
+    cum AS (
+      SELECT t, sum(delta) OVER (ORDER BY t, delta) AS conc FROM deltas
+    )
+    SELECT strftime(CAST(date_trunc('day', t) AS DATE), '%Y-%m-%d') AS day,
+           CAST(max(conc) AS BIGINT) AS peak
+    FROM cum GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "q132_peak_concurrency",
+    oracle=_PEAK_ORACLE,
+    ref="interval sweep-line / distributed prefix sum (beyond reference)",
+    tags=("analytics", "window", "scale"),
+)
+def q132_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous 30-minute event intervals per day. The oracle is
+    the textbook GLOBAL running sum; the Spark plan is the two-phase
+    distributed prefix sum (bucket-local windows + a calendar-bounded
+    carry scan) — same answer, no single-partition window over the data."""
+    from python_async_sample_spark.operators.sweepline import peak_concurrency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").alias("s"), (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e")
+    )
+    out = peak_concurrency(ev, "s", "e", bucket="day")
+    return out.select(
+        F.date_format("bucket", "yyyy-MM-dd").alias("day"), "peak"
+    ).orderBy("day")
+
+
+_CHECKSUM_ORACLE = """
+    WITH sig AS (
+      SELECT event_type,
+             CAST(concat('0x', substr(md5(
+               concat_ws(chr(31),
+                 coalesce(CAST(event_id AS VARCHAR), chr(0)),
+                 coalesce(CAST(user_id AS VARCHAR), chr(0)),
+                 coalesce(CAST(epoch_us(ts) AS VARCHAR), chr(0)),
+                 coalesce(CAST(CAST(value AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
+                 coalesce(props, chr(0))
+               )), 1, 8)) AS BIGINT) AS s
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(s) AS BIGINT) AS checksum
+      FROM sig GROUP BY 1
+    )
+    SELECT * FROM agg ORDER BY event_type
+"""
+
+
+@query(
+    "q133_table_checksum",
+    oracle=_CHECKSUM_ORACLE,
+    ref="order-insensitive reconciliation checksum (beyond reference; migration/replica validation as an operator)",
+    tags=("cdc", "scale"),
+)
+def q133_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type content checksum of the events table: additive sum of
+    per-row md5 signatures, independent of row order and partitioning —
+    the verb you run on both sides of an engine migration to prove the
+    copy. Doubles are normalized to fixed-scale DECIMAL first (raw
+    double→string rendering is engine-specific); the oracle computes the
+    identical signature in DuckDB, so the query IS its own cross-engine
+    demonstration."""
+    from python_async_sample_spark.operators.cdc import table_checksum
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("event_id").cast("string").alias("c1"),
+        F.col("user_id").cast("string").alias("c2"),
+        F.unix_micros("ts").cast("string").alias("c3"),
+        F.col("value").cast("decimal(18,6)").cast("string").alias("c4"),
+        F.col("props").alias("c5"),
+    )
+    return table_checksum(ev, ["event_type"], ["c1", "c2", "c3", "c4", "c5"]).orderBy(
+        "event_type"
+    )
