@@ -70,3 +70,19 @@ def drop_missing_with_rejects(
         cond = F.col(c).isNull() | F.isnan(F.col(c))
         any_null = cond if any_null is None else (any_null | cond)
     return validate_split(df, [Check(flag=flag, descr=descr, predicate=any_null)])
+
+
+def observed(df: DataFrame, name: str, exprs: dict[str, Column]):
+    """Attach in-flight data-quality metrics to a DataFrame without a second
+    scan: Spark's ``Observation`` collects the named aggregates as the plan
+    executes, so a 100 TB pipeline gets its row counts / null rates /
+    value bounds for FREE on the write it was already doing (the
+    alternative — a separate ``df.agg(...)`` action — doubles the scan).
+
+    Returns ``(df_with_observation, observation)``; read
+    ``observation.get`` AFTER an action has consumed ``df``. Metrics ride
+    the task results, never a shuffle."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(n) for n, c in exprs.items()]), obs

@@ -1317,3 +1317,40 @@ def q133_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_checksum(ev, ["event_type"], ["c1", "c2", "c3", "c4", "c5"]).orderBy(
         "event_type"
     )
+
+
+@query(
+    "q134_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS n_distinct_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)
+                AS BIGINT) AS sum_k_mod10
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    ref="VARIANT semi-structured column (beyond reference; the parse-once binary encoding vs q97's per-path string parsing)",
+    tags=("extended", "json"),
+)
+def q134_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern semi-structured path: ``parse_json`` converts the payload
+    to a VARIANT column ONCE (binary-encoded, typed), and every extraction
+    is a ``variant_get`` over the parsed form — q97's
+    ``get_json_object`` re-parses the JSON string per path, which at
+    100 TB multiplies the scan cost by the number of paths. Same oracle
+    discipline: DuckDB computes the identical aggregates from its own JSON
+    parser."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return (
+        events.select("event_type", k.alias("__k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("__k").alias("n_distinct_k"),
+            F.sum(F.col("__k") % 10).alias("sum_k_mod10"),
+        )
+        .orderBy("event_type")
+    )
