@@ -85,11 +85,11 @@ def kmeans_fit(
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
     # every Lloyd iteration re-reads the vector relation; materialize it
     # once (lineage cut, same pattern as connected components) instead of
-    # rescanning the source per iteration
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if vecs.rdd.getNumPartitions() < par:
-        vecs = vecs.repartition(par)
+    # rescanning the source per iteration. Keep the source's natural
+    # partitioning: the per-iteration work is one narrow scan plus a
+    # k*d-cell aggregate, so fanning a small input out to full parallelism
+    # only multiplies fixed task overhead (measured ~2x at sf0.1); a real
+    # 100 TB scan already has more splits than cores.
     vecs = vecs.localCheckpoint(eager=True)
     dim = len(vecs.select("__v").first()["__v"])
     cents = init_centroids(vecs, "__id", "__v", k)

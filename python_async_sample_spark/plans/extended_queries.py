@@ -1354,3 +1354,96 @@ def q134_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q136_group_ols",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(regr_slope(value, epoch_us(ts) / CAST(3600000000 AS DOUBLE)), 6)
+             AS slope,
+           round(regr_intercept(value, epoch_us(ts) / CAST(3600000000 AS DOUBLE)), 6)
+             AS intercept
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+    ref="per-group OLS via mergeable moment aggregates (beyond reference; the SQL-native face of the X4/A7 fit kernels)",
+    tags=("analytics", "kernels"),
+)
+def q136_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of event value over time per event type, from
+    covariance/variance moment aggregates — slope = cov(x,y)/var(x). The
+    moments are map-side-combinable partial aggregates (the same algebra
+    q107's mergeable partials pin down), so the fit costs ONE shuffle of
+    five numbers per group — contrast the applyInPandas lstsq kernel
+    (q22), which ships the group's rows. Pinned against DuckDB's native
+    regr_slope/regr_intercept."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.unix_micros("ts") / F.lit(3.6e9)
+    out = (
+        ev.select("event_type", x.alias("__x"), F.col("value").alias("__y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.covar_pop("__x", "__y") / F.var_pop("__x")).alias("__slope"),
+            F.avg("__y").alias("__my"),
+            F.avg("__x").alias("__mx"),
+        )
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("__slope", 6).alias("slope"),
+        F.round(F.col("__my") - F.col("__slope") * F.col("__mx"), 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q137_null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(user_id % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_click
+      FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(user_id % 7, 0) AS k, CAST(count(*) AS BIGINT) AS n_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT coalesce(CAST(a.k AS VARCHAR), CAST(b.k AS VARCHAR), '<null>') AS k,
+           coalesce(a.n_click, 0) AS n_click,
+           coalesce(b.n_view, 0) AS n_view
+    FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY k
+    """,
+    ref="null-safe equality join (beyond reference; J-family completeness — NULL keys as matchable values)",
+    tags=("relational", "join"),
+)
+def q137_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join where NULL keys MATCH each other (<=> / IS NOT
+    DISTINCT FROM) — the semantics a plain equi-join silently drops (its
+    null rows never pair, a classic reconciliation bug). One bucket of
+    keys is deterministically nulled to prove the behavior."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("user_id") % 7, F.lit(0))
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_click"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "view")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")), "full_outer"
+    )
+    return j.select(
+        F.coalesce(
+            F.col("a.k").cast("string"), F.col("b.k").cast("string"), F.lit("<null>")
+        ).alias("k"),
+        F.coalesce("a.n_click", F.lit(0)).cast("bigint").alias("n_click"),
+        F.coalesce("b.n_view", F.lit(0)).cast("bigint").alias("n_view"),
+    ).orderBy("k")

@@ -98,3 +98,66 @@ def q112_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_GEO_ORACLE = """
+    WITH pts AS (
+      SELECT c_custkey,
+             CAST(c_custkey * 7919 % 12000 AS DOUBLE) / CAST(100 AS DOUBLE)
+               - CAST(60 AS DOUBLE) AS lat,
+             CAST(c_custkey * 104729 % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+               - CAST(180 AS DOUBLE) AS lon
+      FROM customer
+    ),
+    st AS (
+      SELECT s_suppkey,
+             CAST(s_suppkey * 4409 % 12000 AS DOUBLE) / CAST(100 AS DOUBLE)
+               - CAST(60 AS DOUBLE) AS lat,
+             CAST(s_suppkey * 9973 % 36000 AS DOUBLE) / CAST(100 AS DOUBLE)
+               - CAST(180 AS DOUBLE) AS lon
+      FROM supplier
+    ),
+    cand AS (
+      SELECT p.c_custkey, s.s_suppkey,
+             (p.lat - s.lat) * (p.lat - s.lat)
+               + (p.lon - s.lon) * (p.lon - s.lon) AS dist2
+      FROM pts p CROSS JOIN st s
+    )
+    SELECT c_custkey, s_suppkey, round(dist2, 6) AS dist2
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY dist2, s_suppkey) AS rk
+      FROM cand WHERE dist2 <= 25.0
+    ) WHERE rk = 1 ORDER BY c_custkey
+"""
+
+
+@query(
+    "q135_geo_near_join",
+    oracle=_GEO_ORACLE,
+    ref="grid-blocked spatial near-join (beyond reference; the spatial sibling of the ANN candidate-generation problem)",
+    tags=("linkage", "join", "scale"),
+)
+def q135_geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest site within 5 coordinate units for every customer point
+    (deterministic synthetic coordinates derived from the keys, same
+    arithmetic both engines). The Spark side candidate-generates via
+    radius-sized grid cells with the small side exploded to its 3x3
+    neighborhood — candidates bounded by local density, never an
+    all-pairs; the oracle IS the all-pairs join, so a hash match certifies
+    the blocking lost nothing."""
+    from python_async_sample_spark.operators.geo import near_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (F.col("c_custkey") * 7919 % 12000 / F.lit(100.0) - 60.0).alias("lat"),
+        (F.col("c_custkey") * 104729 % 36000 / F.lit(100.0) - 180.0).alias("lon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_suppkey") * 4409 % 12000 / F.lit(100.0) - 60.0).alias("lat"),
+        (F.col("s_suppkey") * 9973 % 36000 / F.lit(100.0) - 180.0).alias("lon"),
+    )
+    out = near_join(cust, supp, "c_custkey", "s_suppkey", radius=5.0)
+    return out.select(
+        "c_custkey", "s_suppkey", F.round("dist2", 6).alias("dist2")
+    ).orderBy("c_custkey")

@@ -288,3 +288,13 @@ def test_kmeans_assignment_is_expression_only(spark, sf_dir):
     plan = plan_str(kmeans_predict(emb, "vec_id", "embedding", cents), "simple")
     for node in ("Join", "Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, (node, plan)
+
+
+def test_geo_near_join_broadcasts_sites_never_cartesian(spark, sf_dir):
+    """q135's candidate join keys on the grid cell with the exploded site
+    side broadcast; the all-pairs plan exists only in the oracle."""
+    df = SPECS["q135_geo_near_join"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
