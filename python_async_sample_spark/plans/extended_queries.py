@@ -1447,3 +1447,125 @@ def q137_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("a.n_click", F.lit(0)).cast("bigint").alias("n_click"),
         F.coalesce("b.n_view", F.lit(0)).cast("bigint").alias("n_view"),
     ).orderBy("k")
+
+
+@query(
+    "q138_try_functions",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             try_cast(CAST(user_id AS VARCHAR)
+                      || CASE WHEN user_id % 3 = 0 THEN 'x' ELSE '' END
+                      AS BIGINT) AS k,
+             CAST(event_id AS DOUBLE) / nullif(CAST(user_id % 5 AS DOUBLE), 0.0) AS q
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_valid_k,
+           CAST(count(*) - count(k) AS BIGINT) AS n_bad_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(count(*) - count(q) AS BIGINT) AS n_div_zero,
+           round(sum(q), 2) AS sum_q
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+    ref="ANSI-safe error handling (beyond reference; try_cast/try_divide as the dirty-input path P9 without a reject sink)",
+    tags=("relational", "functions"),
+)
+def q138_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-input arithmetic that degrades to NULL instead of failing the
+    job: try_cast over deterministically-corrupted numerics and try_divide
+    with planted zero denominators, aggregated per event type. The
+    fail-soft complement of q25's reject side-output — at 100 TB you
+    often cannot afford a job abort on row 10^12. DuckDB oracles the same
+    semantics via TRY_CAST and a nullif guard."""
+    ev = load_table(spark, sf_dir, "events")
+    dirty = F.concat(
+        F.col("user_id").cast("string"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("x")).otherwise(F.lit("")),
+    )
+    t = ev.select(
+        "event_type",
+        dirty.try_cast("bigint").alias("k"),
+        F.try_divide(
+            F.col("event_id").cast("double"), (F.col("user_id") % 5).cast("double")
+        ).alias("q"),
+    )
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("k").cast("bigint").alias("n_valid_k"),
+            (F.count(F.lit(1)) - F.count("k")).cast("bigint").alias("n_bad_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            (F.count(F.lit(1)) - F.count("q")).cast("bigint").alias("n_div_zero"),
+            F.round(F.sum("q"), 2).alias("sum_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SPINE_ORACLE = """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    span AS (
+      SELECT user_id, min(d) AS lo, max(d) AS hi,
+             CAST(count(*) AS BIGINT) AS active_days
+      FROM days GROUP BY 1
+    ),
+    spine AS (
+      SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+      FROM span
+    ),
+    gaps AS (
+      SELECT s.user_id, s.d
+      FROM spine s LEFT JOIN days USING (user_id, d)
+      WHERE days.d IS NULL
+    )
+    SELECT sp.user_id,
+           CAST(date_diff('day', sp.lo, sp.hi) + 1 AS BIGINT) AS span_days,
+           sp.active_days,
+           CAST(date_diff('day', sp.lo, sp.hi) + 1 AS BIGINT) - sp.active_days
+             AS missing_days,
+           strftime(min(g.d), '%Y-%m-%d') AS first_gap
+    FROM span sp LEFT JOIN gaps g USING (user_id)
+    GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""
+
+
+@query(
+    "q139_date_spine_gaps",
+    oracle=_SPINE_ORACLE,
+    ref="calendar-spine generation + gap detection (beyond reference; the scaffold behind q92's resample)",
+    tags=("analytics", "window"),
+)
+def q139_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity gaps: generate each user's calendar spine with
+    sequence() (rows ∝ user-days, row-local, no shuffle to build), anti-join
+    the observed days, report span/active/missing and the first gap date.
+    The missing count is ALSO derivable arithmetically — the oracle computes
+    it that way, so the match proves the generated spine is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    span = days.groupBy("user_id").agg(
+        F.min("d").alias("lo"),
+        F.max("d").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("active_days"),
+    )
+    spine = span.select(
+        "user_id", F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    gaps = spine.join(days, ["user_id", "d"], "left_anti")
+    first_gap = gaps.groupBy("user_id").agg(F.min("d").alias("fg"))
+    return (
+        span.join(first_gap, "user_id", "left")
+        .select(
+            "user_id",
+            (F.datediff("hi", "lo") + 1).cast("bigint").alias("span_days"),
+            "active_days",
+            ((F.datediff("hi", "lo") + 1).cast("bigint") - F.col("active_days")).alias(
+                "missing_days"
+            ),
+            F.date_format("fg", "yyyy-MM-dd").alias("first_gap"),
+        )
+        .orderBy("user_id")
+    )

@@ -682,3 +682,51 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ENTROPY_ORACLE = """
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (
+      SELECT source, tok, count(*) * 1.0 AS c FROM toks GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, sum(c) AS n FROM tf GROUP BY 1)
+    SELECT tf.source,
+           CAST(tot.n AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(-sum((tf.c / tot.n) * ln(tf.c / tot.n)), 4) AS entropy
+    FROM tf JOIN tot USING (source)
+    GROUP BY tf.source, tot.n ORDER BY tf.source
+"""
+
+
+@query(
+    "q140_source_entropy",
+    oracle=_ENTROPY_ORACLE,
+    ref="corpus diversity report (beyond reference; Shannon entropy of the per-source token distribution)",
+    tags=("llm-data", "text"),
+)
+def q140_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution — the diversity
+    screen that catches template farms (low entropy at normal size) before
+    they flood a training mixture. Two map-side-combinable aggregations
+    over one exploded scan; per-source term frequencies stay key-partitioned
+    (vocabulary-sized — never broadcast, never collected)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = tf.groupBy("source").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n")
+    return (
+        tf.join(tot, "source")
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy"),
+        )
+        .select(
+            "source", F.col("n").cast("bigint").alias("n_tokens"), "vocab", "entropy"
+        )
+        .orderBy("source")
+    )
