@@ -730,3 +730,32 @@ def q140_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q141_bpe_merges",
+    oracle=None,  # iterative argmax-and-rewrite — not SQL-expressible; the
+    # learned merges are pinned EXACTLY against a sequential pure-Python
+    # BPE reference in tests/test_bpe.py (argmax tie-break and left-to-right
+    # merge application are both deterministic)
+    ref="distributed BPE tokenizer training (beyond reference; the first stage of every LLM data pipeline)",
+    tags=("llm-data", "text", "no_oracle"),
+)
+def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 12 word-level BPE merges over the corpus: per iteration, one
+    explode + map-side-combinable pair count, a ONE-ROW distributed argmax
+    (count desc, pair lexicographic — deterministic), and a pure-JVM fold
+    that rewrites each document's symbol array left-to-right. The corpus
+    is re-materialized per iteration (k-means/CC lineage-cut contract);
+    the driver touches one row per merge."""
+    from python_async_sample_spark.operators.bpe import learn_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=12)
+    return spark.createDataFrame(
+        [
+            (i + 1, a.replace("\x1e", " "), b.replace("\x1e", " "), c)
+            for i, (a, b, c) in enumerate(merges)
+        ],
+        "rank int, left string, right string, pair_count bigint",
+    ).orderBy("rank")
