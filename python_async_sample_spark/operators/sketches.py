@@ -36,3 +36,66 @@ def approx_quantiles(
     return df.groupBy(*group_cols).agg(
         F.percentile_approx(target, list(probs), accuracy).alias("quantiles")
     )
+
+
+def cms_build(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a key column as a (row, col, cnt) relation.
+
+    Each item increments one counter per hash row (xxhash64 seeded by the
+    row index, modulo ``width``), so the build is one explode (depth rows
+    per item) + one map-side-combinable groupBy bounded at depth*width
+    cells. Two sketches built this way MERGE by summing cells — the
+    additive contract that lets 100 TB build per-partition sketches and
+    combine, and the same mergeability family as q107's partial
+    aggregates."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(
+                        F.xxhash64(F.col(key_col).cast("string"), F.lit(i)), width
+                    ).cast("int").alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(rows.alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    keys: DataFrame, sketch: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Point-frequency estimates: est(k) = min over rows of the counter at
+    (row, hash_row(k)). The sketch relation is bounded at depth*width cells
+    BY CONSTRUCTION, so broadcasting it is legitimate (contrast
+    vocabulary-sized relations, which never are). CMS never underestimates;
+    the overestimate is <= e/width * N with prob 1 - e^-depth per key."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col).cast("string"), F.lit(i)), width
+                        ).cast("int").alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_count"))
+    )

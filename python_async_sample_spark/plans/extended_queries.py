@@ -1569,3 +1569,36 @@ def q139_date_spine_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q142_cms_heavy_hitters",
+    oracle=None,  # estimates depend on xxhash64 (no DuckDB equivalent);
+    # the CMS never-underestimate property is enforced IN the plan
+    # (union-poison guard) and the e/width error band in tests/test_sketches.py
+    ref="count-min frequency sketch (beyond reference; completes the sketch family — HLL distinct q63, KLL quantile q91, CMS frequency)",
+    tags=("sketch", "scale", "no_oracle"),
+)
+def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10 hottest event keys with their exact counts and count-min
+    estimates side by side. The sketch is depth*width-bounded by
+    construction (broadcastable, mergeable by cell-sum); the in-plan guard
+    poisons the query if ANY estimate undercuts its true count — the CMS
+    hard property, checked on every run at full scale."""
+    from python_async_sample_spark.operators.sketches import cms_build, cms_estimate
+    from python_async_sample_spark.operators.skew import skew_report
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id", depth=4, width=256)
+    top = skew_report(ev, "user_id", top_k=10).select(
+        "rank", "user_id", F.col("n_rows").alias("true_count")
+    )
+    est = cms_estimate(top.select("user_id"), sketch, "user_id", depth=4, width=256)
+    out = top.join(est, "user_id").select(
+        "rank", "user_id", "true_count", "est_count"
+    )
+    violation = out.where(F.col("est_count") < F.col("true_count")).limit(1)
+    return _union_poison_guard(
+        out, violation, "CMS underestimated a key count — impossible by construction"
+    ).orderBy("rank")

@@ -39,3 +39,51 @@ def test_quantile_sketch_rank_error(spark, sf_dir):
         xs = [v[0] for v in vals]
         rank = sum(1 for x in xs if x <= est) / len(xs)
         assert 0.45 <= rank <= 0.55, (flag, est, rank)
+
+
+def test_cms_never_underestimates_and_bounds_overestimate(spark, sf_dir):
+    from python_async_sample_spark.operators.sketches import cms_build, cms_estimate
+    from python_async_sample_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    width = 256
+    sketch = cms_build(ev, "user_id", depth=4, width=width)
+    # the sketch is bounded and its cells sum to depth * N
+    cells = sketch.collect()
+    assert len(cells) <= 4 * width
+    assert sum(r["cnt"] for r in cells) == 4 * n
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true"))
+    est = cms_estimate(exact.select("user_id"), sketch, "user_id", depth=4, width=width)
+    j = {r["user_id"]: r for r in exact.join(est, "user_id").collect()}
+    import math
+
+    eps_n = math.e / width * n
+    over = 0
+    for r in j.values():
+        assert r["est_count"] >= r["true"]  # hard CMS property
+        if r["est_count"] - r["true"] > eps_n:
+            over += 1
+    # e/width * N bound holds with prob 1 - e^-4 per key; allow a thin tail
+    assert over <= max(1, len(j) // 20), (over, len(j))
+
+
+def test_cms_merges_by_cell_sum(spark, sf_dir):
+    from python_async_sample_spark.operators.sketches import cms_build
+    from python_async_sample_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    whole = cms_build(ev, "user_id")
+    a = cms_build(ev.where("event_id % 2 = 0"), "user_id")
+    b = cms_build(ev.where("event_id % 2 = 1"), "user_id")
+    merged = (
+        a.unionByName(b)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
+    want = {(r["row"], r["col"]): r["cnt"] for r in whole.collect()}
+    assert got == want
