@@ -1602,3 +1602,49 @@ def q142_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union_poison_guard(
         out, violation, "CMS underestimated a key count — impossible by construction"
     ).orderBy("rank")
+
+
+_PIT_ORACLE = """
+    WITH profile AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type AS state
+      FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    fact AS (
+      SELECT user_id, date_trunc('microseconds', ts) AS ts, event_type
+      FROM events
+    )
+    SELECT f.event_type,
+           coalesce(p.state, '<none>') AS active_state,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM fact f ASOF LEFT JOIN profile p
+      ON f.user_id = p.user_id AND p.ts <= f.ts
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query(
+    "q143_pit_dimension_join",
+    oracle=_PIT_ORACLE,
+    ref="point-in-time-correct dimension join (beyond reference; the consumer of q123's SCD2 build — no leakage from future states)",
+    tags=("cdc", "asof", "join"),
+)
+def q143_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event enriched with the profile state ACTIVE AT ITS TIME
+    (latest signup/purchase at or before the event) — the
+    point-in-time-correct join that feature stores and training pipelines
+    need so a row never sees a future dimension version (label leakage).
+    One union + window pass per user key (the as-of kernel); checked
+    against DuckDB's native ASOF LEFT JOIN."""
+    ev = load_table(spark, sf_dir, "events")
+    profile = ev.where(F.col("event_type").isin("signup", "purchase")).select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    fact = ev.select("user_id", "ts", "event_type")
+    out = asof_join(fact, profile, ["user_id"], "ts", "ts", payload_cols=["state"])
+    return (
+        out.groupBy(
+            "event_type", F.coalesce("asof_state", F.lit("<none>")).alias("active_state")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .orderBy("event_type", "active_state")
+    )

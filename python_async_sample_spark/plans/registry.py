@@ -67,6 +67,14 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # All rotated-out queries keep full verification in _TAIL via
 # tests/test_oracle_parity.py and scripts/driver_sim.py.
 #
+# ROUND-4 ROTATION CANDIDATES (never driver-checked, all locally green):
+# the round-3 additions q100-q143 — strongest first: q121 (repeated-span
+# dedup), q132 (distributed prefix sum), q131 (incremental MV), q135 (geo
+# near-join), q143 (PIT join), q125 (bigram LM), q133 (checksum), q122,
+# q123, q129, q130, q136, q139, q140, q106, q112, q115. Swap against
+# in-window residents whose §2 row keeps another in-window query, same
+# procedure as the round-3 rotation above.
+#
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
 # EXISTS-semi, J5 via q26; q19→sessionization via q60 (same oracle,

@@ -478,6 +478,21 @@ def stream_incremental_mv_to_parquet(
         n_source_files, "__f"
     ).drop("__f").write.mode("overwrite").parquet(src_dir)
 
+    drain_mv_merge(spark, src_dir, work_dir)
+
+    latest = _latest_mv_version(mv_root)
+    assert latest is not None, "no committed MV snapshot"
+    return spark.read.parquet(latest)
+
+
+def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
+    """One AvailableNow drain of the MV-merge stream over whatever source
+    files currently exist. Re-invoking with the SAME work_dir resumes from
+    the checkpoint: already-committed batches are never re-merged (that is
+    the crash-recovery contract — tests restart the drain mid-corpus and
+    the final view must still equal the batch aggregate)."""
+    mv_root = f"{work_dir}/mv"
+    os.makedirs(mv_root, exist_ok=True)
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -511,7 +526,3 @@ def stream_incremental_mv_to_parquet(
             .start()
         )
         q.awaitTermination()
-
-    latest = _latest_mv_version(mv_root)
-    assert latest is not None, "no committed MV snapshot"
-    return spark.read.parquet(latest)

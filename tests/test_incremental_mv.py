@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import glob
 import os
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -42,3 +43,52 @@ def test_uncommitted_snapshot_is_invisible(tmp_path):
     os.makedirs(f"{root}/v00002")  # no _SUCCESS: a crash mid-write
     assert _latest_mv_version(root) == f"{root}/v00001"
     assert _latest_mv_version(str(tmp_path / "empty")) is None
+
+
+def test_restart_from_checkpoint_resumes_exactly_once(spark, sf_dir):
+    """Crash-recovery contract: drain half the source, 'restart' (a second
+    drain with the same checkpoint), add the remaining files, drain again —
+    no batch is replayed into the view, and the final snapshot still equals
+    the batch aggregate."""
+    import shutil
+
+    from python_async_sample_spark.sources.readers import pin_reader_conf
+    from python_async_sample_spark.streaming.jobs import drain_mv_merge
+
+    tmp = tempfile.mkdtemp(prefix="mv_restart_")
+    src, staged = f"{tmp}/src", f"{tmp}/staged"
+    pin_reader_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ev.withColumn("__f", F.pmod(F.xxhash64("event_id"), F.lit(4))).repartition(
+        4, "__f"
+    ).drop("__f").write.mode("overwrite").parquet(staged)
+    files = sorted(glob.glob(f"{staged}/part-*.parquet"))
+    assert len(files) >= 2  # empty hash buckets write no file
+    half = len(files) // 2
+    os.makedirs(src, exist_ok=True)
+    for f in files[:half]:
+        shutil.copy(f, src)
+
+    drain_mv_merge(spark, src, tmp)  # first run: 2 batches
+    versions_after_first = sorted(glob.glob(f"{tmp}/mv/v*"))
+    assert len(versions_after_first) >= 1
+
+    for f in files[half:]:
+        shutil.copy(f, src)
+    drain_mv_merge(spark, src, tmp)  # restart: must merge ONLY the new files
+
+    from python_async_sample_spark.streaming.jobs import _latest_mv_version
+
+    final = spark.read.parquet(_latest_mv_version(f"{tmp}/mv"))
+    batch = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value")
+    )
+    got = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in final.collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"]): (r["n_events"], round(r["sum_value"], 4))
+        for r in batch.collect()
+    }
+    assert got == want
