@@ -1,0 +1,113 @@
+"""Distributed PCA over an embedding column.
+
+Beyond the reference's inventory: principal-component projection is the
+standard pre-conditioning step for embedding search (decorrelate/compact
+before ANN) and for corpus diagnostics (intrinsic dimensionality). The
+scalable decomposition is the classic two-moment reduction:
+
+* each partition computes its PARTIAL second-moment matrix X^T X and row
+  sum with one Arrow-batched GEMM (``mapInPandas``) — emitting d*(d+1)
+  cells per partition regardless of row count;
+* the cells sum under one map-side-combinable groupBy to the global
+  moments; covariance = E[xx^T] - mean mean^T;
+* the eigendecomposition runs on the DRIVER over the d x d covariance —
+  bounded by the embedding width (a model hyperparameter), never by data;
+* projection back over the corpus is a pure JVM expression per output
+  component (dot product via ``aggregate(zip_with(...))`` with the
+  component as a literal) — no Python in the projection path.
+
+Sign convention: each component's largest-|coordinate| entry is made
+positive, so results are deterministic across LAPACK implementations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _moment_kernel(dim: int):
+    def kernel(batches):
+        import pandas as pd
+
+        xtx = np.zeros((dim, dim))
+        s = np.zeros(dim)
+        n = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.vstack(pdf["_v"].to_numpy()).astype(np.float64)
+            xtx += x.T @ x
+            s += x.sum(axis=0)
+            n += len(x)
+        if n == 0:
+            return
+        rows = [
+            {"i": i, "j": j, "xx": xtx[i, j], "sx": s[i] if j == 0 else 0.0, "n": n if (i, j) == (0, 0) else 0}
+            for i in range(dim)
+            for j in range(dim)
+        ]
+        yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def fit_pca(
+    df: DataFrame, vec_col: str, n_components: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Returns (components [k x d], explained_variance [k], mean [d]).
+
+    One corpus scan for the moments; the driver touches d*(d+1)+1 numbers.
+    """
+    vecs = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    dim = len(vecs.first()["_v"])
+    cells = (
+        vecs.mapInPandas(_moment_kernel(dim), schema="i int, j int, xx double, sx double, n long")
+        .groupBy("i", "j")
+        .agg(F.sum("xx").alias("xx"), F.sum("sx").alias("sx"), F.sum("n").alias("n"))
+        .collect()
+    )
+    xtx = np.zeros((dim, dim))
+    s = np.zeros(dim)
+    n = 0
+    for r in cells:
+        xtx[r["i"], r["j"]] = r["xx"]
+        if r["j"] == 0:
+            s[r["i"]] = r["sx"]
+        if (r["i"], r["j"]) == (0, 0):
+            n = r["n"]
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T  # k x d
+    # deterministic sign: largest-|coordinate| entry positive
+    for k in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[k])))
+        if comps[k, j] < 0:
+            comps[k] = -comps[k]
+    return comps, evals[order], mean
+
+
+def project(
+    df: DataFrame, id_col: str, vec_col: str, components: np.ndarray, mean: np.ndarray
+) -> DataFrame:
+    """(id, proj) with proj = components @ (x - mean) — pure JVM expression
+    per component (the components are literals: k*d doubles of plan, not
+    data), no shuffle, no Python."""
+    x = F.col(vec_col).cast("array<double>")
+    outs = []
+    for k in range(components.shape[0]):
+        c = F.array(*[F.lit(float(v)) for v in components[k]])
+        m = F.array(*[F.lit(float(v)) for v in mean])
+        centered = F.zip_with(x, m, lambda a, b: a - b)
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, c, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias(f"pc{k}")
+        )
+    return df.select(F.col(id_col), F.array(*outs).alias("proj"))

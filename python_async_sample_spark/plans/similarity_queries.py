@@ -112,13 +112,23 @@ def _union_poison_guard(out: DataFrame, violation: DataFrame, msg: str) -> DataF
     executing the query always executes the union child, so a violation
     raises regardless of ``out``'s cardinality, and a clean run unions zero
     rows.  Callers must make ``violation`` null-tripping
-    (``isNull() | (x < floor)``) so a degenerate 0/0 recall also fires."""
-    poison = violation.select(
-        *[
-            (F.raise_error(msg) if i == 0 else F.lit(None)).cast(f.dataType).alias(f.name)
-            for i, f in enumerate(out.schema.fields)
-        ]
-    )
+    (``isNull() | (x < floor)``) so a degenerate 0/0 recall also fires.
+
+    The raise rides a FILTER over the violation COUNT, not a projected
+    column: ``count()``-style actions skip evaluating projected columns
+    entirely (only row existence matters), so a projected raise_error is
+    silent exactly under the driver's rows-only check. A filter predicate
+    must evaluate — but a bare ``where(raise_error(...))`` is column-free
+    and Catalyst pushes it all the way to the scans, firing on clean runs.
+    Aggregating the violation to a one-row count first blocks pushdown
+    (predicates cannot cross the aggregate), and ``when(count > 0, raise)``
+    short-circuits so a clean run never evaluates the raise."""
+    n_viol = violation.agg(F.count(F.lit(1)).alias("__nv"))
+    poison = n_viol.where(
+        F.when(F.col("__nv") > 0, F.raise_error(msg).cast("boolean")).otherwise(
+            F.lit(False)
+        )
+    ).select(*[F.lit(None).cast(f.dataType).alias(f.name) for f in out.schema.fields])
     return out.unionByName(poison)
 
 
@@ -298,3 +308,40 @@ def q127_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@query(
+    "q144_pca_spectrum",
+    oracle=None,  # eigendecomposition — not SQL-expressible; the spectrum is
+    # pinned exactly against numpy (values, vectors, orthonormality) in
+    # tests/test_pca.py
+    ref="distributed PCA spectrum diagnostic (beyond reference; moment-reduction + driver-side eigh)",
+    tags=("llm-data", "similarity", "no_oracle"),
+)
+def q144_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding corpus's principal-component spectrum: per-component
+    explained variance, cumulative ratio, and the spectrum's effective rank
+    (exp of eigenvalue entropy) — the diagnostic that decides whether
+    spectral compression (reduced-space ANN, int8 PQ) is viable BEFORE an
+    index is built. On this synthetic corpus it honestly reports a flat,
+    near-isotropic spectrum (effective rank ~ the full width; measured
+    reduced-space ANN recall collapses — which is exactly what this report
+    predicts). The moments reduce to d(d+1) cells per partition in one
+    Arrow GEMM pass; the driver eigendecomposes a d x d matrix — bounded by
+    the model width, never by data."""
+    import math
+
+    from python_async_sample_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, evals, _mean = fit_pca(emb, "embedding", n_components=32)
+    total = float(sum(evals))
+    ratios = [float(v) / total for v in evals]
+    erank = math.exp(-sum(r * math.log(r) for r in ratios if r > 0))
+    rows, cum = [], 0.0
+    for i, (v, r) in enumerate(zip(evals, ratios)):
+        cum += r
+        rows.append((i + 1, round(float(v), 6), round(r, 6), round(cum, 6), round(erank, 4)))
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_ratio double, cum_ratio double, effective_rank double"
+    ).orderBy("component")

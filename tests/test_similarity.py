@@ -102,3 +102,20 @@ def test_recall_guard_fires_on_empty_output(spark):
     # and a clean result passes through unchanged
     ok = _with_recall_guard(exact, exact, floor=0.5, what="clean-test")
     assert sorted((r.query_id, r.neighbor_id) for r in ok.collect()) == [(1, 2), (1, 3)]
+
+
+def test_guard_fires_under_count_only_actions(spark):
+    """Regression: the driver's rows-only check is a count() — which never
+    evaluates projected columns. A violated guard must fail count() too,
+    and a clean guard must not disturb the row count."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
+    out = spark.range(3).select(F.col("id").alias("v"))
+    violated = spark.range(1).select(F.lit(1).alias("x"))
+    with pytest.raises(Exception, match="count-path"):
+        _union_poison_guard(out, violated, "count-path guard").count()
+    clean = violated.where(F.lit(False))
+    assert _union_poison_guard(out, clean, "unused").count() == 3
