@@ -631,3 +631,100 @@ def q122_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("source", "doc_id")
     )
+
+
+_RELEASE_ORACLE = """
+    WITH g8 AS (
+      SELECT doc_id,
+             w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] || ' ' || w[g.i+3]
+             || ' ' || w[g.i+4] || ' ' || w[g.i+5] || ' ' || w[g.i+6]
+             || ' ' || w[g.i+7] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      CROSS JOIN unnest(generate_series(1, len(w) - 7)) AS g(i)
+    ),
+    dup8 AS (SELECT gram FROM g8 GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    span_bad AS (
+      SELECT s.doc_id
+      FROM (SELECT doc_id, count(*) AS n FROM g8 GROUP BY 1) s
+      JOIN (SELECT doc_id, count(*) AS n_dup
+            FROM g8 JOIN dup8 USING (gram) GROUP BY 1) m USING (doc_id)
+      WHERE m.n_dup * 5 >= s.n
+    ),
+    esh AS (
+      SELECT DISTINCT w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2] || ' '
+             || w[g.i+3] || ' ' || w[g.i+4] AS shingle
+      FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+      CROSS JOIN unnest(generate_series(1, len(w) - 4)) AS g(i)
+    ),
+    tsh AS (
+      SELECT DISTINCT doc_id, w[g.i] || ' ' || w[g.i+1] || ' ' || w[g.i+2]
+             || ' ' || w[g.i+3] || ' ' || w[g.i+4] AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+            WHERE doc_id % 97 <> 0)
+      CROSS JOIN unnest(generate_series(1, len(w) - 4)) AS g(i)
+    ),
+    contaminated AS (SELECT DISTINCT doc_id FROM tsh JOIN esh USING (shingle)),
+    clean AS (
+      SELECT d.doc_id, d.source,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+             md5('budget' || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d
+      WHERE d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM span_bad)
+        AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    budgeted AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM clean
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+    FROM budgeted WHERE cum_tokens <= 600
+    GROUP BY source ORDER BY source
+"""
+
+
+@query(
+    "q145_corpus_release_pipeline",
+    oracle=_RELEASE_ORACLE,
+    ref="corpus release composition v2 (beyond reference; q121 span screen -> q49 decontamination -> q122 token budget as ONE lazy plan)",
+    tags=("llm-data", "pipeline"),
+)
+def q145_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 release chain as one lazy plan: cross-document
+    boilerplate screen (drop docs whose 8-gram dup ratio reaches 20% —
+    integer arithmetic, no FP threshold), eval-slice removal + 5-gram
+    decontamination, then a 600-token budget per source, with per-source
+    accounting. Like q88, each stage is an individually-oracled operator;
+    this query pins their COMPOSITION against a single SQL oracle."""
+    from python_async_sample_spark.operators.decontaminate import decontaminate
+    from python_async_sample_spark.operators.sampling import token_budget_take
+    from python_async_sample_spark.operators.substring_dedup import repeated_span_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    span_bad = (
+        repeated_span_report(docs, "doc_id", "text", n=8)
+        .where(F.col("n_dup_grams") * 5 >= F.col("n_grams"))
+        .select(F.col("doc").alias("doc_id"))
+    )
+    screened = docs.join(span_bad, "doc_id", "left_anti")
+    corpus = screened.where(F.col("doc_id") % 97 != 0)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    clean = decontaminate(corpus, ev, "doc_id", "text", n=5)
+    slim = clean.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    budgeted = token_budget_take(slim, "source", "doc_id", "n_tokens", budget=600)
+    return (
+        budgeted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        )
+        .orderBy("source")
+    )
