@@ -201,6 +201,48 @@ def minhash_signatures(shingled: DataFrame, num_hashes: int = 64) -> DataFrame:
     return shingled.groupBy("doc").agg(*aggs)
 
 
+def band_index(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
+    """(doc, band, bucket) LSH band index of a MinHash signature relation —
+    the relation a warehouse PERSISTS for incremental dedup: new batches
+    join their bands against this index instead of re-mining history."""
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc", *band_cols)
+    return banded.select(
+        "doc",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
+def incremental_lsh_candidates(
+    batch_index: DataFrame, history_index: DataFrame
+) -> DataFrame:
+    """Candidate pairs for a NEW batch against an existing banded corpus:
+    batch-vs-history (join on the persisted band index — history pairs are
+    never re-mined) plus batch-internal (self-join). Returns distinct
+    (d1, d2), d1 < d2; every pair touches the batch by construction."""
+    b = batch_index.alias("b")
+    h = history_index.alias("h")
+    vs_history = b.join(
+        h, (F.col("b.band") == F.col("h.band")) & (F.col("b.bucket") == F.col("h.bucket"))
+    ).select(
+        F.least(F.col("b.doc"), F.col("h.doc")).alias("d1"),
+        F.greatest(F.col("b.doc"), F.col("h.doc")).alias("d2"),
+    )
+    b2 = batch_index.alias("b2")
+    internal = b.join(
+        b2,
+        (F.col("b.band") == F.col("b2.band"))
+        & (F.col("b.bucket") == F.col("b2.bucket"))
+        & (F.col("b.doc") < F.col("b2.doc")),
+    ).select(F.col("b.doc").alias("d1"), F.col("b2.doc").alias("d2"))
+    return vs_history.unionByName(internal).distinct()
+
+
 def lsh_candidates(signatures: DataFrame, bands: int = 16, rows: int = 4) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band bucket are
     candidates. Returns distinct (d1, d2), d1 < d2.
@@ -209,17 +251,7 @@ def lsh_candidates(signatures: DataFrame, bands: int = 16, rows: int = 4) -> Dat
     default 16×4, j ≥ 0.9 is caught with P > 1 − 4e-8 while j ≤ 0.3 pairs
     are overwhelmingly filtered out before any pairwise work.
     """
-    band_cols = [
-        F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)]).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = signatures.select("doc", *band_cols)
-    stacked = banded.select(
-        "doc",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
-        ).alias("bb"),
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    stacked = band_index(signatures, bands, rows)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (

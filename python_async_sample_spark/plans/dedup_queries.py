@@ -322,3 +322,47 @@ def q121_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("doc").alias("doc_id"), "n_grams", "n_dup_grams", "dup_ratio", "max_dup_run"
     ).orderBy("doc_id")
+
+
+_INCR_NEAR_ORACLE = f"""
+    WITH {_PAIR_CTES}
+    SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 4) AS jaccard
+    FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+    WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+      AND (d1 % 4 = 0 OR d2 % 4 = 0)
+    ORDER BY d1, d2
+"""
+
+
+@query(
+    "q147_incremental_near_dedup",
+    oracle=_INCR_NEAR_ORACLE,
+    ref="incremental MinHash-LSH dedup (beyond reference; the near-dup form of q111 — history pairs never re-mined)",
+    tags=("llm-data", "dedup", "incremental"),
+)
+def q147_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs a NEW batch (doc_id % 4 == 0) introduces
+    against an already-deduped corpus: the history's banded MinHash index
+    is the PERSISTED relation a production pipeline keeps, so candidates
+    are (batch bands x history index) + batch-internal — history-history
+    pairs are never re-mined, which is what makes continuous dedup
+    affordable at 100 TB. Candidates verify with exact Jaccard >= 0.8
+    computed only for candidate pairs; the oracle is the full exact pair
+    mine restricted to pairs touching the batch, so a hash match certifies
+    the banding lost nothing on this corpus."""
+    from python_async_sample_spark.operators.dedup import (
+        band_index,
+        incremental_lsh_candidates,
+        jaccard_pairs,
+        minhash_signatures,
+    )
+
+    shingled = _shingles(spark, sf_dir, 3)
+    sigs = minhash_signatures(shingled)
+    batch_sigs = sigs.where(F.col("doc") % 4 == 0)
+    hist_sigs = sigs.where(F.col("doc") % 4 != 0)
+    cands = incremental_lsh_candidates(band_index(batch_sigs), band_index(hist_sigs))
+    pairs = jaccard_pairs(shingled, threshold=0.8, candidates=cands)
+    return pairs.select(
+        "d1", "d2", F.round("jaccard", 4).alias("jaccard")
+    ).orderBy("d1", "d2")

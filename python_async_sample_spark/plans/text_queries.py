@@ -759,3 +759,46 @@ def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "rank int, left string, right string, pair_count bigint",
     ).orderBy("rank")
+
+
+@query(
+    "q146_batch_inference",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(list_distinct(string_split(text, ' ')))
+               * 1.0 / length(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(-2.0
+                                + 0.015 * least(n_tokens, 400)
+                                + 3.0  * distinct_ratio
+                                - 0.002 * (n_chars * 1.0 / n_tokens)))) AS p
+      FROM feats
+    )
+    SELECT doc_id, round(p, 6) AS score, CAST(p >= 0.5 AS BOOLEAN) AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    ref="distributed batch model inference (beyond reference; load-once-per-worker mapInPandas harness, oracled via the frozen model)",
+    tags=("llm-data", "inference"),
+)
+def q146_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The model-scoring stage as a BATCH-INFERENCE harness: Arrow-batched
+    mapInPandas with a once-per-worker model load — the pattern that makes
+    heavyweight models viable at scale (q114 computes the same frozen
+    logistic as pure expressions; the shared weights make this harness
+    oracle-able, and a framework model slots into the loader unchanged).
+    Map-only: no shuffle before the gate's orderBy."""
+    from python_async_sample_spark.operators.inference import batch_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = batch_score(docs.select("doc_id", "text"), "text", "score")
+    return out.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        (F.col("score") >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
