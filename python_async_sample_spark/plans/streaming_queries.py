@@ -286,3 +286,40 @@ def q131_stream_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     ).orderBy("user_id", "event_type")
+
+
+@query(
+    "q148_stream_inference",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             length(string_split(text, ' ')) AS n_tokens,
+             length(text) AS n_chars,
+             length(list_distinct(string_split(text, ' ')))
+               * 1.0 / length(string_split(text, ' ')) AS distinct_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(-2.0
+                                    + 0.015 * least(n_tokens, 400)
+                                    + 3.0  * distinct_ratio
+                                    - 0.002 * (n_chars * 1.0 / n_tokens)))), 6)
+             AS score
+    FROM feats ORDER BY doc_id
+    """,
+    ref="streaming model inference (beyond reference; one scoring harness serving batch backfill and live stream without skew)",
+    tags=("streaming", "inference"),
+)
+def q148_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents streamed in 3 micro-batches through the SAME once-per-
+    worker inference harness as q146's batch path, into an append sink.
+    The drained sink must equal one-shot batch scoring (the oracle) —
+    proving the model serves both the backfill and live faces of the
+    pipeline without train/serve skew."""
+    from python_async_sample_spark.streaming.jobs import (
+        stream_score_documents_to_parquet,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_stream_score_")
+    out = stream_score_documents_to_parquet(spark, sf_dir, tmp)
+    return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")

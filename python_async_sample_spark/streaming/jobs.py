@@ -526,3 +526,44 @@ def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
             .start()
         )
         q.awaitTermination()
+
+
+def stream_score_documents_to_parquet(
+    spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 3
+) -> DataFrame:
+    """Streaming model inference: documents arrive as files, each
+    micro-batch rides the SAME Arrow-batched once-per-worker scoring
+    harness as the batch path (``operators/inference.batch_score``), and
+    scores land in an append-only sink. Because the harness is
+    deterministic, the drained sink must equal one-shot batch scoring —
+    the property that lets a pipeline serve one model through both its
+    backfill (batch) and live (streaming) faces without skew."""
+    from python_async_sample_spark.operators.inference import batch_score
+
+    src_dir = f"{work_dir}/src"
+    pin_reader_conf(spark)
+    docs_path = f"{sf_dir.rstrip('/')}/documents.parquet"
+    docs = spark.read.parquet(docs_path).select("doc_id", "text")
+    docs.withColumn("__f", F.pmod(F.xxhash64("doc_id"), F.lit(n_source_files))).repartition(
+        n_source_files, "__f"
+    ).drop("__f").write.mode("overwrite").parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    scored = batch_score(stream, "text", "score")
+
+    with bounded_drain_conf(spark):
+        q = (
+            scored.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", f"{work_dir}/sink")
+            .option("checkpointLocation", f"{work_dir}/checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(f"{work_dir}/sink")
