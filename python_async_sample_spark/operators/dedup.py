@@ -366,3 +366,42 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> Dat
         .where(F.col("hamming") <= max_hamming)
         .select("d1", "d2", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (subset / quote detection)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ordered near-containment pairs: C(A→B) = |S(A) ∩ S(B)| / |S(A)|.
+
+    Jaccard misses the asymmetric case a dedup pipeline cares about most —
+    document A being a quote/excerpt/superset-trimmed copy of a much longer
+    B (J(A,B) is tiny when |B| ≫ |A| even at containment 1.0).  Same
+    inverted-index discipline as ``jaccard_pairs``: documents only meet on
+    shared shingles (one shuffle on shingle, one on the pair key), never a
+    cross product, so the plan scales with shared-shingle co-occurrence,
+    not corpus².  Output is *directed*: (da, db, containment of da in db).
+    """
+    sh = shingle_index(df, id_col, text_col, n)
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") != F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc").alias("da"), "n_sh"), "da")
+        .withColumn("containment", F.col("inter") / F.col("n_sh"))
+        .where(F.col("containment") >= threshold)
+        .select("da", "db", "inter", "containment")
+    )

@@ -1,0 +1,209 @@
+"""Distributed graph analytics over DataFrame edge lists.
+
+Beyond-reference surface (the reference has no graph operators): link
+analysis over graphs *derived from* fact tables — the scale-honest shape
+for a 100 TB warehouse is (1) a distributed aggregation that collapses the
+fact data into a weighted edge list, then (2) iteration over the edge
+list, which is orders of magnitude smaller than the facts.  Both stages
+stay in DataFrame operators: the derivation is joins + groupBy (shuffles
+on the fact keys, dimension joins broadcast), and each power-iteration /
+triangle step is a join + partial aggregation on the edge relation.
+
+Scale notes
+-----------
+* ``pagerank``: state per iteration is one (node, rank) relation — O(V).
+  Each iteration is edges⋈ranks (shuffle on src) + groupBy dst.  Dangling
+  mass is redistributed uniformly via a one-row aggregate (broadcast
+  cross-join, never a collect).  ``localCheckpoint(eager=False)`` after
+  each iteration cuts the lineage so plan depth stays constant; the next
+  iteration's shuffle materializes it (one job per iteration — the BPE
+  lesson, PLANS.md).
+* ``count_triangles``: edges are *degree-oriented* (low endpoint → high,
+  ordered by (degree, id)) before the wedge join, the standard bound that
+  caps every node's out-degree at O(sqrt(m)) so the wedge relation cannot
+  blow up on skewed (power-law) graphs the way naive id-ordering can.
+  Output ids are re-sorted per triangle, so results are orientation-
+  independent and an id-ordered SQL oracle can certify them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+    damping: float = 0.85,
+    iterations: int = 5,
+) -> DataFrame:
+    """Fixed-iteration weighted PageRank over an aggregated edge list.
+
+    Returns (node, rank) after ``iterations`` synchronous power steps from
+    the uniform vector, with uniform redistribution of dangling mass:
+
+        r'(v) = (1-d)/N + d * ( sum_{u->v} w_norm(u,v) * r(u) + dang/N )
+
+    where ``w_norm`` is the out-weight-normalized transition and ``dang``
+    is the total rank on nodes with no out-edges.  Deterministic up to
+    float summation order — callers round before hashing.
+    """
+    w = F.col(weight).cast("double") if weight else F.lit(1.0)
+    # materialize the aggregated edge list ONCE — every iteration (and the
+    # node/out-weight/transition derivations) consumes it, and without the
+    # lineage cut Spark would re-run the caller's fact-side join+groupBy per
+    # consumer per iteration (5× the heavy stage at warehouse scale)
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"), w.alias("w")
+    ).localCheckpoint(eager=True)
+    out_w = e.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        e.join(out_w, "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
+        .localCheckpoint(eager=True)
+    )
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.agg(F.count("*").alias("n"))  # one-row relation, broadcast
+
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    )
+    # nodes with no out-edges contribute their whole rank as dangling mass
+    dangling_nodes = nodes.join(
+        out_w.select(F.col("src").alias("node")), "node", "left_anti"
+    )
+
+    for _ in range(iterations):
+        contrib = (
+            trans.join(ranks, trans.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("p") * F.col("rank")).alias("contrib"))
+            .select(F.col("dst").alias("node"), "contrib")
+        )
+        dang = (
+            dangling_nodes.join(ranks, "node")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / F.col("n"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edge_cte: str,
+    damping: float = 0.85,
+    iterations: int = 5,
+    round_digits: int = 6,
+) -> str:
+    """Generate the chained-CTE DuckDB oracle for :func:`pagerank`.
+
+    ``edge_cte`` must be a SELECT producing (src, dst, w).  The returned
+    SQL unrolls the same fixed-point arithmetic (uniform init, per-source
+    normalization, uniform dangling redistribution) one CTE pair per
+    iteration, so the oracle certifies the *algorithm*, not just row
+    plumbing.
+    """
+    d = damping
+    parts = [
+        f"WITH e AS ({edge_cte})",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nn AS (SELECT count(*) * 1.0 AS n FROM nodes)",
+        "outw AS (SELECT src, sum(w) AS out_w FROM e GROUP BY 1)",
+        "trans AS (SELECT src, dst, w / out_w AS p FROM e JOIN outw USING (src))",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"dang{i} AS (SELECT coalesce(sum(rank), 0.0) AS dang FROM r{i} "
+            f"WHERE node NOT IN (SELECT src FROM e))"
+        )
+        parts.append(
+            f"r{i + 1} AS (SELECT nodes.node, "
+            f"(1.0 - {d}) / nn.n + {d} * (coalesce(c.contrib, 0.0) + dang{i}.dang / nn.n) AS rank "
+            f"FROM nodes LEFT JOIN (SELECT dst AS node, sum(p * rank) AS contrib "
+            f"FROM trans JOIN r{i} ON trans.src = r{i}.node GROUP BY 1) c "
+            f"ON nodes.node = c.node CROSS JOIN nn CROSS JOIN dang{i})"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT node, round(rank, {round_digits}) AS rank "
+        f"FROM r{iterations} ORDER BY node"
+    )
+
+
+def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Enumerate triangles in an undirected graph given as (a, b) pairs.
+
+    Input edges may be in either/both orientations and contain duplicates;
+    they are canonicalized first.  Edges are then oriented by (degree, id)
+    — each undirected edge points from its lower-degree endpoint to the
+    higher — before the wedge self-join, bounding out-degree at O(sqrt m)
+    on any graph.  Output is one row per triangle with ids sorted
+    ascending (t1 < t2 < t3), independent of orientation.
+    """
+    und = (
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("u"),
+            F.greatest(F.col(a), F.col(b)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("s"), F.col("v").alias("t")),
+            )
+            .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("t")))
+            .alias("e")
+        )
+        .select(F.col("e.s").alias("s"), F.col("e.t").alias("t"))
+    )
+    # wedge join: s->x, s->y (x,y both out-neighbors of the low-degree apex)
+    e1 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("x"))
+    e2 = oriented.select(F.col("s").alias("apex"), F.col("t").alias("y"))
+    wedges = e1.join(e2, "apex").where(F.col("x") < F.col("y"))
+    # close the wedge with the undirected edge set
+    closing = und.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"])
+    srt = F.array_sort(F.array("apex", "x", "y"))
+    return tri.select(
+        srt.getItem(0).alias("t1"),
+        srt.getItem(1).alias("t2"),
+        srt.getItem(2).alias("t3"),
+    )

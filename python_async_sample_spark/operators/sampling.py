@@ -96,3 +96,36 @@ def token_budget_take(
     return df.withColumn(
         "cum_tokens", F.sum(tokens_col).over(w).cast("bigint")
     ).where(F.col("cum_tokens") <= budget)
+
+
+def weighted_reservoir_take(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wres",
+) -> DataFrame:
+    """Weight-proportional k-per-group sample WITHOUT replacement
+    (Efraimidis–Spiliotis A-ES by exponential race), content-addressed.
+
+    Each row gets an exponential race key ``-ln(u)/w`` with ``u`` derived
+    from the md5 content hash (uniform in (0,1], never 0) and ``w`` its
+    weight; the k smallest keys per group are exactly a weighted reservoir
+    sample.  Distribution-equivalent to sequential reservoir algorithms but
+    expressed as rank-over-window — embarrassingly parallel, mergeable
+    (top-k of per-partition top-ks), and deterministic: the same rows come
+    back on any engine, partitioning, or run, and the oracle can recompute
+    the identical sample in SQL."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("double")
+    u = (h + 1) / F.lit(4294967296.0)
+    race = -F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    w = W.partitionBy(group_col).orderBy(race.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("sample_rank") <= k)
+    )

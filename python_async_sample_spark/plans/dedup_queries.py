@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.cluster import dedup_clusters
 from python_async_sample_spark.operators.dedup import (
+    containment_pairs,
     exact_dedup,
     jaccard_pairs,
     jaccard_pairs_prefix,
@@ -366,3 +367,49 @@ def q147_incremental_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "d1", "d2", F.round("jaccard", 4).alias("jaccard")
     ).orderBy("d1", "d2")
+
+
+_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 4, 0))) AS i
+      FROM toks
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS g
+      FROM idx
+    ),
+    sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT da, db, inter, round(inter * 1.0 / n_sh, 4) AS containment
+    FROM inter JOIN sz ON sz.doc_id = inter.da
+    WHERE inter * 1.0 / n_sh >= 0.8
+    ORDER BY da, db
+"""
+
+
+@query(
+    "q154_containment_pairs",
+    oracle=_CONTAINMENT_ORACLE,
+    ref="dedup-containment (beyond reference)",
+    tags=("llm-data", "dedup"),
+)
+def q154_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-containment pairs C(A→B) = |S(A)∩S(B)|/|S(A)| ≥ 0.8
+    over word 5-shingles — the asymmetric dedup case (quotes, excerpts,
+    boilerplate-wrapped copies) that symmetric Jaccard under-scores when
+    |B| ≫ |A|.  Same inverted-index bound as q31/q38: documents meet only
+    through shared shingles (shuffle on shingle, then on the ordered
+    pair), never corpus²."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = containment_pairs(docs, "doc_id", "text", n=5, threshold=0.8)
+    return out.select(
+        "da", "db", "inter", F.round("containment", 4).alias("containment")
+    ).orderBy("da", "db")

@@ -1648,3 +1648,200 @@ def q143_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
         .orderBy("event_type", "active_state")
     )
+
+
+_SEQPAT_ORACLE = """
+    WITH s AS (
+      SELECT user_id,
+             string_agg(CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                        WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                        ELSE 's' END, '' ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(len(seq) AS BIGINT) AS n_events,
+           regexp_matches(seq, 'v[^e]*c[^e]*p') AS matched
+    FROM s ORDER BY user_id
+"""
+
+
+@query(
+    "q152_sequence_pattern",
+    oracle=_SEQPAT_ORACLE,
+    ref="analytics-sequence-pattern (beyond reference)",
+    tags=("analytics", "sequence"),
+)
+def q152_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style event-sequence detection: per user, does the
+    time-ordered event string contain view → click → purchase with no
+    error anywhere between the view and the purchase (`v[^e]*c[^e]*p`)?
+
+    Each user's history is encoded to a one-char-per-event string via
+    sort_array(collect_list(struct(ts, event_id, ch))) — one shuffle on
+    user_id, regex entirely JVM-side.  The funnel (q95) answers ordered
+    reachability; the regex form adds *negative* conditions (absence of an
+    event between stages), which windowed min/max cannot express.  State
+    is one string per user — the same O(user-history) bound as
+    sessionization; a production run over unbounded history would window
+    it first (q19/q60 are the windowed face)."""
+    ev = load_table(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+    )
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id", ch.alias("ch")).alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("s")), lambda x: x["ch"]), ""
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.col("seq").rlike("v[^e]*c[^e]*p").alias("matched"),
+    ).orderBy("user_id")
+
+
+_WELCH_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE user_id % 2 = 0) AS n_a,
+             count(*) FILTER (WHERE user_id % 2 = 1) AS n_b,
+             avg(value) FILTER (WHERE user_id % 2 = 0) AS m_a,
+             avg(value) FILTER (WHERE user_id % 2 = 1) AS m_b,
+             var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_a,
+             var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v_b
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           round(m_a - m_b, 4) AS mean_diff,
+           round((m_a - m_b) / sqrt(v_a / n_a + v_b / n_b), 4) AS t_stat,
+           round(pow(v_a / n_a + v_b / n_b, 2)
+                 / (pow(v_a / n_a, 2) / (n_a - 1) + pow(v_b / n_b, 2) / (n_b - 1)),
+                 2) AS welch_dof
+    FROM g ORDER BY event_type
+"""
+
+
+@query(
+    "q153_ab_welch_ttest",
+    oracle=_WELCH_ORACLE,
+    ref="analytics-ab-test (beyond reference)",
+    tags=("analytics", "stats"),
+)
+def q153_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: Welch's unequal-variance t-statistic and
+    Satterthwaite degrees of freedom per event_type, variants assigned by
+    the deterministic hash user_id % 2.
+
+    One scan, one groupBy: counts/means/sample variances as conditional
+    aggregations (map-side partial), the t/dof formulas as scalar
+    arithmetic on the tiny grouped result — the canonical one-pass
+    experiment-analysis shape at any event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.col("user_id") % 2 == 0
+    b = F.col("user_id") % 2 == 1
+    g = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).alias("n_a"),
+        F.count(F.when(b, 1)).alias("n_b"),
+        F.avg(F.when(a, F.col("value"))).alias("m_a"),
+        F.avg(F.when(b, F.col("value"))).alias("m_b"),
+        F.var_samp(F.when(a, F.col("value"))).alias("v_a"),
+        F.var_samp(F.when(b, F.col("value"))).alias("v_b"),
+    )
+    se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
+    return g.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("m_a") - F.col("m_b"), 4).alias("mean_diff"),
+        F.round((F.col("m_a") - F.col("m_b")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v_a") / F.col("n_a"), 2) / (F.col("n_a") - 1)
+                + F.pow(F.col("v_b") / F.col("n_b"), 2) / (F.col("n_b") - 1)
+            ),
+            2,
+        ).alias("welch_dof"),
+    ).orderBy("event_type")
+
+
+@query(
+    "q155_hll_rolling_distinct",
+    oracle=None,  # Datasketches HLL estimates are engine-defined; the 5*rsd
+    # bound vs exact is enforced IN the plan and merge semantics are pinned
+    # in tests/test_sketches.py
+    ref="sketch-hll-state rolling merge (beyond reference; the incremental-maintenance face of q63)",
+    tags=("extended", "sketch", "incremental"),
+)
+def q155_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from MERGEABLE per-day HLL sketches
+    (Datasketches, lgK=14): one sketch row per day is the persisted state a
+    100 TB pipeline maintains incrementally — each new day aggregates once,
+    and any window re-aggregates by UNIONING ≤7 fixed-size sketches instead
+    of rescanning a week of raw events (countDistinct cannot merge;
+    sketches exist precisely for this).
+
+    Plan: daily = one groupBy(day) hll_sketch_agg pass; rolling = a
+    calendar-bounded range self-join (≤7 sketch rows per day) +
+    hll_union_agg + estimate.  The in-plan guard joins the exact rolling
+    count (distinct (day,user) + the same range join — the full-rescan plan
+    the sketch path replaces; at warehouse scale this certification side
+    would be sampled) and RAISES outside |est − exact| ≤ 5·rsd·exact,
+    rsd(lgK=14) ≈ 0.81%."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(F.to_date("ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .localCheckpoint(eager=True)  # the state table; consumed per window
+    )
+    days = daily.select("day")
+    s = daily.select(F.col("day").alias("sday"), "sk")
+    rolling = (
+        days.join(
+            s,
+            (F.col("sday") <= F.col("day"))
+            & (F.col("sday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_users_7d"),
+            F.count(F.lit(1)).alias("n_days_merged"),
+        )
+    )
+    du = ev.select(F.to_date("ts").alias("uday"), "user_id").distinct()
+    exact = (
+        days.join(
+            du,
+            (F.col("uday") <= F.col("day"))
+            & (F.col("uday") >= F.date_sub(F.col("day"), 6)),
+        )
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("__exact"))
+    )
+    rsd = 1.04 / (2**14) ** 0.5
+    bound_ok = (
+        F.abs(F.col("n_users_7d") - F.col("__exact"))
+        <= F.lit(5 * rsd) * F.col("__exact")
+    )
+    return (
+        exact.join(rolling, "day", "left")
+        .where(
+            F.when(bound_ok, F.lit(True)).otherwise(
+                F.raise_error("rolling HLL estimate outside 5*rsd bound")
+            )
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_users_7d").cast("bigint").alias("n_users_7d"),
+            F.col("n_days_merged").cast("bigint").alias("n_days_merged"),
+        )
+        .orderBy("day")
+    )

@@ -1,0 +1,128 @@
+"""Graph analytics queries (driver gate): link analysis over graphs derived
+from the fact tables.
+
+Beyond-reference surface (the reference has no graph operators).  The
+100 TB shape is two-stage: a distributed fact-side aggregation collapses
+lineitem⋈orders⋈customer⋈supplier into a weighted nation→nation trade
+edge list (the heavy, shuffle-on-fact-keys stage, dimension joins
+broadcast), then the iterative algorithm runs on the aggregated edge
+relation — O(V+E) state per step, never touching the facts again.
+
+Both oracles certify the algorithm, not just plumbing: q153's oracle
+unrolls the same 5 power-iteration steps (uniform init, out-weight
+normalization, uniform dangling redistribution) as chained CTEs; q154's
+oracle enumerates triangles by the textbook id-ordered three-way join,
+which must equal the degree-oriented wedge join's output exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.graph import (
+    count_triangles,
+    pagerank,
+    pagerank_oracle_sql,
+)
+from python_async_sample_spark.plans.registry import query
+from python_async_sample_spark.sources.readers import load_table
+
+_TRADE_EDGE_CTE = """
+    SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS w
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1, 2
+"""
+
+_PAGERANK_ORACLE = pagerank_oracle_sql(_TRADE_EDGE_CTE, damping=0.85, iterations=5)
+
+
+@query(
+    "q149_pagerank_trade_graph",
+    oracle=_PAGERANK_ORACLE,
+    ref="graph-pagerank (beyond reference)",
+    tags=("graph", "iterative"),
+)
+def q149_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation→nation trade graph (damping 0.85,
+    5 synchronous iterations from uniform, dangling mass redistributed).
+
+    Stage 1 (distributed, fact-heavy): revenue-weighted edges from
+    lineitem⋈orders⋈customer⋈supplier — broadcast dimension joins, one
+    groupBy (src, dst).  Stage 2 (iterative, edge-sized): each step is a
+    join + partial agg on the aggregated graph with a lazy localCheckpoint
+    lineage cut per iteration; rank state is one O(V) relation, dangling
+    mass a one-row broadcast aggregate — no driver-side data path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w")
+        )
+    )
+    ranks = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+_TRIANGLE_ORACLE = """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    e AS (
+      SELECT a.pk AS u, b.pk AS v
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ORDER BY t1, t2, t3
+"""
+
+
+@query(
+    "q150_triangle_copurchase",
+    oracle=_TRIANGLE_ORACLE,
+    ref="graph-triangles (beyond reference)",
+    tags=("graph",),
+)
+def q150_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangles in the part co-purchase graph (parts sharing ≥2 orders).
+
+    Edge derivation is the fact-side stage: distinct (order, part) pairs
+    self-joined per order (inverted-index join on the order key — parts
+    only meet through a shared order, never a cross product), support
+    threshold ≥ 2 to thin noise edges.  Triangle enumeration uses the
+    degree-oriented wedge join (`count_triangles`): every edge points
+    low-degree → high-degree, capping wedge fan-out at O(sqrt m) per node
+    on any degree distribution — the id-ordered oracle plan (fine for the
+    oracle) would blow up on a power-law graph; the shipped plan does not."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    tri = count_triangles(edges, "u", "v")
+    return tri.orderBy("t1", "t2", "t3")

@@ -187,6 +187,7 @@ def load_all() -> dict[str, QuerySpec]:
         analytics,
         dedup_queries,
         extended_queries,
+        graph_queries,
         incremental_queries,
         linkage_queries,
         multimodal_queries,

@@ -728,3 +728,155 @@ def q145_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_RRF_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) * 1.0 AS dl FROM documents
+    ),
+    stats AS (
+      SELECT (SELECT count(*) * 1.0 FROM documents) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) * 1.0 AS tf FROM toks
+      WHERE tok IN ('spark', 'query', 'window') GROUP BY 1, 2
+    ),
+    dfx AS (SELECT tok, count(*) * 1.0 AS df FROM tf GROUP BY 1),
+    bscored AS (
+      SELECT tf.doc_id,
+             sum( ln(1 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                  * (tf.tf * 2.2)
+                  / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) ) AS s
+      FROM tf JOIN dfx USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    ),
+    sparse AS (
+      SELECT doc_id, round(s, 4) AS s FROM bscored
+      ORDER BY round(s, 4) DESC, doc_id LIMIT 20
+    ),
+    sranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS srank
+      FROM sparse
+    ),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    dscored AS (
+      SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(qv, CAST(e.embedding AS DOUBLE[])) AS cos
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+    ),
+    dtop AS (SELECT doc_id, cos FROM dscored ORDER BY cos DESC, doc_id LIMIT 20),
+    dranked AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS drank
+      FROM dtop
+    ),
+    fused AS (
+      SELECT coalesce(s.doc_id, d.doc_id) AS doc_id, s.srank, d.drank,
+             coalesce(1.0 / (60 + s.srank), 0) + coalesce(1.0 / (60 + d.drank), 0) AS rrf
+      FROM sranked s FULL OUTER JOIN dranked d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, srank, drank, round(rrf, 6) AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
+
+@query(
+    "q151_hybrid_rrf_retrieval",
+    oracle=_RRF_ORACLE,
+    ref="retrieval-hybrid-rrf (beyond reference)",
+    tags=("llm-data", "retrieval"),
+)
+def q151_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (k=60): BM25 top-20 for the fixed term query and exact-cosine top-20
+    for the query embedding (vec_id 0), full-outer-joined on doc_id with
+    score = Σ 1/(60+rank) over the lists each doc appears in.
+
+    Scale: each list is a global top-k — computed as orderBy().limit(k)
+    (TakeOrdered: per-partition heaps + a k-row driver merge, never a
+    global sort shuffle); rank assignment then windows over the k-row
+    result, and the fusion join is k×k-row — negligible at any corpus
+    size.  The corpus-sized work is exactly one BM25 scan (q46's plan) and
+    one GEMM pass (q35's kernel); RRF adds no corpus-sized stage."""
+    from python_async_sample_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    sparse = (
+        bm25_scores(docs, "doc_id", "text", _BM25_TERMS)
+        .select("doc_id", F.round("score", 4).alias("s"))
+        .orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+    )
+    from pyspark.sql import Window as W
+
+    sranked = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.desc("s"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("srank"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = brute_force_topk(
+        emb, emb.where(F.col("vec_id") == 0), "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").cast("bigint").alias("drank"))
+    fused = (
+        sranked.join(dense, "doc_id", "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(1.0 / (60 + F.col("srank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("drank")), F.lit(0.0)),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "srank", "drank", F.round("rrf", 6).alias("rrf_score"))
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    )
+
+
+_WRES_ORACLE = """
+    WITH keyed AS (
+      SELECT source, doc_id, n_chars,
+             -ln((CAST('0x' || substr(md5('wres' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1) / 4294967296.0)
+             / greatest(n_chars, 1.0) AS race
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, n_chars,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY race, doc_id)
+                  AS BIGINT) AS sample_rank
+      FROM keyed
+    )
+    SELECT source, doc_id, n_chars, sample_rank
+    FROM r WHERE sample_rank <= 5 ORDER BY source, sample_rank
+"""
+
+
+@query(
+    "q156_weighted_reservoir",
+    oracle=_WRES_ORACLE,
+    ref="sampling-weighted-reservoir (beyond reference; completes the sampling family: fraction q69, exact-k hash-rank, weighted-rate q74, token-budget q122, temperature q118)",
+    tags=("llm-data", "sampling"),
+)
+def q156_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted 5-per-source sample without replacement via the
+    Efraimidis–Spiliotis exponential race (`weighted_reservoir_take`):
+    longer documents are proportionally likelier, no group ever yields more
+    than k, and the sample is a pure content-hash function — re-running on
+    a regrown or repartitioned corpus keeps every previously-chosen
+    surviving row.  One partitioned window; per-group heaps at scale."""
+    from python_async_sample_spark.operators.sampling import weighted_reservoir_take
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = weighted_reservoir_take(docs, "source", "doc_id", "n_chars", k=5)
+    return out.select("source", "doc_id", "n_chars", "sample_rank").orderBy(
+        "source", "sample_rank"
+    )

@@ -1,0 +1,90 @@
+"""Graph operators: PageRank invariants and triangle enumeration vs a
+hand-computable fixture, plus containment-dedup asymmetry invariants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.operators.dedup import containment_pairs
+from python_async_sample_spark.operators.graph import count_triangles, pagerank
+
+
+def test_pagerank_mass_conserved_and_uniform_on_cycle(spark):
+    # directed 4-cycle: symmetric, so every node's rank must stay 1/4 exactly
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    rows = pagerank(edges, iterations=4).collect()
+    assert len(rows) == 4
+    total = sum(r["rank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    for r in rows:
+        assert r["rank"] == pytest.approx(0.25, abs=1e-9)
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 0 -> 1, 1 dangles: without redistribution total rank leaks each step
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+    assert rows[1] > rows[0]  # sink accumulates the damped flow
+
+
+def test_pagerank_star_center_dominates(spark):
+    edges = spark.createDataFrame(
+        [(i, 99) for i in range(5)] + [(99, i) for i in range(5)],
+        "src long, dst long",
+    )
+    rows = {r["node"]: r["rank"] for r in pagerank(edges, iterations=10).collect()}
+    assert rows[99] > max(v for k, v in rows.items() if k != 99)
+    assert sum(rows.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_triangles_k4_has_four(spark):
+    # K4 contains exactly C(4,3)=4 triangles; feed edges in mixed/dup
+    # orientations to exercise canonicalization
+    e = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(e + e[:3], "a long, b long")
+    tri = sorted(
+        tuple(r) for r in count_triangles(edges).collect()
+    )
+    assert tri == [(0, 1, 2), (0, 1, 3), (0, 2, 3), (1, 2, 3)]
+
+
+def test_triangles_none_in_tree(spark):
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3), (3, 4)], "a long, b long")
+    assert count_triangles(edges).count() == 0
+
+
+def test_triangles_skewed_hub(spark):
+    # hub connected to all leaves + one leaf-leaf edge: exactly 1 triangle,
+    # and degree orientation keeps the hub from fanning out wedges
+    edges = [(0, i) for i in range(1, 40)] + [(1, 2)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    tri = [tuple(r) for r in count_triangles(df).collect()]
+    assert tri == [(0, 1, 2)]
+
+
+def test_containment_detects_strict_subset(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    sub = " ".join(f"w{i}" for i in range(10, 25))  # strict substring of base
+    other = " ".join(f"x{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, sub), (3, other)], "doc_id long, text string"
+    )
+    rows = {(r["da"], r["db"]): r["containment"] for r in
+            containment_pairs(docs, "doc_id", "text", n=5, threshold=0.8).collect()}
+    # sub is fully contained in base; base is NOT contained in sub (asymmetry)
+    assert rows[(2, 1)] == pytest.approx(1.0)
+    assert (1, 2) not in rows
+    assert all(da != 3 and db != 3 for da, db in rows)
+
+
+def test_containment_exact_dup_bidirectional(spark):
+    t = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame([(1, t), (2, t)], "doc_id long, text string")
+    rows = {(r["da"], r["db"]): r["containment"] for r in
+            containment_pairs(docs, "doc_id", "text", n=5, threshold=0.8).collect()}
+    assert rows[(1, 2)] == pytest.approx(1.0)
+    assert rows[(2, 1)] == pytest.approx(1.0)

@@ -298,3 +298,58 @@ def test_geo_near_join_broadcasts_sites_never_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_containment_shingle_join_shuffles_not_broadcasts(spark, sf_dir):
+    """q154's shingle self-join keys on the shingle — data-sized at corpus
+    scale (the q89/q121 rule): shuffle join only, never broadcast/nested
+    loop."""
+    with Q89_NO_AUTO_BROADCAST(spark):
+        df = SPECS["q154_containment_pairs"].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rrf_topk_lists_are_take_ordered(spark, sf_dir):
+    """q151's sparse and dense candidate lists are global top-k — both must
+    plan as distributed TakeOrdered (per-partition heaps), and the only
+    corpus-wide window allowed is none: rank windows run over the k-row
+    lists, which AQE collapses to a single tiny partition."""
+    df = SPECS["q151_hybrid_rrf_retrieval"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_edge_derivation_broadcasts_dims(spark, sf_dir):
+    """q149 stage 1: customer/supplier dimension joins onto the fact side
+    must broadcast; the groupBy(src,dst) is the only fact-sized shuffle."""
+    from python_async_sample_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
+    )
+    plan = plan_str(edges, "simple")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
+    """q150's wedge and closing joins are keyed equi-joins — a nested-loop
+    or cartesian plan would be the all-pairs blowup the orientation
+    exists to prevent."""
+    df = SPECS["q150_triangle_copurchase"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -49,3 +49,38 @@ def test_greedy_prefix_property(spark):
     rows = out.collect()
     assert len(rows) == 9  # 9 * 10 = 90 <= 95 < 100
     assert max(r["cum_tokens"] for r in rows) == 90
+
+
+def test_weighted_reservoir_exact_k_and_weight_bias(spark):
+    from python_async_sample_spark.operators.sampling import weighted_reservoir_take
+
+    rows = [("g", i, 1000 if i == 0 else 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    # exact-k invariant: never more than k per group; min(k, n) when short
+    out = weighted_reservoir_take(df, "grp", "id", "w", k=3).collect()
+    assert len(out) == 3
+    short = spark.createDataFrame(rows[:2], "grp string, id long, w long")
+    assert weighted_reservoir_take(short, "grp", "id", "w", k=5).count() == 2
+    # weight bias: across 40 salts, the item with 1000x weight must win the
+    # k=1 draw far more often than uniform (P(win)=1000/1009 per draw)
+    wins = 0
+    for s in range(40):
+        top = weighted_reservoir_take(df, "grp", "id", "w", k=1, salt=f"s{s}").collect()
+        wins += top[0]["id"] == 0
+    assert wins >= 30
+
+
+def test_weighted_reservoir_partitioning_invariant(spark):
+    from python_async_sample_spark.operators.sampling import weighted_reservoir_take
+
+    rows = [(f"g{i % 3}", i, (i * 7) % 13 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "grp string, id long, w long")
+    a = sorted(
+        (r["grp"], r["id"], r["sample_rank"])
+        for r in weighted_reservoir_take(df, "grp", "id", "w", k=4).collect()
+    )
+    b = sorted(
+        (r["grp"], r["id"], r["sample_rank"])
+        for r in weighted_reservoir_take(df.repartition(7), "grp", "id", "w", k=4).collect()
+    )
+    assert a == b

@@ -87,3 +87,40 @@ def test_cms_merges_by_cell_sum(spark, sf_dir):
     got = {(r["row"], r["col"]): r["cnt"] for r in merged.collect()}
     want = {(r["row"], r["col"]): r["cnt"] for r in whole.collect()}
     assert got == want
+
+
+def test_hll_daily_merge_equals_direct_sketch(spark, sf_dir):
+    """Mergeability contract behind q155: unioning per-day sketches must
+    give the SAME estimate as sketching the whole window directly (same
+    lgK ⇒ identical registers under union)."""
+    from python_async_sample_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("n")
+    ).collect()[0]["n"]
+    merged = (
+        ev.groupBy("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert merged == direct
+
+
+def test_hll_rolling_guard_fires_on_violated_bound(spark):
+    """The q155 guard shape must RAISE (not silently pass) when the
+    estimate-vs-exact bound is violated — simulated by a zero-width bound
+    over a frame where estimate != exact cannot hold... instead force it
+    with a poisoned exact side."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 100, 2)], "day int, est long, exact long")
+    bound_ok = F.abs(F.col("est") - F.col("exact")) <= 0.05 * F.col("exact")
+    poisoned = df.where(
+        F.when(bound_ok, F.lit(True)).otherwise(F.raise_error("bound violated"))
+    )
+    with pytest.raises(Exception, match="bound violated"):
+        poisoned.count()
