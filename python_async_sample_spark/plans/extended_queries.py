@@ -1845,3 +1845,110 @@ def q155_hll_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# 2024-01-16T00:00:00Z — the reference/current split point, in epoch-µs so
+# the comparison is timezone-proof on both engines (the driver_sim TZ probe)
+_PSI_SPLIT_US = 1705363200000000
+
+_PSI_ORACLE = f"""
+    WITH binned AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) < {_PSI_SPLIT_US} THEN 1 ELSE 2 END AS win,
+             CAST(least(floor(value / 50), 9) AS BIGINT) AS bin
+      FROM events
+    ),
+    spine AS (
+      SELECT DISTINCT event_type, g.b AS bin
+      FROM binned CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b) g
+    ),
+    cnt AS (
+      SELECT event_type, bin,
+             count(*) FILTER (WHERE win = 1) AS c1,
+             count(*) FILTER (WHERE win = 2) AS c2
+      FROM binned GROUP BY 1, 2
+    ),
+    full_bins AS (
+      SELECT s.event_type, s.bin,
+             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      FROM spine s LEFT JOIN cnt ON cnt.event_type = s.event_type AND cnt.bin = s.bin
+    ),
+    tot AS (
+      SELECT event_type, sum(c1) AS n1, sum(c2) AS n2 FROM full_bins GROUP BY 1
+    ),
+    p AS (
+      SELECT f.event_type,
+             (f.c1 + 0.5) / (t.n1 + 5.0) AS p1,
+             (f.c2 + 0.5) / (t.n2 + 5.0) AS p2,
+             t.n1, t.n2
+      FROM full_bins f JOIN tot t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(max(n1) AS BIGINT) AS n_ref, CAST(max(n2) AS BIGINT) AS n_cur,
+           round(sum((p2 - p1) * ln(p2 / p1)), 6) AS psi
+    FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q157_drift_psi",
+    oracle=_PSI_ORACLE,
+    ref="monitoring-drift-psi (beyond reference; dataset drift detection for pipeline health)",
+    tags=("analytics", "monitoring"),
+)
+def q157_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event_type:
+    first half of the month (reference window) vs second half (current),
+    over 10 fixed-width bins with additive 0.5 smoothing so empty bins are
+    well-defined.  PSI = Σ (p₂−p₁)·ln(p₂/p₁); > 0.2 is the conventional
+    drift alarm.
+
+    Fixed bin edges make the whole computation counting — one scan, one
+    groupBy(type, window, bin), then arithmetic over the |types|×10 spine
+    (quantile-derived edges would need a cross-engine-fragile percentile
+    step; drift monitors pin edges for exactly this reproducibility
+    reason).  The split point rides epoch-µs, timezone-proof."""
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.when(F.unix_micros("ts") < _PSI_SPLIT_US, F.lit(1)).otherwise(2).alias("win"),
+        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint").alias("bin"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.count(F.when(F.col("win") == 1, 1)).alias("c1"),
+        F.count(F.when(F.col("win") == 2, 1)).alias("c2"),
+    )
+    spine = (
+        binned.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("b"))
+        .select("event_type", F.col("b").cast("bigint").alias("bin"))
+    )
+    full_bins = (
+        spine.join(cnt, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            F.coalesce("c2", F.lit(0)).alias("c2"),
+        )
+    )
+    tot = full_bins.groupBy("event_type").agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    p = full_bins.join(tot, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        ((F.col("c1") + 0.5) / (F.col("n1") + 5.0)).alias("p1"),
+        ((F.col("c2") + 0.5) / (F.col("n2") + 5.0)).alias("p2"),
+    )
+    return (
+        p.groupBy("event_type")
+        .agg(
+            F.max("n1").cast("bigint").alias("n_ref"),
+            F.max("n2").cast("bigint").alias("n_cur"),
+            F.round(F.sum((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))), 6).alias("psi"),
+        )
+        .orderBy("event_type")
+    )

@@ -345,3 +345,89 @@ def q144_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, var_ratio double, cum_ratio double, effective_rank double"
     ).orderBy("component")
+
+
+_KNN_LABEL_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    labeled AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ),
+    scored AS (
+      SELECT q.query_id, l.vec_id AS neighbor_id, l.label,
+             list_cosine_similarity(qv, v) AS cos
+      FROM q JOIN labeled l ON true
+    ),
+    ranked AS (
+      SELECT query_id, label, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rk
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label,
+             CAST(sum(CAST(round(cos * 1000000, 0) AS BIGINT)) AS BIGINT) AS vote_w,
+             CAST(count(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rk <= 5 GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT query_id, label, vote_w, n_votes,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY vote_w DESC, label) AS wrk
+      FROM votes
+    )
+    SELECT query_id, CAST(label AS BIGINT) AS predicted_label, vote_w, n_votes
+    FROM win WHERE wrk = 1 ORDER BY query_id
+"""
+
+
+@query(
+    "q158_knn_label_transfer",
+    oracle=_KNN_LABEL_ORACLE,
+    ref="similarity-knn-classify (beyond reference; auto-labeling / weak supervision)",
+    tags=("llm-data", "similarity", "ml"),
+)
+def q158_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label transfer by cosine-weighted 5-NN vote: every 5th vector is
+    treated as unlabeled and receives the argmax label over its 5 nearest
+    LABELED neighbors, weighted by cosine (integer-µ weights so the vote
+    sum is exact and ties break deterministically by label).
+
+    Rides q35's GEMM kernel for the neighbor search (broadcast query
+    block × corpus scan, ≤k rows per (query, batch)); the vote is a
+    groupBy + window argmax over 5·|queries| rows — the auto-labeling
+    shape for corpus curation (spam/quality/language labels) at any
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 5 == 0)
+    labeled = emb.where(F.col("vec_id") % 5 != 0)
+    nn = brute_force_topk(labeled, queries, "vec_id", "embedding", k=5)
+    lab = labeled.select(F.col("vec_id").alias("neighbor_id"), "label")
+    votes = (
+        nn.join(lab, "neighbor_id")
+        .withColumn("w", F.round(F.col("cosine") * 1000000, 0).cast("bigint"))
+        .groupBy("query_id", "label")
+        .agg(
+            F.sum("w").alias("vote_w"),
+            F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    wrk = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("vote_w"), F.asc("label"))
+    )
+    return (
+        votes.withColumn("wrk", wrk)
+        .where(F.col("wrk") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("bigint").alias("predicted_label"),
+            "vote_w",
+            "n_votes",
+        )
+        .orderBy("query_id")
+    )

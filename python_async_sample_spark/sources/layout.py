@@ -212,3 +212,24 @@ def delete_keys(
         "untouched": len(files) - len(affected),
         "deleted_rows": deleted,
     }
+
+
+def write_hive_partitioned(
+    df: "DataFrame",
+    path: str,
+    partition_cols: list[str],
+    max_records_per_file: int = 0,
+) -> None:
+    """Hive-layout partitioned write (`col=value/` directories).
+
+    At warehouse scale this is the coarse pruning lever that works BEFORE
+    any file is opened: a filter on a partition column becomes a directory
+    listing, so a day-partitioned 100 TB table reads 1/365th of its files
+    for a one-day query — footer min/max pruning (cluster_by/zorder_by)
+    then prunes WITHIN the surviving partitions.  Partition columns should
+    be low-cardinality (days, sources, languages): one directory per value
+    and at least one file per (partition × writing task)."""
+    w = df.write.mode("overwrite")
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.partitionBy(*partition_cols).parquet(path)

@@ -270,3 +270,33 @@ def test_delete_keys_on_zordered_table(spark, fragmented):
     after = spark.read.parquet(out)
     assert after.count() == before - n_target
     assert after.where(F.col("value_i").isin(target)).count() == 0
+
+
+def test_hive_partition_pruning_reads_only_matching_dirs(spark, sf_dir, tmp_path):
+    """A filter on the partition column must become a PartitionFilter (plan
+    level) and the scan must touch only the matching day's files (file
+    level) — the before-any-footer pruning lever for a day-partitioned
+    100 TB table."""
+    from python_async_sample_spark.sources.layout import write_hive_partitioned
+    from python_async_sample_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.to_date("ts"), "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_day")
+    write_hive_partitioned(ev, path, ["day"])
+
+    df = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan, plan
+
+    # file-level proof: the scanned files all live under the matching dir
+    scanned = [
+        r["file"]
+        for r in df.select(F.input_file_name().alias("file")).distinct().collect()
+    ]
+    assert scanned and all("day=2024-01-05" in f for f in scanned)
+
+    # correctness: pruned read equals a full-scan filter
+    full = ev.where(F.col("day") == "2024-01-05").count()
+    assert df.count() == full
