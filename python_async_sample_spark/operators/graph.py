@@ -207,3 +207,72 @@ def count_triangles(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         srt.getItem(1).alias("t2"),
         srt.getItem(2).alias("t3"),
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    weight: str = "w",
+    iterations: int = 4,
+) -> DataFrame:
+    """Bounded-hop single-source shortest paths by synchronous Bellman-Ford
+    relaxation — the Pregel pattern as DataFrame joins.
+
+    ``edges`` is undirected (symmetrized internally); ``source_nodes`` is a
+    (node) relation of distance-0 seeds.  Each of the ``iterations`` rounds
+    relaxes every edge once: dist' = min(dist, min over in-edges
+    (dist(u)+w)) — one shuffle join on the edge key + one groupBy(node) per
+    round, state O(V), lineage cut per round.  With integer weights the
+    arithmetic is exact on any engine.  Nodes unreached within
+    ``iterations`` hops are absent from the output (distances are exact
+    for paths of ≤ ``iterations`` edges — the bounded-frontier contract)."""
+    und = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"), F.col(weight).alias("w"))
+        .unionByName(
+            edges.select(F.col(b).alias("u"), F.col(a).alias("v"), F.col(weight).alias("w"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = source_nodes.select(F.col(source_nodes.columns[0]).alias("node")).withColumn(
+        "dist", F.lit(0).cast("bigint")
+    )
+    for _ in range(iterations):
+        relaxed = (
+            und.join(dist, und.u == dist.node)
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return dist
+
+
+def bellman_ford_oracle_sql(
+    edge_cte: str, source_cte: str, iterations: int = 4
+) -> str:
+    """Chained-CTE DuckDB oracle for :func:`bellman_ford`: unrolls the same
+    per-round relaxation (min over previous distances and in-edge
+    extensions).  ``edge_cte`` yields (a, b, w); ``source_cte`` yields one
+    column of seed nodes."""
+    parts = [
+        f"WITH e0 AS ({edge_cte})",
+        "e AS (SELECT a AS u, b AS v, w FROM e0 UNION ALL SELECT b, a, w FROM e0)",
+        f"d0 AS (SELECT src AS node, CAST(0 AS BIGINT) AS dist FROM ({source_cte}))",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"d{i + 1} AS (SELECT node, min(dist) AS dist FROM ("
+            f"SELECT node, dist FROM d{i} "
+            f"UNION ALL "
+            f"SELECT e.v AS node, d{i}.dist + e.w AS dist "
+            f"FROM e JOIN d{i} ON e.u = d{i}.node) GROUP BY node)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node, dist FROM d{iterations} ORDER BY node"
+    )

@@ -1908,47 +1908,78 @@ def q157_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quantile-derived edges would need a cross-engine-fragile percentile
     step; drift monitors pin edges for exactly this reproducibility
     reason).  The split point rides epoch-µs, timezone-proof."""
+    from python_async_sample_spark.operators.drift import fixed_bin, psi_from_counts
+
     ev = load_table(spark, sf_dir, "events")
     binned = ev.select(
         "event_type",
         F.when(F.unix_micros("ts") < _PSI_SPLIT_US, F.lit(1)).otherwise(2).alias("win"),
-        F.least(F.floor(F.col("value") / 50), F.lit(9)).cast("bigint").alias("bin"),
+        fixed_bin("value", 50, 10).alias("bin"),
     )
     cnt = binned.groupBy("event_type", "bin").agg(
         F.count(F.when(F.col("win") == 1, 1)).alias("c1"),
         F.count(F.when(F.col("win") == 2, 1)).alias("c2"),
     )
-    spine = (
-        binned.select("event_type")
-        .distinct()
-        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("b"))
-        .select("event_type", F.col("b").cast("bigint").alias("bin"))
+    return psi_from_counts(cnt, "event_type", nbins=10, smoothing=0.5)
+
+
+_JOINEST_ORACLE = """
+    WITH li AS (
+      SELECT l_orderkey FROM lineitem
+      WHERE CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 16 = 0
+    ),
+    o AS (
+      SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        AND CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 16 = 0
+    ),
+    est AS (SELECT count(*) * 16 AS est_pairs FROM li JOIN o ON l_orderkey = o_orderkey),
+    exact AS (
+      SELECT count(*) AS exact_pairs
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'O'
     )
-    full_bins = (
-        spine.join(cnt, ["event_type", "bin"], "left")
-        .select(
-            "event_type",
-            "bin",
-            F.coalesce("c1", F.lit(0)).alias("c1"),
-            F.coalesce("c2", F.lit(0)).alias("c2"),
-        )
+    SELECT CAST(est_pairs AS BIGINT) AS est_pairs,
+           CAST(exact_pairs AS BIGINT) AS exact_pairs,
+           round(abs(est_pairs - exact_pairs) * 1.0 / exact_pairs, 4) AS rel_err
+    FROM est CROSS JOIN exact
+"""
+
+
+@query(
+    "q162_join_size_estimate",
+    oracle=_JOINEST_ORACLE,
+    ref="join-cardinality estimation via coordinated key sampling (beyond reference; the planner-side sketch)",
+    tags=("scale", "sketch"),
+)
+def q162_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation by COORDINATED key sampling: both sides keep
+    only keys whose content-hash bucket is 0 of 16, so matching keys
+    survive or die together and 16 × |sampled join| is an unbiased
+    estimate of |lineitem ⋈ open orders| — the planner-side sketch for
+    sizing shuffles/broadcasts before running a 100 TB join (independent
+    per-side sampling would estimate nothing: matching pairs rarely
+    co-survive).  The estimate's cost is 1/16th of each scan + a
+    1/16th-sized join; the exact join runs here only as the certification
+    side.  Content-hash buckets make the 'sample' reproducible on any
+    engine — the oracle recomputes the identical estimate."""
+    from python_async_sample_spark.operators.sampling import hash_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li_s = li.where(hash_bucket("l_orderkey", 16) == 0)
+    o_s = orders.where(hash_bucket("o_orderkey", 16) == 0)
+    est = (
+        li_s.join(o_s, li_s.l_orderkey == o_s.o_orderkey)
+        .agg((F.count(F.lit(1)) * 16).cast("bigint").alias("est_pairs"))
     )
-    tot = full_bins.groupBy("event_type").agg(
-        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    exact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_pairs"))
     )
-    p = full_bins.join(tot, "event_type").select(
-        "event_type",
-        "n1",
-        "n2",
-        ((F.col("c1") + 0.5) / (F.col("n1") + 5.0)).alias("p1"),
-        ((F.col("c2") + 0.5) / (F.col("n2") + 5.0)).alias("p2"),
-    )
-    return (
-        p.groupBy("event_type")
-        .agg(
-            F.max("n1").cast("bigint").alias("n_ref"),
-            F.max("n2").cast("bigint").alias("n_cur"),
-            F.round(F.sum((F.col("p2") - F.col("p1")) * F.log(F.col("p2") / F.col("p1"))), 6).alias("psi"),
-        )
-        .orderBy("event_type")
+    return est.crossJoin(exact).select(
+        "est_pairs",
+        "exact_pairs",
+        F.round(
+            F.abs(F.col("est_pairs") - F.col("exact_pairs")) / F.col("exact_pairs"), 4
+        ).alias("rel_err"),
     )

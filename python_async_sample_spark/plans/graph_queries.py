@@ -8,11 +8,12 @@ edge list (the heavy, shuffle-on-fact-keys stage, dimension joins
 broadcast), then the iterative algorithm runs on the aggregated edge
 relation — O(V+E) state per step, never touching the facts again.
 
-Both oracles certify the algorithm, not just plumbing: q153's oracle
+Every oracle certifies the algorithm, not just plumbing: q149's oracle
 unrolls the same 5 power-iteration steps (uniform init, out-weight
-normalization, uniform dangling redistribution) as chained CTEs; q154's
+normalization, uniform dangling redistribution) as chained CTEs; q150's
 oracle enumerates triangles by the textbook id-ordered three-way join,
-which must equal the degree-oriented wedge join's output exactly.
+which must equal the degree-oriented wedge join's output exactly; q159's
+unrolls the same 4 Bellman-Ford relaxation rounds.
 """
 
 from __future__ import annotations
@@ -21,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.graph import (
+    bellman_ford,
+    bellman_ford_oracle_sql,
     count_triangles,
     pagerank,
     pagerank_oracle_sql,
@@ -126,3 +129,54 @@ def q150_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = count_triangles(edges, "u", "v")
     return tri.orderBy("t1", "t2", "t3")
+
+
+_SSSP_EDGE_CTE = """
+    SELECT u AS a, v AS b, CAST(greatest(1, 10 - s) AS BIGINT) AS w FROM (
+      SELECT a.pk AS u, b.pk AS v, count(*) AS s
+      FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+"""
+
+_SSSP_SOURCE_CTE = "SELECT min(a) AS src FROM e0"
+
+_SSSP_ORACLE = bellman_ford_oracle_sql(_SSSP_EDGE_CTE, _SSSP_SOURCE_CTE, iterations=4)
+
+
+@query(
+    "q159_shortest_paths_bounded",
+    oracle=_SSSP_ORACLE,
+    ref="graph-sssp (beyond reference)",
+    tags=("graph", "iterative"),
+)
+def q159_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-hop-bounded single-source shortest paths over the part co-purchase
+    graph (q150's edges, integer weight 10−support floored at 1), seeded at
+    the minimum part id in the graph.
+
+    Synchronous Bellman-Ford relaxation as DataFrame joins — one shuffle
+    join on the frontier + one groupBy(node) min per round, O(V) state,
+    lineage cut per round; the Pregel pattern without a graph engine.
+    Integer weights keep every distance exact on both engines; the oracle
+    unrolls the identical 4 relaxation rounds as chained CTEs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= 2)
+        .select(
+            "u", "v", F.greatest(F.lit(1), F.lit(10) - F.col("s")).cast("bigint").alias("w")
+        )
+    )
+    source = edges.agg(F.min("u").alias("src"))
+    dist = bellman_ford(edges, source, "u", "v", "w", iterations=4)
+    return dist.select("node", "dist").orderBy("node")

@@ -161,3 +161,105 @@ def q135_geo_near_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "s_suppkey", F.round("dist2", 6).alias("dist2")
     ).orderBy("c_custkey")
+
+
+_FS_ORACLE = """
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             substr(c_name, 1, 9 + (c_custkey % 5)) || 'X'
+               || substr(c_name, 11 + (c_custkey % 5)) AS d_name,
+             c_acctbal + (c_custkey % 9) * 0.01 AS d_bal,
+             c_nationkey AS d_nation, c_mktsegment AS d_seg
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    scored AS (
+      SELECT d.dirty_id, c.c_custkey AS master_id,
+             (CASE WHEN levenshtein(d.d_name, c.c_name) <= 1 THEN 4.0 ELSE -2.0 END
+              + CASE WHEN d.d_seg = c.c_mktsegment THEN 1.5 ELSE -1.5 END
+              + CASE WHEN abs(d.d_bal - c.c_acctbal) <= 0.045 THEN 3.0 ELSE -1.0 END
+             ) AS score
+      FROM dirty d JOIN customer c ON true
+    ),
+    best AS (
+      SELECT dirty_id, master_id, score,
+             row_number() OVER (PARTITION BY dirty_id
+                                ORDER BY score DESC, master_id) AS rk
+      FROM scored
+    )
+    SELECT dirty_id, master_id, round(score, 1) AS score,
+           CASE WHEN score >= 6 THEN 'match'
+                WHEN score >= 2 THEN 'possible'
+                ELSE 'nonmatch' END AS match_class
+    FROM best WHERE rk = 1 ORDER BY dirty_id
+"""
+
+
+@query(
+    "q161_probabilistic_linkage",
+    oracle=_FS_ORACLE,
+    ref="linkage-fellegi-sunter (beyond reference; multi-field probabilistic match scoring over q106's blocked candidates)",
+    tags=("linkage", "llm-data"),
+)
+def q161_probabilistic_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter-style multi-field linkage: a dirty customer feed
+    (one name digit replaced at a key-derived position, balance drifted by
+    0–8 cents) is linked back to the master relation by a log-likelihood
+    score over three comparators — name edit distance ≤ 1 (+4/−2),
+    market-segment equality (+1.5/−1.5), balance within 4.5 cents
+    (+3/−1) — classed match / possible / nonmatch at 6 / 2.
+
+    Candidates come from BLOCKING on the 4-char name suffix — an
+    equi-join, never all-pairs.  Completeness argument: the corruption
+    writes 'X', a character no master contains, so any master within edit
+    distance 1 of a dirty name must differ from it exactly at the
+    corruption position (10..14) and therefore shares the suffix block;
+    masters outside the block score at most −2+1.5+3 = 2.5, strictly below
+    the true master's floor of 4+1.5−1 = 4.5 (name always within 1,
+    segment always carried, balance at worst drifted), so no out-of-block
+    pair can win the argmax.  The oracle is BLIND to the blocking: it
+    brute-forces all dirty×master pairs, so a candidate the blocking lost
+    would change an argmax and hash-mismatch the gate (an earlier
+    nation-restricted blocking failed exactly this way at sf0.1).  Score
+    arithmetic is in exact halves; ties break by master id."""
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.where(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.expr(
+            "substr(c_name, 1, 9 + (c_custkey % 5)) || 'X' "
+            "|| substr(c_name, 11 + (c_custkey % 5))"
+        ).alias("d_name"),
+        (F.col("c_acctbal") + (F.col("c_custkey") % 9) * 0.01).alias("d_bal"),
+        F.col("c_mktsegment").alias("d_seg"),
+    )
+    master = cust.select(
+        F.col("c_custkey").alias("master_id"),
+        F.col("c_name").alias("m_name"),
+        F.col("c_acctbal").alias("m_bal"),
+        F.col("c_mktsegment").alias("m_seg"),
+    )
+    cand = dirty.join(
+        master, F.substring("d_name", -4, 4) == F.substring("m_name", -4, 4)
+    )
+    score = (
+        F.when(F.levenshtein("d_name", "m_name") <= 1, 4.0).otherwise(-2.0)
+        + F.when(F.col("d_seg") == F.col("m_seg"), 1.5).otherwise(-1.5)
+        + F.when(F.abs(F.col("d_bal") - F.col("m_bal")) <= 0.045, 3.0).otherwise(-1.0)
+    )
+    from pyspark.sql.window import Window as W
+
+    scored = cand.withColumn("score", score)
+    best = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("dirty_id").orderBy(F.desc("score"), F.asc("master_id"))
+        ),
+    ).where(F.col("rk") == 1)
+    return best.select(
+        "dirty_id",
+        "master_id",
+        F.round("score", 1).alias("score"),
+        F.when(F.col("score") >= 6, "match")
+        .when(F.col("score") >= 2, "possible")
+        .otherwise("nonmatch")
+        .alias("match_class"),
+    ).orderBy("dirty_id")

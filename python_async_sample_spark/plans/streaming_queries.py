@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.sessionize import session_stats
+from python_async_sample_spark.plans.extended_queries import _PIT_ORACLE as _PIT_STREAM_ORACLE
+from python_async_sample_spark.plans.extended_queries import _PSI_ORACLE as _STREAM_PSI_ORACLE
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
 from python_async_sample_spark.streaming.jobs import (
@@ -323,3 +325,72 @@ def q148_stream_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="spark_graft_stream_score_")
     out = stream_score_documents_to_parquet(spark, sf_dir, tmp)
     return out.select("doc_id", F.round("score", 6).alias("score")).orderBy("doc_id")
+
+
+@query(
+    "q160_stream_drift_monitor",
+    oracle=_STREAM_PSI_ORACLE,
+    ref="streaming-drift-monitor (beyond reference; q157's PSI maintained as streaming histogram state)",
+    tags=("streaming", "monitoring"),
+)
+def q160_stream_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift readout where the CURRENT window's histogram is maintained
+    by Structured Streaming (running (event_type, bin) counters —
+    O(segments×bins) state, constant in stream volume) and the reference
+    window is a pinned batch aggregate.  Oracled by the same SQL as the
+    all-batch q157: the streaming histogram must merge to exactly the
+    batch counts."""
+    import tempfile
+
+    from python_async_sample_spark.operators.drift import fixed_bin, psi_from_counts
+    from python_async_sample_spark.plans.extended_queries import _PSI_SPLIT_US
+    from python_async_sample_spark.streaming.jobs import stream_drift_bins_to_parquet
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_drift_")
+    cur = stream_drift_bins_to_parquet(
+        spark, sf_dir, f"{tmp}/sink", f"{tmp}/checkpoint", _PSI_SPLIT_US
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ref = (
+        ev.where(F.unix_micros("ts") < _PSI_SPLIT_US)
+        .select("event_type", fixed_bin("value", 50, 10).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    cnt = ref.join(cur, ["event_type", "bin"], "full_outer").select(
+        "event_type",
+        "bin",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    return psi_from_counts(cnt, "event_type", nbins=10, smoothing=0.5)
+
+
+@query(
+    "q163_stream_pit_enrich",
+    oracle=_PIT_STREAM_ORACLE,
+    ref="streaming point-in-time enrichment (beyond reference; q143's as-of kernel inside the streaming engine — the feature-store online path)",
+    tags=("streaming", "asof", "cdc"),
+)
+def q163_stream_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q143's point-in-time-correct dimension join executed BY THE
+    STREAMING ENGINE: each micro-batch of facts is as-of joined against
+    the static profile history inside foreachBatch (batching cannot change
+    any row's answer — the kernel needs only the batch plus the history),
+    partial counts land in epoch-keyed overwrite-idempotent files, and the
+    readout merges them.  Oracled by the same DuckDB ASOF JOIN SQL as the
+    batch q143: the streamed partials must merge to exactly the batch
+    answer."""
+    import tempfile
+
+    from python_async_sample_spark.streaming.jobs import stream_pit_enrich_to_parquet
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_pit_")
+    parts = stream_pit_enrich_to_parquet(
+        spark, sf_dir, f"{tmp}/sink", f"{tmp}/checkpoint"
+    )
+    return (
+        parts.groupBy("event_type", "active_state")
+        .agg(F.sum("n_part").cast("bigint").alias("n_events"))
+        .orderBy("event_type", "active_state")
+    )

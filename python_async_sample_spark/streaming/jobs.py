@@ -567,3 +567,86 @@ def stream_score_documents_to_parquet(
         )
         q.awaitTermination()
     return spark.read.parquet(f"{work_dir}/sink")
+
+
+def stream_drift_bins_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    split_us: int,
+    bin_width: float = 50.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Streaming histogram maintenance for drift monitoring (q160).
+
+    The current-window value histogram per event_type is maintained BY THE
+    STREAMING ENGINE as a running aggregate: state is one counter per
+    (event_type, bin) — O(segments × bins), constant in stream volume,
+    which is why a drift monitor can run forever on an unbounded stream
+    while countDistinct-style state cannot.  Complete-mode foreachBatch
+    overwrite gives idempotent snapshots; the PSI arithmetic joins the
+    tiny sink against the pinned reference window downstream."""
+    from python_async_sample_spark.operators.drift import fixed_bin
+
+    stream = read_events_stream(spark, sf_dir)
+    counts = (
+        stream.where(F.unix_micros("ts") >= split_us)
+        .select("event_type", fixed_bin("value", bin_width, nbins).alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    run_available_now(counts, out_path, checkpoint)
+    return spark.read.parquet(out_path)
+
+
+def stream_pit_enrich_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Streaming point-in-time-correct enrichment (q163): each micro-batch
+    of facts is as-of joined against the full static profile history, so a
+    fact row only ever sees the dimension version active AT ITS TIME —
+    the feature-store online-enrichment pattern, leakage-free regardless
+    of how the stream is batched (the as-of kernel needs only the batch's
+    facts plus the static history; batching cannot change any row's
+    answer).
+
+    Per-batch partial counts land in epoch-keyed subdirectories
+    (deterministic names → overwrite-idempotent under batch retry, the
+    same exactly-once recipe as the MV sink); the final readout merges the
+    mergeable partials with one small groupBy."""
+    from python_async_sample_spark.operators.asof import asof_join
+    from python_async_sample_spark.sources.readers import load_table
+
+    ev_static = load_table(spark, sf_dir, "events")
+    profile = (
+        ev_static.where(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "ts", F.col("event_type").alias("state"))
+        .localCheckpoint(eager=True)
+    )
+    stream = read_events_stream(spark, sf_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        fact = batch_df.select("user_id", "ts", "event_type")
+        out = (
+            asof_join(fact, profile, ["user_id"], "ts", "ts", payload_cols=["state"])
+            .groupBy(
+                "event_type",
+                F.coalesce("asof_state", F.lit("<none>")).alias("active_state"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_part"))
+        )
+        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    with bounded_drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_path)

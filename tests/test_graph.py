@@ -88,3 +88,53 @@ def test_containment_exact_dup_bidirectional(spark):
             containment_pairs(docs, "doc_id", "text", n=5, threshold=0.8).collect()}
     assert rows[(1, 2)] == pytest.approx(1.0)
     assert rows[(2, 1)] == pytest.approx(1.0)
+
+
+def test_bellman_ford_picks_cheaper_two_hop_path(spark):
+    from python_async_sample_spark.operators.graph import bellman_ford
+
+    # 0-1 costs 10 direct, but 0-2-1 costs 2+3=5; undirected edges
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (0, 2, 2), (2, 1, 3)], "a long, b long, w long"
+    )
+    src = spark.createDataFrame([(0,)], "src long")
+    d = {r["node"]: r["dist"] for r in bellman_ford(edges, src, "a", "b", "w", 3).collect()}
+    assert d == {0: 0, 1: 5, 2: 2}
+
+
+def test_bellman_ford_hop_bound_excludes_far_nodes(spark):
+    from python_async_sample_spark.operators.graph import bellman_ford
+
+    # path graph 0-1-2-3-4: with 2 iterations only nodes within 2 hops appear
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(4)], "a long, b long, w long"
+    )
+    src = spark.createDataFrame([(0,)], "src long")
+    d = {r["node"]: r["dist"] for r in bellman_ford(edges, src, "a", "b", "w", 2).collect()}
+    assert d == {0: 0, 1: 1, 2: 2}
+
+
+def test_psi_zero_for_identical_distributions(spark):
+    from python_async_sample_spark.operators.drift import psi_from_counts
+
+    cnt = spark.createDataFrame(
+        [("a", 0, 50, 50), ("a", 1, 30, 30), ("a", 2, 20, 20)],
+        "event_type string, bin long, c1 long, c2 long",
+    )
+    rows = psi_from_counts(cnt, nbins=3).collect()
+    assert rows[0]["psi"] == 0.0
+    assert rows[0]["n_ref"] == 100 and rows[0]["n_cur"] == 100
+
+
+def test_psi_grows_with_shift_and_counts_empty_bins(spark):
+    from python_async_sample_spark.operators.drift import psi_from_counts
+
+    mild = spark.createDataFrame(
+        [("a", 0, 50, 40), ("a", 1, 50, 60)], "event_type string, bin long, c1 long, c2 long"
+    )
+    severe = spark.createDataFrame(
+        [("a", 0, 50, 0), ("a", 1, 50, 100)], "event_type string, bin long, c1 long, c2 long"
+    )
+    p_mild = psi_from_counts(mild, nbins=2).collect()[0]["psi"]
+    p_severe = psi_from_counts(severe, nbins=2).collect()[0]["psi"]
+    assert 0 < p_mild < 0.2 < p_severe  # conventional alarm threshold between
