@@ -472,3 +472,98 @@ def quantized_topk(
         quantize_int8(corpus, vec_col), "q_vec", "q_scale", "_deq"
     ).select(F.col(id_col), F.col("_deq").alias(vec_col))
     return brute_force_topk(qcorp, queries, id_col, vec_col, k=k)
+
+
+def all_pairs_topk_gemm(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 1,
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Top-k cosine neighbors for EVERY vector — the all-pairs form of
+    ``brute_force_topk``, without its broadcast-the-queries contract.
+
+    Same block-pair GEMM decomposition as ``cosine_pairs_gemm`` (each
+    (bi ≤ bj) tile is one BLAS matmul in an Arrow kernel), but instead of
+    thresholded pairs each tile emits only each vector's LOCAL top-k
+    against the opposite block — ≤ k rows per (vector, tile), so the
+    post-kernel shuffle is O(N · num_blocks · k), linear in the corpus,
+    and the global window reduces the per-tile partials to the true
+    top-k.  No driver-side matrix, no broadcast: both sides of every tile
+    arrive by partitioned shuffle — this is the kernel to use when the
+    query set IS the corpus (reciprocal-NN, kNN graphs, dedup sweeps).
+    """
+    blk = F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks))
+    pair_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(num_blocks - 1)),
+        lambda j: F.struct(
+            F.least(blk, j).alias("bi"), F.greatest(blk, j).alias("bj")
+        ),
+    )
+    exploded = (
+        as_double(df, vec_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            blk.alias("_blk"),
+            F.explode(F.array_distinct(pair_keys)).alias("_bp"),
+        )
+        .select("_id", "_v", "_blk", F.col("_bp.bi").alias("bi"), F.col("_bp.bj").alias("bj"))
+    )
+
+    empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+
+    def _local_topk(sim, qids, nids, out):
+        # sim: (nq, nc); emit each query's top-k columns
+        kk = min(k, sim.shape[1])
+        if kk <= 0:
+            return
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        for i in range(sim.shape[0]):
+            cols = part[i]
+            out[0].append(np.full(len(cols), qids[i], dtype=np.int64))
+            out[1].append(nids[cols])
+            out[2].append(sim[i, cols])
+
+    def kernel(key, pdf):
+        bi, bj = key
+        left = pdf[pdf["_blk"] == bi]
+        if len(left) == 0:
+            return empty
+        xs = np.vstack(left["_v"].to_numpy())
+        xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+        xid = left["_id"].to_numpy()
+        out = ([], [], [])
+        if bi == bj:
+            sim = xs @ xs.T
+            np.fill_diagonal(sim, -np.inf)
+            _local_topk(sim, xid, xid, out)
+        else:
+            right = pdf[pdf["_blk"] == bj]
+            if len(right) == 0:
+                return empty
+            ys = np.vstack(right["_v"].to_numpy())
+            ys = ys / np.linalg.norm(ys, axis=1, keepdims=True)
+            yid = right["_id"].to_numpy()
+            sim = xs @ ys.T
+            _local_topk(sim, xid, yid, out)
+            _local_topk(sim.T, yid, xid, out)
+        if not out[0]:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out[0]),
+                "neighbor_id": np.concatenate(out[1]),
+                "cosine": np.concatenate(out[2]),
+            }
+        )
+
+    local = exploded.groupBy("bi", "bj").applyInPandas(
+        kernel, schema="query_id bigint, neighbor_id bigint, cosine double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

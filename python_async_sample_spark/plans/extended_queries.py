@@ -1983,3 +1983,191 @@ def q162_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("est_pairs") - F.col("exact_pairs")) / F.col("exact_pairs"), 4
         ).alias("rel_err"),
     )
+
+
+@query(
+    "q164_audience_overlap_hll",
+    oracle=None,  # sketch estimates are engine-defined; the in-plan guard
+    # bounds the inclusion-exclusion error vs the exact overlap and
+    # test_sketches pins the algebra
+    ref="sketch-hll set algebra (beyond reference; audience overlap from mergeable per-segment state)",
+    tags=("extended", "sketch"),
+)
+def q164_audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event segments from HLL sketches
+    alone: |A∩B| ≈ est(A) + est(B) − est(A∪B) (inclusion–exclusion over
+    the union sketch).  With one persisted sketch per segment (q155's
+    state), ANY of the k² pairwise overlaps is computable WITHOUT
+    rescanning raw events — the sketch-algebra answer to "how many users
+    do campaigns A and B share?" at 100 TB.
+
+    The in-plan guard joins the exact overlap (distinct-pair self-join —
+    the rescan the sketches replace; certification-only at gate scale) and
+    RAISES outside ±5·rsd·(|A|+|B|): inclusion–exclusion compounds the
+    error of three estimates, so the band scales with the set sizes, not
+    the intersection."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"),
+            F.countDistinct("user_id").alias("__n_exact"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"),
+        F.col("__n_exact").alias("__na"),
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"),
+        F.col("__n_exact").alias("__nb"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).select(
+        "type_a",
+        "type_b",
+        "__na",
+        "__nb",
+        (
+            F.hll_sketch_estimate("sk_a")
+            + F.hll_sketch_estimate("sk_b")
+            - F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+        ).alias("est_overlap"),
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    da = du.select(F.col("event_type").alias("type_a"), "user_id")
+    db = du.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        da.join(db, "user_id")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("__exact"))
+    )
+    rsd = 1.04 / (2**14) ** 0.5
+    joined = exact.join(pairs, ["type_a", "type_b"], "left")
+    bound_ok = F.abs(F.col("est_overlap") - F.col("__exact")) <= F.lit(5 * rsd) * (
+        F.col("__na") + F.col("__nb")
+    )
+    return (
+        joined.where(
+            F.when(bound_ok, F.lit(True)).otherwise(
+                F.raise_error("HLL overlap estimate outside 5*rsd*(|A|+|B|) band")
+            )
+        )
+        .select(
+            "type_a",
+            "type_b",
+            F.round("est_overlap", 0).cast("bigint").alias("est_overlap"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+_CONTRACT_ORACLE = """
+    WITH checks AS (
+      SELECT 'customer_acctbal_not_null' AS constraint_name,
+             CAST(count(*) FILTER (WHERE c_acctbal IS NULL) AS BIGINT) AS violations
+      FROM customer
+      UNION ALL
+      SELECT 'lineitem_orders_ri',
+             CAST(count(*) AS BIGINT)
+      FROM lineitem l WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST(count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_pk_unique',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_priority_strict',
+             CAST(count(*) FILTER (WHERE o_orderpriority NOT IN
+                  ('1-URGENT', '2-HIGH', '3-MEDIUM')) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders_status_domain',
+             CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+      FROM orders
+    )
+    SELECT constraint_name, violations, violations = 0 AS passed
+    FROM checks ORDER BY constraint_name
+"""
+
+
+@query(
+    "q166_data_contract_report",
+    oracle=_CONTRACT_ORACLE,
+    ref="data-contract validation report (beyond reference; the declarative expectations face of q25's row-level reject sink)",
+    tags=("validate", "monitoring"),
+)
+def q166_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract validation in one report: primary-key
+    uniqueness, value domains, numeric ranges, null-rate, and
+    lineitem→orders referential integrity, each as ONE aggregate row
+    (constraint, violation count, passed).  Complements q25's row-level
+    reject side-output: this is the table-level gate a pipeline checks
+    BEFORE publishing a snapshot (write-audit-publish), and every check is
+    an aggregation or an anti-join — no row ever leaves the executors.
+    The strict-priority constraint is deliberately violated by the data,
+    proving the report surfaces failures rather than rubber-stamping."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def row(name: str, df_violations: DataFrame) -> DataFrame:
+        return df_violations.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("v").cast("bigint").alias("violations"),
+        )
+
+    checks = [
+        row(
+            "customer_acctbal_not_null",
+            cust.agg(F.count(F.when(F.col("c_acctbal").isNull(), 1)).alias("v")),
+        ),
+        row(
+            "lineitem_orders_ri",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("v")
+            ),
+        ),
+        row(
+            "lineitem_qty_range",
+            li.agg(
+                F.count(
+                    F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+                ).alias("v")
+            ),
+        ),
+        row(
+            "orders_pk_unique",
+            orders.agg(
+                (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+            ),
+        ),
+        row(
+            "orders_priority_strict",
+            orders.agg(
+                F.count(
+                    F.when(
+                        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM"),
+                        1,
+                    )
+                ).alias("v")
+            ),
+        ),
+        row(
+            "orders_status_domain",
+            orders.agg(
+                F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("v")
+            ),
+        ),
+    ]
+    report = checks[0]
+    for c in checks[1:]:
+        report = report.unionByName(c)
+    return report.withColumn("passed", F.col("violations") == 0).orderBy(
+        "constraint_name"
+    )

@@ -68,9 +68,13 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # tests/test_oracle_parity.py and scripts/driver_sim.py.
 #
 # ROUND-4 ROTATION CANDIDATES (never driver-checked, all locally green):
-# the round-3 additions q100-q143 — strongest first: q121 (repeated-span
+# the round-3 additions q100-q164 — strongest first: q121 (repeated-span
 # dedup), q132 (distributed prefix sum), q131 (incremental MV), q135 (geo
-# near-join), q143 (PIT join), q125 (bigram LM), q133 (checksum), q122,
+# near-join), q143 (PIT join), q149 (PageRank, algorithm-unrolled oracle),
+# q161 (probabilistic linkage, blind brute-force oracle), q150 (triangles),
+# q159 (Bellman-Ford), q160 (streaming PSI), q163 (streaming PIT),
+# q151 (RRF fusion), q154 (containment), q162 (join-size estimate),
+# q125 (bigram LM), q133 (checksum), q152, q153, q156, q157, q158, q122,
 # q123, q129, q130, q136, q139, q140, q106, q112, q115. Swap against
 # in-window residents whose §2 row keeps another in-window query, same
 # procedure as the round-3 rotation above.

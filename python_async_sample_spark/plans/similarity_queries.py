@@ -431,3 +431,61 @@ def q158_knn_label_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_RNN_ORACLE = """
+    WITH scored AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT qa, qb, cos,
+             row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rk
+      FROM scored
+    )
+    SELECT x.qa AS a, x.qb AS b, round(x.cos, 6) AS cosine
+    FROM nn x JOIN nn y ON x.qb = y.qa AND y.qb = x.qa
+    WHERE x.rk = 1 AND y.rk = 1 AND x.qa < x.qb
+    ORDER BY a
+"""
+
+
+@query(
+    "q167_reciprocal_nearest_pairs",
+    oracle=_RNN_ORACLE,
+    ref="similarity-reciprocal-nn (beyond reference; the auto-merge proposal rule for entity resolution)",
+    tags=("llm-data", "similarity", "dedup"),
+)
+def q167_reciprocal_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (a, b) where b is a's single
+    nearest vector AND a is b's — the high-precision auto-merge rule
+    entity-resolution pipelines apply before any human review, and the
+    seed rule of RNN-based agglomerative clustering.
+
+    The nn relation comes from ``all_pairs_topk_gemm`` — the all-pairs
+    form of the GEMM kernel: per block-pair tile each vector emits only
+    its LOCAL top-1, so the shuffle is O(N·blocks) and NOTHING is
+    broadcast (``brute_force_topk`` would broadcast the whole corpus as
+    the query matrix — its small-queries contract does not cover this).
+    Reciprocity is then a self-join of the (query → neighbor) edge with
+    its reverse — O(N) rows on id.  At 100 TB the exact top-1 swaps for
+    the ANN index (q36/q37) with the same reciprocity join."""
+    from python_async_sample_spark.operators.similarity import all_pairs_topk_gemm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = all_pairs_topk_gemm(emb, "vec_id", "embedding", k=1).select(
+        F.col("query_id").alias("qa"), F.col("neighbor_id").alias("qb"), "cosine"
+    )
+    rev = nn.select(F.col("qa").alias("rb"), F.col("qb").alias("ra"))
+    return (
+        nn.join(rev, (nn.qb == rev.rb) & (nn.qa == rev.ra))
+        .where(F.col("qa") < F.col("qb"))
+        .select(
+            F.col("qa").alias("a"),
+            F.col("qb").alias("b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+        .orderBy("a")
+    )

@@ -650,3 +650,41 @@ def stream_pit_enrich_to_parquet(
         )
         q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def stream_cms_cells_to_parquet(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming count-min sketch maintenance (q165): each micro-batch
+    builds its own depth×width cell relation (bounded regardless of batch
+    size) and lands it in an epoch-keyed overwrite-idempotent directory;
+    the readout merges partials by CELL SUM — the CMS merge law
+    (test_sketches pins merged ≡ whole-stream).  This is the streaming
+    face of the sketch-state story: frequency state bounded at depth×width
+    counters forever, on an unbounded stream."""
+    from python_async_sample_spark.operators.sketches import cms_build
+
+    stream = read_events_stream(spark, sf_dir)
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        cells = cms_build(batch_df, "user_id", depth=depth, width=width)
+        cells.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
+
+    with bounded_drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )

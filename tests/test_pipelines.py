@@ -78,3 +78,46 @@ def test_scatter_gather_modes_identical(spark):
     assert got == {(10, "a"), (12, "c")}
     # the reference's two physical modes are one logical plan here
     assert sub.sameSemantics(fan)
+
+
+def test_write_audit_publish_gate_blocks_bad_snapshot(spark, tmp_path, sf_dir):
+    """Write-audit-publish: a snapshot is staged, the q166-style contract
+    report audits the STAGED files, and only a fully-passing audit
+    publishes (atomic directory rename). A violated contract must leave
+    the published table untouched."""
+    import os
+
+    from python_async_sample_spark.sources.readers import load_table
+
+    published = str(tmp_path / "published")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def audit(df):
+        return df.agg(
+            F.count(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("v")
+        ).collect()[0]["v"]
+
+    def write_audit_publish(df, stage, target) -> bool:
+        df.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        if audit(staged) != 0:
+            return False
+        os.rename(stage, target)
+        return True
+
+    # good snapshot publishes
+    assert write_audit_publish(orders, str(tmp_path / "s1"), published)
+    n_published = spark.read.parquet(published).count()
+    assert n_published == orders.count()
+
+    # corrupted snapshot is staged but NOT published
+    bad = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("Z")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    assert not write_audit_publish(bad, str(tmp_path / "s2"), str(tmp_path / "p2"))
+    assert not os.path.exists(str(tmp_path / "p2"))
+    # original stays intact
+    assert spark.read.parquet(published).count() == n_published

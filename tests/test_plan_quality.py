@@ -59,7 +59,9 @@ def test_no_cartesian_products(spark, sf_dir):
                     "q29_summary_mv_recompute", "q60_stream_sessionization",
                     "q61_wide_tool_table", "q71_stream_exactly_once_dedup",
                     "q75_stream_stateful_profiles", "q77_stream_stream_join",
-                    "q85_stream_static_enrich", "q103_stream_bounded_dedup"):
+                    "q85_stream_static_enrich", "q103_stream_bounded_dedup",
+                    "q131_stream_incremental_mv", "q148_stream_inference",
+                    "q160_stream_drift_monitor", "q163_stream_pit_enrich"):
             continue  # side-effecting runners; plans checked via their outputs
         df = spec.fn(spark, sf_dir)
         plan = plan_str(df, "simple")

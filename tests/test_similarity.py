@@ -119,3 +119,25 @@ def test_guard_fires_under_count_only_actions(spark):
         _union_poison_guard(out, violated, "count-path guard").count()
     clean = violated.where(F.lit(False))
     assert _union_poison_guard(out, clean, "unused").count() == 3
+
+
+def test_all_pairs_topk_matches_broadcast_kernel(spark, sf_dir):
+    """all_pairs_topk_gemm (blocked, nothing broadcast) must return exactly
+    brute_force_topk's answer when the query set is the whole corpus —
+    same ids, ranks, and cosines to fp tolerance."""
+    from python_async_sample_spark.operators.similarity import (
+        all_pairs_topk_gemm,
+        brute_force_topk,
+    )
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in all_pairs_topk_gemm(emb, "vec_id", "embedding", k=3).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], round(r["cosine"], 9))
+        for r in brute_force_topk(emb, emb, "vec_id", "embedding", k=3).collect()
+    }
+    assert a == b

@@ -124,3 +124,31 @@ def test_hll_rolling_guard_fires_on_violated_bound(spark):
     )
     with pytest.raises(Exception, match="bound violated"):
         poisoned.count()
+
+
+def test_hll_inclusion_exclusion_overlap(spark):
+    """q164's algebra: est(A)+est(B)-est(A∪B) ≈ |A∩B| — exact-ish at small
+    cardinalities (HLL is exact below its sparse threshold), 0 for
+    disjoint sets, |A| for identical sets."""
+    a = spark.range(0, 1000).select(F.col("id").alias("u"))
+    b_disjoint = spark.range(5000, 6000).select(F.col("id").alias("u"))
+    b_half = spark.range(500, 1500).select(F.col("id").alias("u"))
+
+    def est(df):
+        return df.agg(F.hll_sketch_agg("u", F.lit(14)).alias("sk"))
+
+    def overlap(x, y):
+        sx = est(x).collect()[0]["sk"]
+        sy = est(y).collect()[0]["sk"]
+        row = spark.createDataFrame([(sx, sy)], "a binary, b binary").select(
+            (
+                F.hll_sketch_estimate("a")
+                + F.hll_sketch_estimate("b")
+                - F.hll_sketch_estimate(F.hll_union("a", "b"))
+            ).alias("o")
+        ).collect()[0]["o"]
+        return row
+
+    assert abs(overlap(a, b_disjoint)) < 30
+    assert abs(overlap(a, b_half) - 500) < 50
+    assert abs(overlap(a, a) - 1000) < 30
