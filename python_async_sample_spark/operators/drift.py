@@ -19,8 +19,17 @@ from pyspark.sql import functions as F
 
 
 def fixed_bin(value_col: str, width: float, nbins: int) -> F.Column:
-    """Fixed-width bin index in [0, nbins): least(floor(v/width), nbins-1)."""
-    return F.least(F.floor(F.col(value_col) / width), F.lit(nbins - 1)).cast("bigint")
+    """Fixed-width bin index clamped into [0, nbins): values below 0 land in
+    bin 0 and values past the last edge in bin nbins−1, so every row is
+    counted — a negative metric must move the histogram, not silently fall
+    off the spine."""
+    return (
+        F.least(
+            F.greatest(F.floor(F.col(value_col) / width), F.lit(0)),
+            F.lit(nbins - 1),
+        )
+        .cast("bigint")
+    )
 
 
 def psi_from_counts(

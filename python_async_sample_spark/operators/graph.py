@@ -257,8 +257,9 @@ def bellman_ford_oracle_sql(
 ) -> str:
     """Chained-CTE DuckDB oracle for :func:`bellman_ford`: unrolls the same
     per-round relaxation (min over previous distances and in-edge
-    extensions).  ``edge_cte`` yields (a, b, w); ``source_cte`` yields one
-    column of seed nodes."""
+    extensions).  ``edge_cte`` yields (a, b, w); ``source_cte`` must yield
+    its seed nodes in a column named ``src`` (the generated d0 CTE selects
+    it by that name; it may reference the edge CTE as ``e0``)."""
     parts = [
         f"WITH e0 AS ({edge_cte})",
         "e AS (SELECT a AS u, b AS v, w FROM e0 UNION ALL SELECT b, a, w FROM e0)",

@@ -123,9 +123,13 @@ def weighted_reservoir_take(
         10,
     ).cast("double")
     u = (h + 1) / F.lit(4294967296.0)
-    race = -F.log(u) / F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    # weights are used AS GIVEN (fractional weights are legitimate — e.g.
+    # quality scores in (0,1]); rows with weight <= 0 have zero selection
+    # probability and are excluded up front rather than clamped
+    race = -F.log(u) / F.col(weight_col).cast("double")
     w = W.partitionBy(group_col).orderBy(race.asc(), F.col(key_col).asc())
     return (
-        df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        df.where(F.col(weight_col) > 0)
+        .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sample_rank") <= k)
     )

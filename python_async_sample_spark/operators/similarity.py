@@ -515,13 +515,18 @@ def all_pairs_topk_gemm(
     empty = pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
 
     def _local_topk(sim, qids, nids, out):
-        # sim: (nq, nc); emit each query's top-k columns
+        # sim: (nq, nc); emit each query's top-k FINITE columns (the masked
+        # diagonal is -inf — it must never ride a short candidate list into
+        # the output as a self-match, mirroring brute_force_topk's isfinite
+        # filter)
         kk = min(k, sim.shape[1])
         if kk <= 0:
             return
         part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
         for i in range(sim.shape[0]):
-            cols = part[i]
+            cols = part[i][np.isfinite(sim[i, part[i]])]
+            if len(cols) == 0:
+                continue
             out[0].append(np.full(len(cols), qids[i], dtype=np.int64))
             out[1].append(nids[cols])
             out[2].append(sim[i, cols])

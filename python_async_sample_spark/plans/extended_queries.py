@@ -1717,6 +1717,8 @@ _WELCH_ORACLE = """
              var_samp(value) FILTER (WHERE user_id % 2 = 0) AS v_a,
              var_samp(value) FILTER (WHERE user_id % 2 = 1) AS v_b
       FROM events GROUP BY event_type
+      HAVING count(*) FILTER (WHERE user_id % 2 = 0) > 1
+         AND count(*) FILTER (WHERE user_id % 2 = 1) > 1
     )
     SELECT event_type, n_a, n_b,
            round(m_a - m_b, 4) AS mean_diff,
@@ -1753,7 +1755,10 @@ def q153_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(b, F.col("value"))).alias("m_b"),
         F.var_samp(F.when(a, F.col("value"))).alias("v_a"),
         F.var_samp(F.when(b, F.col("value"))).alias("v_b"),
-    )
+    # a t-test needs >= 2 samples per arm; below that Spark's var_samp
+    # yields NaN where DuckDB yields NULL, and the dof formula divides by
+    # zero — degenerate cells are excluded on BOTH sides, not special-cased
+    ).where((F.col("n_a") > 1) & (F.col("n_b") > 1))
     se2 = F.col("v_a") / F.col("n_a") + F.col("v_b") / F.col("n_b")
     return g.select(
         "event_type",
@@ -1855,7 +1860,7 @@ _PSI_ORACLE = f"""
     WITH binned AS (
       SELECT event_type,
              CASE WHEN epoch_us(ts) < {_PSI_SPLIT_US} THEN 1 ELSE 2 END AS win,
-             CAST(least(floor(value / 50), 9) AS BIGINT) AS bin
+             CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin
       FROM events
     ),
     spine AS (
@@ -2170,4 +2175,134 @@ def q166_data_contract_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         report = report.unionByName(c)
     return report.withColumn("passed", F.col("violations") == 0).orderBy(
         "constraint_name"
+    )
+
+
+_CHI2_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow FROM events
+    ),
+    cnt AS (SELECT event_type, dow, count(*) AS n FROM d GROUP BY 1, 2),
+    spine AS (
+      SELECT DISTINCT event_type, g.dw AS dow
+      FROM cnt CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS dw) g
+    ),
+    fullc AS (
+      SELECT s.event_type, s.dow, coalesce(n, 0) AS n
+      FROM spine s LEFT JOIN cnt ON cnt.event_type = s.event_type AND cnt.dow = s.dow
+    ),
+    tot AS (SELECT event_type, sum(n) * 1.0 AS total FROM fullc GROUP BY 1)
+    SELECT f.event_type, CAST(t.total AS BIGINT) AS n_events,
+           round(sum(pow(f.n - t.total / 7, 2) / (t.total / 7)), 4) AS chi2,
+           CAST(6 AS BIGINT) AS dof
+    FROM fullc f JOIN tot t USING (event_type)
+    GROUP BY f.event_type, t.total ORDER BY f.event_type
+"""
+
+
+@query(
+    "q168_dow_uniformity_chi2",
+    oracle=_CHI2_ORACLE,
+    ref="analytics-chi-square GOF (beyond reference; the categorical sibling of q153's Welch test)",
+    tags=("analytics", "stats"),
+)
+def q168_dow_uniformity_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of each event type's day-of-week profile
+    against the uniform expectation (dof 6) — the seasonality screen that
+    decides whether a pipeline needs day-of-week stratification.  One scan
+    + one groupBy(type, dow); the statistic is arithmetic over the
+    |types|×7 spine (empty cells included — a day with zero events is the
+    strongest evidence against uniformity, so the spine join must not
+    drop it).  DuckDB's dayofweek(ts) and Spark's dayofweek(ts)-1 both
+    yield 0=Sunday..6=Saturday once aligned."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("event_type", (F.dayofweek("ts") - 1).cast("bigint").alias("dow"))
+    cnt = d.groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("n"))
+    spine = (
+        cnt.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("dw"))
+        .select("event_type", F.col("dw").cast("bigint").alias("dow"))
+    )
+    fullc = spine.join(cnt, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = fullc.groupBy("event_type").agg((F.sum("n") * 1.0).alias("total"))
+    exp = F.col("total") / 7
+    return (
+        fullc.join(tot, "event_type")
+        .groupBy("event_type", "total")
+        .agg(F.round(F.sum(F.pow(F.col("n") - exp, 2) / exp), 4).alias("chi2"))
+        .select(
+            "event_type",
+            F.col("total").cast("bigint").alias("n_events"),
+            "chi2",
+            F.lit(6).cast("bigint").alias("dof"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BENFORD_ORACLE = """
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    cnt AS (SELECT d, count(*) AS n FROM digits GROUP BY 1),
+    spine AS (SELECT unnest(generate_series(1, 9)) AS d),
+    fullc AS (
+      SELECT s.d, coalesce(n, 0) AS n FROM spine s LEFT JOIN cnt ON cnt.d = s.d
+    ),
+    tot AS (SELECT sum(n) * 1.0 AS total FROM fullc)
+    SELECT CAST(f.d AS BIGINT) AS leading_digit,
+           CAST(f.n AS BIGINT) AS n_orders,
+           round(f.n / t.total, 4) AS observed_p,
+           round(log10(1.0 + 1.0 / f.d), 4) AS benford_p,
+           round(pow(f.n - t.total * log10(1.0 + 1.0 / f.d), 2)
+                 / (t.total * log10(1.0 + 1.0 / f.d)), 4) AS chi2_term
+    FROM fullc f CROSS JOIN tot t ORDER BY leading_digit
+"""
+
+
+@query(
+    "q169_benford_screen",
+    oracle=_BENFORD_ORACLE,
+    ref="analytics-benford audit (beyond reference; the forensic digit-distribution screen)",
+    tags=("analytics", "stats", "monitoring"),
+)
+def q169_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen over order totals: observed leading-digit
+    distribution vs log10(1+1/d), with per-digit chi-square terms — the
+    classic forensic-audit verb for spotting fabricated or truncated
+    monetary data.  One scan, one 9-row groupBy; the digit is extracted
+    with an EXPLICIT floor() on both sides (DuckDB's double→bigint cast
+    rounds while Spark's truncates — a .5+ price would flip its leading
+    digit between engines; caught by the sf0.01 gate during development).  The per-digit terms let an auditor localize WHICH digit
+    deviates, not just that the total chi-square is high."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1)
+        .cast("bigint")
+        .alias("d")
+    )
+    cnt = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("d"))
+    fullc = spine.join(cnt, "d", "left").select(
+        "d", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = fullc.agg((F.sum("n") * 1.0).alias("total"))
+    bp = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        fullc.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("bigint").alias("leading_digit"),
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("total"), 4).alias("observed_p"),
+            F.round(bp, 4).alias("benford_p"),
+            F.round(
+                F.pow(F.col("n") - F.col("total") * bp, 2) / (F.col("total") * bp), 4
+            ).alias("chi2_term"),
+        )
+        .orderBy("leading_digit")
     )

@@ -31,6 +31,60 @@ from python_async_sample_spark.operators.graph import (
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
 
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-weighted nation→nation trade edges (q149's stage 1) —
+    broadcast dimension joins onto the fact side, one groupBy(src, dst).
+    Shared with the plan-quality gate so the test audits the SAME pipeline
+    the query ships."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w")
+        )
+    )
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str, support: int = 2) -> DataFrame:
+    """Part co-purchase edges (u < v, co-occurrence support ≥ ``support``):
+    distinct (order, part) pairs self-joined per order — parts only meet
+    through a shared order, never a cross product. ONE definition of "the
+    co-purchase graph", shared by q150 (triangles) and q159 (shortest
+    paths) and mirrored by _COPURCHASE_EDGE_SQL in their oracles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .agg(F.count("*").alias("s"))
+        .where(F.col("s") >= support)
+    )
+
+
+# the SQL mirror of copurchase_edges(support=2) — every co-purchase oracle
+# derives its edge relation from this one string
+_COPURCHASE_EDGE_SQL = """
+      SELECT a.pk AS u, b.pk AS v, count(*) AS s
+      FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
+      JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
+        ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+
 _TRADE_EDGE_CTE = """
     SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
            sum(l.l_extendedprice * (1 - l.l_discount)) AS w
@@ -60,35 +114,16 @@ def q149_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + partial agg on the aggregated graph with a lazy localCheckpoint
     lineage cut per iteration; rank state is one O(V) relation, dangling
     mass a one-row broadcast aggregate — no driver-side data path."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w")
-        )
-    )
+    edges = trade_edges(spark, sf_dir)
     ranks = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
     return ranks.select(
         "node", F.round("rank", 6).alias("rank")
     ).orderBy("node")
 
 
-_TRIANGLE_ORACLE = """
-    WITH op AS (
-      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
-    ),
-    e AS (
-      SELECT a.pk AS u, b.pk AS v
-      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= 2
+_TRIANGLE_ORACLE = f"""
+    WITH e AS (
+      SELECT u, v FROM ({_COPURCHASE_EDGE_SQL})
     )
     SELECT e1.u AS t1, e1.v AS t2, e2.v AS t3
     FROM e e1
@@ -115,30 +150,14 @@ def q150_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-degree → high-degree, capping wedge fan-out at O(sqrt m) per node
     on any degree distribution — the id-ordered oracle plan (fine for the
     oracle) would blow up on a power-law graph; the shipped plan does not."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= 2)
-    )
+    edges = copurchase_edges(spark, sf_dir, support=2)
     tri = count_triangles(edges, "u", "v")
     return tri.orderBy("t1", "t2", "t3")
 
 
-_SSSP_EDGE_CTE = """
-    SELECT u AS a, v AS b, CAST(greatest(1, 10 - s) AS BIGINT) AS w FROM (
-      SELECT a.pk AS u, b.pk AS v, count(*) AS s
-      FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) a
-      JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem) b
-        ON a.ok = b.ok AND a.pk < b.pk
-      GROUP BY 1, 2 HAVING count(*) >= 2
-    )
+_SSSP_EDGE_CTE = f"""
+    SELECT u AS a, v AS b, CAST(greatest(1, 10 - s) AS BIGINT) AS w
+    FROM ({_COPURCHASE_EDGE_SQL})
 """
 
 _SSSP_SOURCE_CTE = "SELECT min(a) AS src FROM e0"
@@ -162,20 +181,8 @@ def q159_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage cut per round; the Pregel pattern without a graph engine.
     Integer weights keep every distance exact on both engines; the oracle
     unrolls the identical 4 relaxation rounds as chained CTEs."""
-    li = load_table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .agg(F.count("*").alias("s"))
-        .where(F.col("s") >= 2)
-        .select(
-            "u", "v", F.greatest(F.lit(1), F.lit(10) - F.col("s")).cast("bigint").alias("w")
-        )
+    edges = copurchase_edges(spark, sf_dir, support=2).select(
+        "u", "v", F.greatest(F.lit(1), F.lit(10) - F.col("s")).cast("bigint").alias("w")
     )
     source = edges.agg(F.min("u").alias("src"))
     dist = bellman_ford(edges, source, "u", "v", "w", iterations=4)

@@ -846,8 +846,8 @@ _WRES_ORACLE = """
       SELECT source, doc_id, n_chars,
              -ln((CAST('0x' || substr(md5('wres' || CAST(doc_id AS VARCHAR)), 1, 8)
                        AS BIGINT) + 1) / 4294967296.0)
-             / greatest(n_chars, 1.0) AS race
-      FROM documents
+             / n_chars AS race
+      FROM documents WHERE n_chars > 0
     ),
     r AS (
       SELECT source, doc_id, n_chars,

@@ -600,6 +600,39 @@ def stream_drift_bins_to_parquet(
     return spark.read.parquet(out_path)
 
 
+def drain_epoch_partials(
+    spark: SparkSession,
+    stream: DataFrame,
+    transform,
+    out_path: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Run ``transform(batch_df)`` on each micro-batch and land the result
+    in an epoch-keyed subdirectory — the exactly-once partials recipe:
+    deterministic ``epoch=<id>`` paths are overwrite-idempotent under batch
+    retry (a replayed epoch rewrites its own directory, never double-lands),
+    and the checkpoint guarantees each epoch is committed at most once.
+    Returns the merged readout (all epochs' rows); callers aggregate the
+    mergeable partials.  Shared by every per-batch-partials streaming job
+    (PIT enrich, CMS cells) so the idempotence contract lives in ONE place."""
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        transform(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/epoch={epoch_id}"
+        )
+
+    with bounded_drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+
 def stream_pit_enrich_to_parquet(
     spark: SparkSession,
     sf_dir: str,
@@ -629,9 +662,9 @@ def stream_pit_enrich_to_parquet(
     )
     stream = read_events_stream(spark, sf_dir)
 
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+    def enrich(batch_df: DataFrame) -> DataFrame:
         fact = batch_df.select("user_id", "ts", "event_type")
-        out = (
+        return (
             asof_join(fact, profile, ["user_id"], "ts", "ts", payload_cols=["state"])
             .groupBy(
                 "event_type",
@@ -639,17 +672,8 @@ def stream_pit_enrich_to_parquet(
             )
             .agg(F.count(F.lit(1)).alias("n_part"))
         )
-        out.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
 
-    with bounded_drain_conf(spark):
-        q = (
-            stream.writeStream.foreachBatch(handle)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return spark.read.parquet(out_path)
+    return drain_epoch_partials(spark, stream, enrich, out_path, checkpoint)
 
 
 def stream_cms_cells_to_parquet(
@@ -670,21 +694,13 @@ def stream_cms_cells_to_parquet(
     from python_async_sample_spark.operators.sketches import cms_build
 
     stream = read_events_stream(spark, sf_dir)
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        cells = cms_build(batch_df, "user_id", depth=depth, width=width)
-        cells.write.mode("overwrite").parquet(f"{out_path}/epoch={epoch_id}")
-
-    with bounded_drain_conf(spark):
-        q = (
-            stream.writeStream.foreachBatch(handle)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    return (
-        spark.read.parquet(out_path)
-        .groupBy("row", "col")
-        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    partials = drain_epoch_partials(
+        spark,
+        stream,
+        lambda batch_df: cms_build(batch_df, "user_id", depth=depth, width=width),
+        out_path,
+        checkpoint,
+    )
+    return partials.groupBy("row", "col").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
     )

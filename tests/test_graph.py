@@ -138,3 +138,22 @@ def test_psi_grows_with_shift_and_counts_empty_bins(spark):
     p_mild = psi_from_counts(mild, nbins=2).collect()[0]["psi"]
     p_severe = psi_from_counts(severe, nbins=2).collect()[0]["psi"]
     assert 0 < p_mild < 0.2 < p_severe  # conventional alarm threshold between
+
+
+def test_fixed_bin_clamps_negative_values_into_spine(spark):
+    """Review fix: negative metric values must land in bin 0 (counted),
+    not a negative bin the spine join silently drops."""
+    from python_async_sample_spark.operators.drift import fixed_bin, psi_from_counts
+
+    df = spark.createDataFrame(
+        [("a", -10.0), ("a", -200.0), ("a", 30.0)], "seg string, v double"
+    )
+    bins = [r["b"] for r in df.select(fixed_bin("v", 50, 10).alias("b")).collect()]
+    assert sorted(bins) == [0, 0, 0]
+    # and a negative-shifted current window must move PSI, not zero it
+    cnt = spark.createDataFrame(
+        [("a", 5, 100, 0), ("a", 0, 0, 100)], "event_type string, bin long, c1 long, c2 long"
+    )
+    row = psi_from_counts(cnt, nbins=10).collect()[0]
+    assert row["n_ref"] == 100 and row["n_cur"] == 100
+    assert row["psi"] > 0.2

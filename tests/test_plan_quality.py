@@ -327,22 +327,12 @@ def test_rrf_topk_lists_are_take_ordered(spark, sf_dir):
 
 def test_pagerank_edge_derivation_broadcasts_dims(spark, sf_dir):
     """q149 stage 1: customer/supplier dimension joins onto the fact side
-    must broadcast; the groupBy(src,dst) is the only fact-sized shuffle."""
-    from python_async_sample_spark.sources.readers import load_table
-    from pyspark.sql import functions as F
+    must broadcast; the groupBy(src,dst) is the only fact-sized shuffle.
+    Audits the SAME `trade_edges` pipeline the query ships (q149's own
+    returned plan is post-localCheckpoint, which truncates this lineage)."""
+    from python_async_sample_spark.plans.graph_queries import trade_edges
 
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    supp = load_table(spark, sf_dir, "supplier")
-    edges = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .groupBy(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("w"))
-    )
-    plan = plan_str(edges, "simple")
+    plan = plan_str(trade_edges(spark, sf_dir), "simple")
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan
 

@@ -84,3 +84,18 @@ def test_weighted_reservoir_partitioning_invariant(spark):
         for r in weighted_reservoir_take(df.repartition(7), "grp", "id", "w", k=4).collect()
     )
     assert a == b
+
+
+def test_weighted_reservoir_fractional_weights_and_zero_exclusion(spark):
+    """Review fix: weights in (0,1) must stay weight-proportional (no clamp
+    to 1), and weight<=0 rows are never sampled."""
+    from python_async_sample_spark.operators.sampling import weighted_reservoir_take
+
+    rows = [("g", 0, 0.95), ("g", 1, 0.05), ("g", 2, 0.0), ("g", 3, -1.0)]
+    df = spark.createDataFrame(rows, "grp string, id long, w double")
+    wins = 0
+    for s in range(40):
+        got = weighted_reservoir_take(df, "grp", "id", "w", k=1, salt=f"f{s}").collect()
+        assert len(got) == 1 and got[0]["id"] in (0, 1)  # 2,3 excluded
+        wins += got[0]["id"] == 0
+    assert wins >= 30  # 0.95 vs 0.05 → id 0 wins ~95% of salts

@@ -141,3 +141,21 @@ def test_all_pairs_topk_matches_broadcast_kernel(spark, sf_dir):
         for r in brute_force_topk(emb, emb, "vec_id", "embedding", k=3).collect()
     }
     assert a == b
+
+
+def test_all_pairs_topk_never_emits_self_pairs_when_k_exceeds_corpus(spark):
+    """Review fix: with k >= N the masked -inf diagonal must not leak
+    (v, v) self-matches into short candidate lists."""
+    from python_async_sample_spark.operators.similarity import all_pairs_topk_gemm
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = all_pairs_topk_gemm(df, "vec_id", "embedding", k=10).collect()
+    assert got, "expected neighbor rows"
+    for r in got:
+        assert r["query_id"] != r["neighbor_id"]
+        assert r["cosine"] == r["cosine"] and r["cosine"] > float("-inf")
+    # each of the 3 vectors sees exactly the other 2
+    from collections import Counter
+    c = Counter(r["query_id"] for r in got)
+    assert c == {0: 2, 1: 2, 2: 2}
