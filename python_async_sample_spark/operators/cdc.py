@@ -113,11 +113,16 @@ def table_checksum(
     Each row folds to a 32-bit-ish integer (first 8 md5 hex digits of the
     unit-separated, null-sentineled content columns — the ``snapshot_diff``
     signature convention) and the group checksum is the SUM of row
-    signatures, so it is independent of row order and partitioning and
-    additive across splits (checksum(A ∪ B) = checksum(A) + checksum(B) for
-    disjoint parts — mergeable the way a 100 TB scan needs). Doubles must
-    be normalized to fixed-scale DECIMAL by the caller; raw double→string
-    rendering is engine-specific."""
+    signatures IN THE MOD-2³² RING, so it is independent of row order and
+    partitioning and additive across splits (checksum(A ∪ B) =
+    (checksum(A) + checksum(B)) mod 2³² for disjoint parts — mergeable the
+    way a 100 TB scan needs).  The modular form matters: a plain int64 SUM
+    of uniform 32-bit signatures overflows (ANSI-mode abort) once a group
+    holds ~2³¹ rows — exactly the scale the verb exists for — so the two
+    16-bit halves are summed separately (overflow-free to ~10¹⁴ rows per
+    group) and recombined mod 2³².  Doubles must be normalized to
+    fixed-scale DECIMAL by the caller; raw double→string rendering is
+    engine-specific."""
     sig = F.conv(
         F.substring(
             F.md5(
@@ -135,7 +140,12 @@ def table_checksum(
         16,
         10,
     ).cast("bigint")
+    m32 = F.lit(4294967296)
+    sum_lo = F.sum(sig.bitwiseAND(F.lit(65535)))
+    sum_hi = F.sum(F.shiftright(sig, 16))
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(sig).cast("bigint").alias("checksum"),
+        F.pmod(F.pmod(sum_hi, m32) * 65536 + F.pmod(sum_lo, m32), m32)
+        .cast("bigint")
+        .alias("checksum"),
     )

@@ -228,7 +228,13 @@ def incremental_lsh_candidates(
     b = batch_index.alias("b")
     h = history_index.alias("h")
     vs_history = b.join(
-        h, (F.col("b.band") == F.col("h.band")) & (F.col("b.bucket") == F.col("h.bucket"))
+        h,
+        (F.col("b.band") == F.col("h.band"))
+        & (F.col("b.bucket") == F.col("h.bucket"))
+        # a doc present in BOTH indexes (re-ingest) must not pair with
+        # itself — least/greatest would emit (d, d), a jaccard-1.0
+        # "duplicate" that makes a keep-the-other consumer drop a unique doc
+        & (F.col("b.doc") != F.col("h.doc")),
     ).select(
         F.least(F.col("b.doc"), F.col("h.doc")).alias("d1"),
         F.greatest(F.col("b.doc"), F.col("h.doc")).alias("d2"),

@@ -48,6 +48,11 @@ class LinearTextModel:
 
     def predict(self, texts) -> Any:
         np = self._np
+        # null texts score as empty strings instead of crashing the Arrow
+        # batch — a single NULL row must never fail the task (the same
+        # no-abort contract as operators/validate.py); len(t.split(' '))
+        # is 1 for '' so every downstream ratio stays finite
+        texts = ["" if t is None else t for t in texts]
         n_tokens = np.array([len(t.split(" ")) for t in texts], dtype=np.float64)
         n_distinct = np.array(
             [len(set(t.split(" "))) for t in texts], dtype=np.float64

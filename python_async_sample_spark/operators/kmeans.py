@@ -93,6 +93,9 @@ def kmeans_fit(
     vecs = vecs.localCheckpoint(eager=True)
     dim = len(vecs.select("__v").first()["__v"])
     cents = init_centroids(vecs, "__id", "__v", k)
+    # an input with fewer rows than k seeds fewer centroids — cap k rather
+    # than KeyError in the update step (every row still gets a cluster)
+    k = len(cents)
     history: list[float] = []
     for _ in range(iters):
         assigned = assign_clusters(vecs, "__v", cents)

@@ -56,8 +56,15 @@ def _moment_kernel(dim: int):
 
 def fit_pca(
     df: DataFrame, vec_col: str, n_components: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Returns (components [k x d], explained_variance [k], mean [d]).
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Returns (components [k x d], explained_variance [k], mean [d],
+    total_variance).
+
+    ``total_variance`` is the covariance TRACE — the sum over ALL d
+    dimensions, not just the k returned components.  Explained-variance
+    ratios must be normalized by it: dividing by sum(returned eigenvalues)
+    silently inflates every ratio whenever k < d (with k = d/2 on a
+    near-isotropic spectrum the "explained" fraction doubles).
 
     One corpus scan for the moments; the driver touches d*(d+1)+1 numbers.
     """
@@ -88,7 +95,7 @@ def fit_pca(
         j = int(np.argmax(np.abs(comps[k])))
         if comps[k, j] < 0:
             comps[k] = -comps[k]
-    return comps, evals[order], mean
+    return comps, evals[order], mean, float(np.trace(cov))
 
 
 def project(

@@ -1283,7 +1283,10 @@ _CHECKSUM_ORACLE = """
     ),
     agg AS (
       SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
-             CAST(sum(s) AS BIGINT) AS checksum
+             -- mod-2^32 ring (DuckDB sums in HUGEINT, so the plain sum
+             -- cannot overflow here; Spark reaches the same value by
+             -- summing 16-bit halves separately)
+             CAST(sum(s) % 4294967296 AS BIGINT) AS checksum
       FROM sig GROUP BY 1
     )
     SELECT * FROM agg ORDER BY event_type

@@ -334,10 +334,13 @@ def q144_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_async_sample_spark.operators.pca import fit_pca
 
     emb = load_table(spark, sf_dir, "embeddings")
-    comps, evals, _mean = fit_pca(emb, "embedding", n_components=32)
-    total = float(sum(evals))
+    comps, evals, _mean, total = fit_pca(emb, "embedding", n_components=32)
     ratios = [float(v) / total for v in evals]
     erank = math.exp(-sum(r * math.log(r) for r in ratios if r > 0))
+    # erank over the RETURNED components' renormalized ratios stays a
+    # top-k summary; var_ratio/cum_ratio are fractions of TOTAL variance,
+    # so cum_ratio < 1 whenever the spectrum extends past k — the honest
+    # compression-viability number
     rows, cum = [], 0.0
     for i, (v, r) in enumerate(zip(evals, ratios)):
         cum += r

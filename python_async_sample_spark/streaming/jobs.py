@@ -501,6 +501,15 @@ def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
     )
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        # Epoch-replay idempotence: if this epoch's snapshot is already
+        # COMMITTED (crash landed between the snapshot's _SUCCESS and the
+        # streaming commit log), re-merging would double-count the batch
+        # into its own output AND overwrite the directory being read as
+        # `prev` — skip; the work is durably done.  A half-written v{N}
+        # (no _SUCCESS) is invisible to _latest_mv_version and safely
+        # overwritten below.
+        if os.path.exists(f"{mv_root}/v{epoch_id:05d}/_SUCCESS"):
+            return
         partial = batch_df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum("value").alias("sum_value"),

@@ -90,3 +90,26 @@ def test_scd2_tiebreak_orders_same_timestamp_events(spark):
         key=lambda r: r["version"],
     )
     assert [r["event_type"] for r in out] == ["a", "b"]
+
+
+def test_checksum_mod_ring_additive_merge(spark):
+    """Review fix: the checksum lives in the mod-2^32 ring — splitting a
+    table arbitrarily and merging the split checksums mod 2^32 must
+    reproduce the whole-table checksum (the overflow-proof mergeability
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.cdc import table_checksum
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").cast("string").alias("c")
+    )
+    whole = {r["g"]: r["checksum"] for r in table_checksum(df, ["g"], ["c"]).collect()}
+    a = table_checksum(df.where("id % 2 = 0"), ["g"], ["c"])
+    b = table_checksum(df.where("id % 2 = 1"), ["g"], ["c"])
+    merged = {}
+    for r in a.collect() + b.collect():
+        merged[r["g"]] = (merged.get(r["g"], 0) + r["checksum"]) % 4294967296
+    assert merged == whole
+    for v in whole.values():
+        assert 0 <= v < 4294967296

@@ -289,3 +289,23 @@ def test_iteration_cap(spark, sf_dir, tmpdir):
     store.put("NIKON", "EDC_Import", ts("2024-01-01 00:00:00"))
     assert runner.run(stage) == 3  # hard stop (nikon_ETL.py:459-461)
     assert store.get("NIKON", "EDC_Import") == ts("2024-01-01 03:00:00")
+
+
+def test_incremental_lsh_reingested_doc_never_self_pairs(spark):
+    """Review fix: a doc present in BOTH the batch and history band
+    indexes (re-ingest) must not emit a (d, d) self-pair."""
+    from python_async_sample_spark.operators.dedup import (
+        band_index,
+        incremental_lsh_candidates,
+        minhash_signatures,
+        shingle_index,
+    )
+
+    text = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    idx = band_index(minhash_signatures(shingle_index(docs, "doc_id", "text")))
+    # same doc ids on both sides — the re-delivery scenario
+    pairs = incremental_lsh_candidates(idx, idx).collect()
+    assert pairs, "identical docs must still pair with each other"
+    for r in pairs:
+        assert r["d1"] < r["d2"], r

@@ -4,7 +4,6 @@ from __future__ import annotations
 
 import glob
 import os
-import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -92,3 +91,52 @@ def test_restart_from_checkpoint_resumes_exactly_once(spark, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_replayed_epoch_is_not_double_merged(spark, sf_dir):
+    """Review fix: a crash AFTER an epoch's snapshot committed (_SUCCESS)
+    but BEFORE the streaming commit log recorded the batch causes that
+    epoch to REPLAY on restart. The merge must skip it — re-merging would
+    double-count the batch into its own committed output and overwrite the
+    directory being read. Simulated by deleting the newest streaming
+    commit marker between two drains."""
+    import shutil
+
+    from python_async_sample_spark.sources.readers import pin_reader_conf
+    from python_async_sample_spark.streaming.jobs import _latest_mv_version, drain_mv_merge
+
+    tmp = tempfile.mkdtemp(prefix="mv_replay_")
+    src, staged = f"{tmp}/src", f"{tmp}/staged"
+    pin_reader_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    os.makedirs(src, exist_ok=True)
+    for i, f in enumerate(sorted(glob.glob(f"{staged}/part-*.parquet"))):
+        shutil.copy(f, f"{src}/file{i}.parquet")
+
+    drain_mv_merge(spark, src, tmp)
+
+    # crash window: snapshot v0 is committed but the streaming commit log
+    # never recorded batch 0 — equivalent to restarting with a FRESH
+    # checkpoint against the same mv_root, which replays epoch 0 against
+    # its own already-committed output (Spark refuses hand-edited commit
+    # logs, so the lost-log crash is simulated by removing the checkpoint)
+    shutil.rmtree(f"{tmp}/checkpoint")
+    drain_mv_merge(spark, src, tmp)  # replays epoch 0; must skip merging
+
+    got = (
+        spark.read.parquet(_latest_mv_version(f"{tmp}/mv"))
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    want = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    shutil.rmtree(tmp, ignore_errors=True)

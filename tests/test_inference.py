@@ -60,3 +60,15 @@ def test_input_schema_not_mutated_and_scores_match_expression_form(spark):
     }
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_linear_model_scores_null_text_without_crashing():
+    """Review fix: a NULL text row must degrade to an empty-string score,
+    never an AttributeError that fails the Arrow task."""
+    from python_async_sample_spark.operators.inference import LinearTextModel
+
+    m = LinearTextModel()
+    scores = m.predict(["hello world", None, ""])
+    assert len(scores) == 3
+    assert all(s == s for s in scores)  # no NaN
+    assert scores[1] == scores[2]  # None behaves as empty string

@@ -64,3 +64,14 @@ def test_assign_clusters_tie_breaks_to_lowest_index(spark):
         [[1.0], [-1.0]],
     ).collect()
     assert out[0]["cluster"] == 0
+
+
+def test_kmeans_fit_caps_k_at_row_count(spark):
+    """Review fix: fewer rows than k must not KeyError — k is capped and
+    every row still gets a cluster."""
+    from python_async_sample_spark.operators.kmeans import kmeans_fit
+
+    rows = [(i, [float(i), float(-i)]) for i in range(3)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents, history = kmeans_fit(df, "id", "v", k=8, iters=2)
+    assert len(cents) <= 3 and len(history) == 2

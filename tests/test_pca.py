@@ -22,7 +22,7 @@ def _collect_x(spark, sf_dir):
 
 def test_components_match_numpy_eigh(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    comps, ev, mean = fit_pca(emb, "embedding", n_components=8)
+    comps, ev, mean, total = fit_pca(emb, "embedding", n_components=8)
     _, x = _collect_x(spark, sf_dir)
     assert np.allclose(mean, x.mean(axis=0), atol=1e-9)
     cov = np.cov(x, rowvar=False, bias=True)
@@ -42,7 +42,7 @@ def test_components_match_numpy_eigh(spark, sf_dir):
 
 def test_projection_matches_numpy_and_is_expression_only(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    comps, _, mean = fit_pca(emb, "embedding", n_components=4)
+    comps, _, mean, _total = fit_pca(emb, "embedding", n_components=4)
     out = project(emb, "vec_id", "embedding", comps, mean)
     plan = out._jdf.queryExecution().executedPlan().toString()
     for node in ("Exchange", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -56,8 +56,24 @@ def test_projection_matches_numpy_and_is_expression_only(spark, sf_dir):
 
 def test_partitioning_invariance(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
-    c1, e1, m1 = fit_pca(emb, "embedding", n_components=3)
-    c2, e2, m2 = fit_pca(emb.repartition(13), "embedding", n_components=3)
+    c1, e1, m1, t1 = fit_pca(emb, "embedding", n_components=3)
+    c2, e2, m2, t2 = fit_pca(emb.repartition(13), "embedding", n_components=3)
     assert np.allclose(m1, m2, atol=1e-9)
     assert np.allclose(e1, e2, atol=1e-9)
     assert np.allclose(c1, c2, atol=1e-7)
+
+
+def test_fit_pca_total_variance_is_trace_not_topk_sum(spark, sf_dir):
+    """Review fix: ratios must normalize by the covariance TRACE; with
+    k < d on a near-isotropic spectrum the top-k eigenvalue sum is far
+    below the total, and the old normalization doubled every ratio."""
+    import numpy as np
+
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _c, ev, _m, total = fit_pca(emb, "embedding", n_components=8)
+    assert sum(ev) < 0.9 * total  # 8 of 64 near-equal components
+    _c2, ev2, _m2, total2 = fit_pca(emb, "embedding", n_components=64)
+    assert np.isclose(sum(ev2), total2, rtol=1e-8)
+    assert np.isclose(total, total2, rtol=1e-8)
