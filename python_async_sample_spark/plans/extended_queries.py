@@ -2309,3 +2309,158 @@ def q169_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leading_digit")
     )
+
+
+_KS_ORACLE = f"""
+    WITH v AS (
+      SELECT event_type, value,
+             CASE WHEN epoch_us(ts) < {_PSI_SPLIT_US} THEN 1 ELSE 2 END AS win
+      FROM events
+    ),
+    n AS (
+      SELECT event_type,
+             count(*) FILTER (WHERE win = 1) AS n1,
+             count(*) FILTER (WHERE win = 2) AS n2
+      FROM v GROUP BY 1
+    ),
+    c AS (
+      SELECT event_type, value,
+             count(*) FILTER (WHERE win = 1)
+               OVER (PARTITION BY event_type ORDER BY value) AS c1,
+             count(*) FILTER (WHERE win = 2)
+               OVER (PARTITION BY event_type ORDER BY value) AS c2
+      FROM v
+    ),
+    d AS (
+      SELECT c.event_type, n.n1, n.n2,
+             max(abs(c.c1 * n.n2 - c.c2 * n.n1)) AS ks_num
+      FROM c JOIN n USING (event_type)
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_ref, CAST(n2 AS BIGINT) AS n_cur,
+           round(ks_num * 1.0 / (n1 * n2), 6) AS ks_stat,
+           ks_num * 1.0 / (n1 * n2)
+             > 1.358 * sqrt((n1 + n2) * 1.0 / (n1 * n2)) AS drifted
+    FROM d ORDER BY event_type
+"""
+
+
+@query(
+    "q170_ks_drift",
+    oracle=_KS_ORACLE,
+    ref="analytics-ks-two-sample (beyond reference; the bin-free, exact complement of q157's PSI)",
+    tags=("analytics", "stats", "monitoring"),
+)
+def q170_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic per event_type between
+    the reference and current windows, with the α=0.05 rejection verdict —
+    the bin-free drift test that catches shape changes PSI's 10 fixed bins
+    can smear away.
+
+    D = max |F₁−F₂| evaluated at every observed value via ONE window pass:
+    conditional cumulative counts under the default RANGE frame (ties are
+    peers, so each ECDF jumps by its full tie group — the q132 lesson).
+    The max rides integer cross-products |c₁·n₂ − c₂·n₁| so the supremum
+    is EXACT on both engines; division happens once per group at the end.
+    The per-type sort is the per-group-window bound every sessionization
+    query already carries."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.when(F.unix_micros("ts") < _PSI_SPLIT_US, F.lit(1)).otherwise(2).alias("win"),
+    )
+    n = v.groupBy("event_type").agg(
+        F.count(F.when(F.col("win") == 1, 1)).alias("n1"),
+        F.count(F.when(F.col("win") == 2, 1)).alias("n2"),
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    c = v.select(
+        "event_type",
+        F.count(F.when(F.col("win") == 1, 1)).over(w).alias("c1"),
+        F.count(F.when(F.col("win") == 2, 1)).over(w).alias("c2"),
+    )
+    d = (
+        c.join(n, "event_type")
+        .groupBy("event_type", "n1", "n2")
+        .agg(F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("ks_num"))
+    )
+    ks = F.col("ks_num") / (F.col("n1") * F.col("n2"))
+    crit = 1.358 * F.sqrt((F.col("n1") + F.col("n2")) * F.lit(1.0) / (F.col("n1") * F.col("n2")))
+    return d.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_ref"),
+        F.col("n2").cast("bigint").alias("n_cur"),
+        F.round(ks, 6).alias("ks_stat"),
+        (ks > crit).alias("drifted"),
+    ).orderBy("event_type")
+
+
+_GINI_ORACLE = """
+    WITH rev AS (
+      SELECT c.c_custkey, c.c_nationkey AS nation,
+             coalesce(sum(o.o_totalprice), 0.0) AS x
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT nation, x,
+             row_number() OVER (PARTITION BY nation ORDER BY x, c_custkey) AS i
+      FROM rev
+    ),
+    g AS (
+      SELECT nation, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, CAST(n AS BIGINT) AS n_customers,
+           round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM g ORDER BY nation
+"""
+
+
+@query(
+    "q171_revenue_gini",
+    oracle=_GINI_ORACLE,
+    ref="analytics-gini concentration (beyond reference; the inequality diagnostic for revenue and training-mix shares)",
+    tags=("analytics", "stats"),
+)
+def q171_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue within each nation — the
+    concentration diagnostic (0 = equal, →1 = one customer is the whole
+    market); the same operator reads a training mix's token-per-source
+    concentration.  Zero-order customers enter as x = 0 via the left join
+    (excluding them understates concentration).
+
+    G = 2·Σi·xᵢ/(n·Σx) − (n+1)/n over ascending-sorted x: one per-group
+    rank window + one aggregation.  Tie order between equal x doesn't
+    change Σi·xᵢ (the i-sum over a tie group is fixed), so the statistic
+    is deterministic under any tie-break."""
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey"), F.col("c_nationkey").alias("nation")
+        )
+        .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("x"))
+    )
+    w = W.partitionBy("nation").orderBy(F.asc("x"), F.asc("c_custkey"))
+    ranked = rev.withColumn("i", F.row_number().over(w))
+    g = ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return g.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(
+            2.0 * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    ).orderBy("nation")
