@@ -78,7 +78,7 @@ class IncrementalRunner:
 
         return datetime.fromtimestamp(row["us"] / 1e6, tz=_tz.utc).replace(tzinfo=None)
 
-    def run(self, stage: IncrementalStage, stages: dict[str, IncrementalStage] | None = None) -> int:
+    def run(self, stage: IncrementalStage) -> int:
         """Catch the stage up in bounded chunks. Returns chunk count."""
         own = self.store.get(self.toolid, stage.name)
         if own is None:
@@ -126,4 +126,4 @@ class IncrementalRunner:
     def run_cascade(self, stages: list[IncrementalStage]) -> dict[str, int]:
         """Run stages in order (reference: EDC_Import → ROT_Transform →
         AVM_Process, ``nikon_ETL.py:627-632``)."""
-        return {s.name: self.run(s, {x.name: x for x in stages}) for s in stages}
+        return {s.name: self.run(s) for s in stages}

@@ -80,7 +80,16 @@ def overwrite_window(
     spark = df.sparkSession
 
     new_rows = df.where((F.col(ts_col) > _utc_lit(lo)) & (F.col(ts_col) <= _utc_lit(hi)))
-    new_rows = new_rows.withColumn(DT_COL, F.date_format(F.col(ts_col), "yyyy-MM-dd"))
+    # partition label from EPOCH-DAY arithmetic, never date_format: the
+    # format path renders through the ambient session timezone, so a
+    # non-UTC session would label rows into partitions OUTSIDE `touched`
+    # (computed from the window's UTC dates below) and step 3's swap would
+    # replace an existing partition whose rows were never read back —
+    # silent loss. unix_micros ⌊/86400e6⌋ is timezone-free.
+    epoch_day = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(86400000000)).cast("int")
+    new_rows = new_rows.withColumn(
+        DT_COL, F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
+    )
 
     # Existing partitions the window touches. Only those need the boundary
     # read-back — during forward catch-up none exist, so each chunk is a pure

@@ -263,3 +263,132 @@ def q161_probabilistic_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("nonmatch")
         .alias("match_class"),
     ).orderBy("dirty_id")
+
+
+_GOLDEN_ORACLE = """
+    WITH variants AS (
+      SELECT c_custkey AS entity, 0 AS v, c_name AS name,
+             c_acctbal AS bal, c_mktsegment AS seg, 0 AS recency
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey, 1,
+             substr(c_name, 1, 9) || 'x' || substr(c_name, 11),
+             c_acctbal + 1.0, c_mktsegment, 1
+      FROM customer WHERE c_custkey % 11 = 0
+      UNION ALL
+      SELECT c_custkey, 2,
+             substr(c_name, 1, 12),
+             c_acctbal + 2.0,
+             CASE WHEN c_custkey % 2 = 0 THEN 'HOUSEHOLD' ELSE c_mktsegment END,
+             2
+      FROM customer WHERE c_custkey % 11 = 0
+    ),
+    name_pick AS (
+      SELECT entity, name,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY len(name) DESC, name) AS rk
+      FROM variants
+    ),
+    bal_pick AS (
+      SELECT entity, bal,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY recency DESC, v) AS rk
+      FROM variants
+    ),
+    seg_pick AS (
+      SELECT entity, seg,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY cnt DESC, seg) AS rk
+      FROM (SELECT entity, seg, count(*) AS cnt FROM variants GROUP BY 1, 2)
+    )
+    SELECT n.entity, CAST(3 AS BIGINT) AS n_sources,
+           n.name AS golden_name,
+           round(b.bal, 2) AS golden_bal,
+           s.seg AS golden_seg
+    FROM name_pick n
+    JOIN bal_pick b ON b.entity = n.entity AND b.rk = 1
+    JOIN seg_pick s ON s.entity = n.entity AND s.rk = 1
+    WHERE n.rk = 1 ORDER BY n.entity
+"""
+
+
+@query(
+    "q172_golden_record_merge",
+    oracle=_GOLDEN_ORACLE,
+    ref="linkage-survivorship (beyond reference; the merge phase that completes q161's match phase — MDM golden records)",
+    tags=("linkage", "cdc"),
+)
+def q172_golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: linked duplicate records (three deterministic variants
+    per entity — original, then two later-arriving copies (typo'd, truncated)) merge into ONE
+    golden record under per-field rules: longest-value wins for name,
+    freshest-version wins for balance, majority vote (ties by value) for
+    segment — the merge phase of entity resolution that follows q161's
+    match phase.
+
+    Each rule is a rank-over-window argmax inside the entity cluster —
+    per-cluster work bounded by cluster size, one shuffle on the entity
+    key, rules composable per field.  The whole construction is
+    SQL-expressible, so the oracle certifies every survivorship decision,
+    not just row counts."""
+    from pyspark.sql.window import Window as W
+
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 11 == 0)
+    v0 = cust.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(0).alias("v"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).alias("recency"),
+    )
+    v1 = cust.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(1).alias("v"),
+        F.expr("substr(c_name, 1, 9) || 'x' || substr(c_name, 11)").alias("name"),
+        (F.col("c_acctbal") + 1.0).alias("bal"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(1).alias("recency"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("entity"),
+        F.lit(2).alias("v"),
+        F.expr("substr(c_name, 1, 12)").alias("name"),
+        (F.col("c_acctbal") + 2.0).alias("bal"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("HOUSEHOLD"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.lit(2).alias("recency"),
+    )
+    variants = v0.unionByName(v1).unionByName(v2)
+    name_w = W.partitionBy("entity").orderBy(F.length("name").desc(), F.asc("name"))
+    bal_w = W.partitionBy("entity").orderBy(F.desc("recency"), F.asc("v"))
+    seg_counts = variants.groupBy("entity", "seg").agg(F.count(F.lit(1)).alias("cnt"))
+    seg_w = W.partitionBy("entity").orderBy(F.desc("cnt"), F.asc("seg"))
+    names = (
+        variants.withColumn("rk", F.row_number().over(name_w))
+        .where(F.col("rk") == 1)
+        .select("entity", F.col("name").alias("golden_name"))
+    )
+    bals = (
+        variants.withColumn("rk", F.row_number().over(bal_w))
+        .where(F.col("rk") == 1)
+        .select("entity", F.round("bal", 2).alias("golden_bal"))
+    )
+    segs = (
+        seg_counts.withColumn("rk", F.row_number().over(seg_w))
+        .where(F.col("rk") == 1)
+        .select("entity", F.col("seg").alias("golden_seg"))
+    )
+    return (
+        names.join(bals, "entity")
+        .join(segs, "entity")
+        .select(
+            "entity",
+            F.lit(3).cast("bigint").alias("n_sources"),
+            "golden_name",
+            "golden_bal",
+            "golden_seg",
+        )
+        .orderBy("entity")
+    )

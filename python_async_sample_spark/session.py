@@ -34,9 +34,18 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus, 8)
+    builder = SparkSession.builder
+    # Respect an externally-provided master (spark-submit --master yarn/k8s,
+    # or SPARK_MASTER/MASTER env): hard-coding local[] here would silently
+    # pin a cluster submission to single-node — the opposite of this
+    # factory's run-unchanged-on-a-cluster contract. local[] is only the
+    # fallback for bare python invocations.
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master") and not os.environ.get("MASTER"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -26,7 +26,6 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 
-TS_FMT = "yyyy-MM-dd HH:mm:ss.SSS"  # reference: FF3 everywhere (dbs/nikon.py:111)
 
 
 def interval_predicates(

@@ -167,6 +167,17 @@ def delete_keys(
 
     import pyarrow.parquet as pq
 
+    # file discovery and the swap ride the LOCAL filesystem (glob/os/shutil)
+    # — on an object-store URI the glob would match nothing and the deletion
+    # would silently "succeed" over zero files, the worst failure mode a
+    # GDPR verb can have. Refuse loudly; the hadoop_fs helpers are the
+    # porting seam when a remote-FS variant is needed.
+    if "://" in path:
+        raise ValueError(
+            f"delete_keys operates on local paths only; got {path!r} "
+            "(a silent no-op over an object store would fake a completed deletion)"
+        )
+
     pin_reader_conf(spark)
     files = sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet"))
     targets = sorted(keys)
@@ -195,13 +206,22 @@ def delete_keys(
     deleted = 0
     if affected:
         df = spark.read.parquet(*affected)
-        keep = df.where(~F.col(key_col).isin(targets))
-        deleted = df.count() - keep.count()
+        # NULL-safe keep predicate: ~isin() evaluates to NULL (dropped!) for
+        # NULL keys, which would silently delete every NULL-key row in an
+        # affected file — rows nobody asked to delete
+        keep = df.where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
         # rewrite affected files: stage, move staged IN (unique names), then
         # remove originals — crash between the two leaves duplicates, not loss
         stage = f"{path.rstrip('/')}/.delete_stage"
         keep.repartition(len(affected)).write.mode("overwrite").parquet(stage)
-        for f in sorted(_glob.glob(f"{stage}/part-*.parquet")):
+        staged = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+        # deleted count from footers (metadata only) — the affected files
+        # were already footer-read above, and re-scanning the data twice
+        # (count, count) tripled deletion latency for a single number
+        rows_before = sum(pq.read_metadata(f).num_rows for f in affected)
+        rows_after = sum(pq.read_metadata(f).num_rows for f in staged)
+        deleted = rows_before - rows_after
+        for f in staged:
             _shutil.move(f, f"{path.rstrip('/')}/part-{_uuid.uuid4().hex}.parquet")
         for f in affected:
             _os.remove(f)

@@ -131,8 +131,9 @@ def read_binary_dir(
 
     ``glob`` filters file names (e.g. ``*.bmp``); ``max_bytes`` guards
     against a single pathological file blowing executor memory — rows over
-    the cap are FILTERED with their metadata kept NULL-content-free, so
-    the caller can route them to a side output by length instead of OOMing.
+    the cap are KEPT with NULL content and full metadata (path, length,
+    fmt), so the caller routes them to a side output by length; their
+    bodies are never read (column pruning on the oversized branch).
     The format derives from the file extension, lower-cased, ready for the
     decoder's ``fmt`` dispatch.
     """
@@ -143,7 +144,17 @@ def read_binary_dir(
         reader = reader.option("pathGlobFilter", glob)
     df = reader.load(path)
     if max_bytes is not None:
-        df = df.where(F.col("length") <= max_bytes)
+        # contract: oversized files are KEPT with NULL content (metadata
+        # intact) so the caller can dead-letter them by length — filtering
+        # them out entirely would make them vanish without a trace. The
+        # two-branch union preserves scan efficiency: the oversized branch
+        # replaces `content` with a literal, so column pruning means those
+        # file bodies are never read into executor memory.
+        small = df.where(F.col("length") <= max_bytes)
+        big = df.where(F.col("length") > max_bytes).withColumn(
+            "content", F.lit(None).cast("binary")
+        )
+        df = small.unionByName(big)
     return df.select(
         F.col("path"),
         F.col("length"),

@@ -92,6 +92,13 @@ def materialize_wide_tables(
     """
     per_tool = params_per_tool(long_df, tool_col, param_col)
     paths: dict[str, str] = {}
+    # table names follow the reference's lowercase {tool}_rawdata convention;
+    # two tool ids differing only in case would clobber each other's table —
+    # refuse loudly rather than let the last writer win
+    lowered = [t.lower() for t in per_tool]
+    if len(set(lowered)) != len(lowered):
+        dupes = sorted({t for t in lowered if lowered.count(t) > 1})
+        raise ValueError(f"tool ids collide case-insensitively: {dupes}")
     for tool, params in sorted(per_tool.items()):
         path = f"{out_dir.rstrip('/')}/{tool.lower()}_rawdata"
         widen_tool(

@@ -168,3 +168,151 @@ def stream_user_profiles_to_parquet(
     # The sentinel key never times out (its own timeout chases the final
     # watermark) — filtered with the same guard q60 uses.
     return spark.read.parquet(f"{work_dir}/sink").where(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# The same profile state machine on the transformWithState API (Spark 4) —
+# the successor to applyInPandasWithState: typed state variables on a
+# StatefulProcessor, RocksDB-backed, composable with timers/TTL. Maintaining
+# BOTH faces proves the operator logic is API-independent: q75 and q173
+# share one oracle.
+# ---------------------------------------------------------------------------
+
+
+def stream_profiles_tws_to_parquet(
+    spark: SparkSession, sf_dir: str, work_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user lifetime profiles via ``transformWithStateInPandas``.
+
+    The source is staged as three TIME-ORDERED chunks (maxFilesPerTrigger=1
+    → three micro-batches), so state genuinely persists and transitions
+    across batches in the RocksDB store.  Each batch EMITS the key's
+    updated profile (update-mode semantics); per-batch emissions land in
+    epoch-keyed partials and the readout keeps each user's LATEST — which
+    equals the full-history profile regardless of how the stream was
+    batched.  No timers needed: unlike q75's emit-once-on-timeout contract,
+    update-mode emission needs no watermark flush, so no sentinel batches
+    either."""
+    import glob as _glob
+    import os as _os
+
+    # Spark's TransformWithStateInPySpark driver worker needs the protobuf
+    # runtime; without it the streaming query crashes with an opaque
+    # worker-exit. Fail up front with the actionable story instead.
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas requires the google.protobuf runtime, "
+            "which this environment lacks; q75's applyInPandasWithState face "
+            "covers the same semantics (shared oracle)"
+        ) from e
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    from python_async_sample_spark.streaming.jobs import drain_epoch_partials
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    src = f"{work_dir}/src"
+    _os.makedirs(src, exist_ok=True)
+    pin_reader_conf(spark)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    ns_cols = _nanos_timestamp_columns(events_path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    full = spark.read.parquet(events_path)
+    ts_us = (
+        F.expr("`ts` div 1000") if ns_cols else F.unix_micros("ts")
+    )
+    base = full.select("user_id", ts_us.alias("ts_us"), "value")
+    lo, hi = base.agg(F.min("ts_us"), F.max("ts_us")).collect()[0]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    for i, cond in enumerate(
+        [F.col("ts_us") < cut1,
+         (F.col("ts_us") >= cut1) & (F.col("ts_us") < cut2),
+         F.col("ts_us") >= cut2]
+    ):
+        base.where(cond).coalesce(1).write.mode("overwrite").parquet(f"{work_dir}/c{i}")
+        part = sorted(_glob.glob(f"{work_dir}/c{i}/part-*.parquet"))[0]
+        dst = f"{src}/{i}_chunk.parquet"
+        _os.replace(part, dst)
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "profile", "n bigint, s bigint, g bigint, last bigint, v double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                n, s, g, last, v = self._state.get()
+            else:
+                n, s, g, last, v = 0, 0, 0, None, 0.0
+            for pdf in rows:
+                if pdf.empty:
+                    continue
+                ts = pdf["ts_us"].sort_values(kind="stable")
+                prev = ts.shift(1)
+                if last is not None:
+                    prev.iloc[0] = last
+                    gaps = (ts - prev).astype("int64")
+                else:
+                    gaps = (ts - prev).dropna().astype("int64")
+                    s += 1
+                n += len(pdf)
+                v += float(pdf["value"].sum())
+                if len(gaps):
+                    s += int((gaps > gap_us).sum())
+                    g = max(g, int(gaps.max()))
+                last = int(ts.iloc[-1])
+            self._state.update((n, s, g, last, v))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_sessions": [s],
+                    "max_gap_us": [g],
+                    "sum_value": [v],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    schema = spark.read.parquet(f"{src}/0_chunk.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ProfileProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        parts = drain_epoch_partials(
+            spark, out, lambda b: b, f"{work_dir}/sink", f"{work_dir}/checkpoint"
+        )
+    finally:
+        if old_provider is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old_provider)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    from pyspark.sql.window import Window as W
+
+    latest = F.row_number().over(
+        W.partitionBy("user_id").orderBy(F.desc("epoch"))
+    )
+    return (
+        parts.withColumn("__rk", latest).where(F.col("__rk") == 1).drop("__rk", "epoch")
+    )

@@ -72,4 +72,23 @@ def test_binary_dir_glob_and_size_guard(spark):
     }
 
     capped = read_binary_dir(spark, d, glob="*.bmp", max_bytes=200)
-    assert {os.path.basename(r.path) for r in capped.collect()} == {"small.bmp"}
+    rows = {os.path.basename(r.path): r for r in capped.collect()}
+    # over-cap rows are KEPT as dead-letterable metadata rows (NULL content)
+    assert set(rows) == {"small.bmp", "big.bmp"}
+    assert rows["small.bmp"].content is not None
+    assert rows["big.bmp"].content is None
+
+
+def test_oversized_files_kept_with_null_content(spark, tmp_path):
+    """Review fix: rows over max_bytes keep (path, length, fmt) with NULL
+    content — dead-letterable, never silently vanished."""
+    from python_async_sample_spark.sources.readers import read_binary_dir
+
+    small, big = tmp_path / "a.bin", tmp_path / "b.bin"
+    small.write_bytes(b"x" * 10)
+    big.write_bytes(b"y" * 1000)
+    df = read_binary_dir(spark, str(tmp_path), max_bytes=100)
+    rows = {r["length"]: r for r in df.collect()}
+    assert set(rows) == {10, 1000}
+    assert rows[10]["content"] is not None
+    assert rows[1000]["content"] is None and rows[1000]["path"].endswith("b.bin")

@@ -309,3 +309,33 @@ def test_incremental_lsh_reingested_doc_never_self_pairs(spark):
     assert pairs, "identical docs must still pair with each other"
     for r in pairs:
         assert r["d1"] < r["d2"], r
+
+
+def test_overwrite_window_partition_labels_are_utc_under_hostile_session_tz(spark, tmp_path):
+    """Review fix: partition labels must come from epoch-day arithmetic,
+    not date_format (session-tz): under America/New_York a row at 02:00
+    UTC previously labeled into the PREVIOUS day's partition — outside
+    the touched set — and the swap dropped existing rows."""
+    import datetime as dt
+    import os
+
+    from python_async_sample_spark.incremental.sink import overwrite_window
+
+    target = str(tmp_path / "tgt")
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [(dt.datetime(2024, 1, 2, 2, 0, 0), 1)], "ts timestamp, v int"
+        )
+        overwrite_window(
+            df, target, "ts",
+            dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3),
+        )
+        parts = sorted(
+            d for d in os.listdir(target) if d.startswith("__dt=")
+        )
+        assert parts == ["__dt=2024-01-02"], parts
+        assert spark.read.parquet(target).count() == 1
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)

@@ -300,3 +300,28 @@ def test_hive_partition_pruning_reads_only_matching_dirs(spark, sf_dir, tmp_path
     # correctness: pruned read equals a full-scan filter
     full = ev.where(F.col("day") == "2024-01-05").count()
     assert df.count() == full
+
+
+def test_delete_keys_preserves_null_key_rows(spark, tmp_path):
+    """Review fix: NULL-key rows in an affected file must survive deletion
+    (~isin() is NULL for NULL keys — previously they were silently
+    dropped and miscounted as deleted)."""
+    from python_async_sample_spark.sources.layout import delete_keys
+
+    path = str(tmp_path / "tbl")
+    rows = [(i if i % 4 else None, f"r{i}") for i in range(40)]
+    spark.createDataFrame(rows, "user_id long, payload string").coalesce(2).write.parquet(path)
+    n_null = sum(1 for k, _ in rows if k is None)
+    out = delete_keys(spark, path, "user_id", [5, 9])
+    assert out["deleted_rows"] == 2
+    left = spark.read.parquet(path)
+    assert left.where(F.col("user_id").isNull()).count() == n_null
+    assert left.count() == 40 - 2
+
+
+def test_delete_keys_refuses_remote_uris(spark):
+    from python_async_sample_spark.sources.layout import delete_keys
+    import pytest
+
+    with pytest.raises(ValueError, match="local paths only"):
+        delete_keys(spark, "s3a://bucket/table", "user_id", [1])

@@ -67,3 +67,22 @@ def test_substring_position_collation():
     # stability: ties (same chars at both positions) keep input order
     ties = ["tp_al__a_x_pZ", "tp_al__a_x_pA"]
     assert collate_by_char_positions(ties) == ties
+
+
+def test_case_colliding_tool_ids_refused(spark):
+    """Review fix: tool ids differing only in case would clobber each
+    other's lowercase table path — must raise, not last-writer-wins."""
+    import tempfile
+
+    import pytest
+
+    from python_async_sample_spark.sources.wide import materialize_wide_tables
+
+    long_df = spark.createDataFrame(
+        [("T1", "g", "p", 1.0), ("t1", "g", "p", 2.0)],
+        "toolid string, glassid string, param string, value double",
+    )
+    with pytest.raises(ValueError, match="collide case-insensitively"):
+        materialize_wide_tables(
+            long_df, tempfile.mkdtemp(), ["glassid"], "toolid", "param", "value"
+        )
