@@ -187,3 +187,84 @@ def q159_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     source = edges.agg(F.min("u").alias("src"))
     dist = bellman_ford(edges, source, "u", "v", "w", iterations=4)
     return dist.select("node", "dist").orderBy("node")
+
+
+_RULES_ORACLE = f"""
+    WITH e AS (
+      SELECT u, v, s FROM ({_COPURCHASE_EDGE_SQL})
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) * 1.0 AS n FROM lineitem),
+    item_supp AS (
+      SELECT pk, count(DISTINCT ok) AS supp FROM (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      ) GROUP BY 1
+    ),
+    rules AS (
+      SELECT a, c, pair_s, sa.supp AS supp_a, sc.supp AS supp_c
+      FROM (
+        SELECT u AS a, v AS c, s AS pair_s FROM e
+        UNION ALL
+        SELECT v, u, s FROM e
+      )
+      JOIN item_supp sa ON sa.pk = a
+      JOIN item_supp sc ON sc.pk = c
+    )
+    SELECT a AS antecedent, c AS consequent,
+           CAST(pair_s AS BIGINT) AS pair_support,
+           round(pair_s * 1.0 / supp_a, 6) AS confidence,
+           round((pair_s * 1.0 / supp_a) / (supp_c / n_orders.n), 6) AS lift
+    FROM rules CROSS JOIN n_orders
+    WHERE pair_s * 1.0 / supp_a >= 0.5
+    ORDER BY antecedent, consequent
+"""
+
+
+@query(
+    "q173_association_rules",
+    oracle=_RULES_ORACLE,
+    ref="analytics-association-rules (beyond reference; the directional readout of q150's co-purchase graph)",
+    tags=("analytics", "graph"),
+)
+def q173_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules A → C over the co-purchase pairs
+    (support ≥ 2): confidence = supp(A∪C)/supp(A), lift = confidence /
+    P(C), keeping rules with confidence ≥ 0.5.  The directional metrics
+    are what q150's symmetric edges can't say — 'buyers of A usually also
+    buy C' is not symmetric when supp(A) ≪ supp(C).
+
+    Plan: pair supports come from the shared edge derivation (one
+    inverted-index self-join), item supports from one groupBy, the basket
+    count from one distinct-count; rules are the pair relation joined to
+    two item-support rows — every stage an aggregation or keyed join,
+    rows ∝ qualifying pairs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = copurchase_edges(spark, sf_dir, support=2)
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item_supp = op.groupBy("pk").agg(F.countDistinct("ok").alias("supp"))
+    n_orders = li.agg(F.countDistinct("l_orderkey").cast("double").alias("n"))
+    directed = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("c"), F.col("s").alias("pair_s")
+    ).unionByName(
+        edges.select(
+            F.col("v").alias("a"), F.col("u").alias("c"), F.col("s").alias("pair_s")
+        )
+    )
+    rules = (
+        directed.join(item_supp.select(F.col("pk").alias("a"), F.col("supp").alias("supp_a")), "a")
+        .join(item_supp.select(F.col("pk").alias("c"), F.col("supp").alias("supp_c")), "c")
+        .crossJoin(F.broadcast(n_orders))
+    )
+    conf = F.col("pair_s") / F.col("supp_a")
+    return (
+        rules.where(conf >= 0.5)
+        .select(
+            F.col("a").alias("antecedent"),
+            F.col("c").alias("consequent"),
+            F.col("pair_s").cast("bigint").alias("pair_support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(conf / (F.col("supp_c") / F.col("n")), 6).alias("lift"),
+        )
+        .orderBy("antecedent", "consequent")
+    )

@@ -157,3 +157,78 @@ def test_fixed_bin_clamps_negative_values_into_spine(spark):
     row = psi_from_counts(cnt, nbins=10).collect()[0]
     assert row["n_ref"] == 100 and row["n_cur"] == 100
     assert row["psi"] > 0.2
+
+
+def _py_pagerank(edges, d=0.85, iters=5):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(nodes)
+    out_w = {}
+    for u, _v, w in edges:
+        out_w[u] = out_w.get(u, 0.0) + w
+    r = {x: 1.0 / n for x in nodes}
+    for _ in range(iters):
+        contrib = {x: 0.0 for x in nodes}
+        for u, v, w in edges:
+            contrib[v] += (w / out_w[u]) * r[u]
+        dang = sum(r[x] for x in nodes if x not in out_w)
+        r = {x: (1 - d) / n + d * (contrib[x] + dang / n) for x in nodes}
+    return r
+
+
+def _py_bellman_ford(edges, src, iters):
+    und = edges + [(b, a, w) for a, b, w in edges]
+    dist = {src: 0}
+    for _ in range(iters):
+        nxt = dict(dist)
+        for u, v, w in und:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_pagerank_matches_pure_python_on_random_graphs(spark):
+    """Cross-implementation property: the DataFrame power iteration must
+    reproduce a sequential pure-Python PageRank on seeded random weighted
+    digraphs (dangling nodes included) to float tolerance."""
+    import random
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(12), rng.randrange(12), float(rng.randrange(1, 9)))
+            for _ in range(25)
+        ]
+        edges = [(u, v, w) for u, v, w in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long, w double")
+        got = {r["node"]: r["rank"] for r in
+               pagerank(df, weight="w", iterations=5).collect()}
+        want = _py_pagerank(edges)
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_bellman_ford_matches_pure_python_on_random_graphs(spark):
+    from python_async_sample_spark.operators.graph import bellman_ford
+
+    import random
+
+    for seed in (3, 11):
+        rng = random.Random(seed)
+        edges = list({
+            (min(a, b), max(a, b)): w
+            for a, b, w in (
+                (rng.randrange(10), rng.randrange(10), rng.randrange(1, 7))
+                for _ in range(18)
+            )
+            if a != b
+        }.items())
+        edges = [(a, b, w) for (a, b), w in edges]
+        df = spark.createDataFrame(edges, "a long, b long, w long")
+        src_node = min(min(a, b) for a, b, _ in edges)
+        src = spark.createDataFrame([(src_node,)], "src long")
+        got = {r["node"]: r["dist"] for r in
+               bellman_ford(df, src, "a", "b", "w", iterations=3).collect()}
+        want = _py_bellman_ford(edges, src_node, 3)
+        assert got == want
