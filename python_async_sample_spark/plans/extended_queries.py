@@ -2464,3 +2464,134 @@ def q171_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     ).orderBy("nation")
+
+
+# 2024-01-08T00:00:00Z — administrative censoring cutoff, in epoch-µs
+_KM_CUTOFF_US = 1704672000000000
+
+_KM_ORACLE = f"""
+    WITH s AS (
+      SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS signup
+      FROM events GROUP BY 1
+    ),
+    su AS (
+      SELECT user_id, signup FROM s
+      WHERE signup IS NOT NULL AND epoch_us(signup) < {_KM_CUTOFF_US}
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS purch
+      FROM events e JOIN su USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= su.signup
+        AND epoch_us(e.ts) <= {_KM_CUTOFF_US}
+      GROUP BY 1
+    ),
+    dur AS (
+      SELECT su.user_id,
+             CASE WHEN p.purch IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(floor((coalesce(epoch_us(p.purch), {_KM_CUTOFF_US})
+                         - epoch_us(su.signup)) / 86400000000.0) AS BIGINT) AS t
+      FROM su LEFT JOIN p ON p.user_id = su.user_id
+    ),
+    g AS (SELECT t, sum(ev) AS d, count(*) - sum(ev) AS c FROM dur GROUP BY 1),
+    k AS (
+      SELECT t, d, c,
+             (SELECT count(*) FROM dur)
+               - coalesce(sum(d + c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+      FROM g
+    ),
+    ev_times AS (SELECT * FROM k WHERE d > 0)
+    SELECT t AS day_offset, CAST(at_risk AS BIGINT) AS at_risk,
+           CAST(d AS BIGINT) AS n_events, CAST(c AS BIGINT) AS n_censored,
+           CASE WHEN max(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1 THEN 0.0
+                ELSE round(exp(sum(ln(CASE WHEN d = at_risk THEN 1.0
+                                      ELSE 1.0 - d * 1.0 / at_risk END))
+                     OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+    FROM ev_times ORDER BY day_offset
+"""
+
+
+@query(
+    "q174_kaplan_meier",
+    oracle=_KM_ORACLE,
+    ref="analytics-kaplan-meier (beyond reference; right-censored time-to-event — conversion analysis done correctly)",
+    tags=("analytics", "stats"),
+)
+def q174_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival of time-to-first-purchase after
+    signup, with administrative right-censoring at a fixed cutoff — the
+    estimator that makes conversion analysis correct when some users
+    simply haven't had time to convert yet (dropping them biases every
+    naive conversion rate).
+
+    Ŝ(t) = Π (1 − dᵢ/nᵢ) over event days: durations from one groupBy per
+    user, the risk set nᵢ from an exclusive running sum over DISTINCT day
+    offsets (calendar-bounded — the only unpartitioned windows run over
+    ≤ observation-days rows), and the product as exp of a running log-sum
+    with the terminal dᵢ=nᵢ factor handled exactly (survival pinned to 0
+    from that day).  Censored users leave the risk set without an event —
+    the whole point of the estimator.  All arithmetic in epoch-µs."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.unix_micros("ts"))).alias(
+            "signup_us"
+        )
+    )
+    su = s.where(
+        F.col("signup_us").isNotNull() & (F.col("signup_us") < _KM_CUTOFF_US)
+    )
+    p = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.unix_micros("ts") <= _KM_CUTOFF_US)
+        )
+        .select("user_id", F.unix_micros("ts").alias("p_us"))
+        .join(su, "user_id")
+        .where(F.col("p_us") >= F.col("signup_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("purch_us"))
+    )
+    dur = su.join(p, "user_id", "left").select(
+        F.when(F.col("purch_us").isNotNull(), 1).otherwise(0).alias("ev"),
+        F.floor(
+            (F.coalesce("purch_us", F.lit(_KM_CUTOFF_US)) - F.col("signup_us"))
+            / F.lit(86400000000.0)
+        )
+        .cast("bigint")
+        .alias("t"),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("ev").alias("d"), (F.count(F.lit(1)) - F.sum("ev")).alias("c")
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("__n"))
+    w_excl = W.orderBy("t").rowsBetween(W.unboundedPreceding, -1)
+    k = g.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("__n")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_excl), F.lit(0))
+        ).alias("at_risk"),
+    )
+    ev_times = k.where(F.col("d") > 0)
+    w_cum = W.orderBy("t").rowsBetween(W.unboundedPreceding, 0)
+    dead = F.max(F.when(F.col("d") == F.col("at_risk"), 1).otherwise(0)).over(w_cum)
+    log_factor = F.log(
+        F.when(F.col("d") == F.col("at_risk"), F.lit(1.0)).otherwise(
+            1.0 - F.col("d") / F.col("at_risk")
+        )
+    )
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(log_factor).over(w_cum)), 6)
+    )
+    return ev_times.select(
+        F.col("t").alias("day_offset"),
+        F.col("at_risk").cast("bigint").alias("at_risk"),
+        F.col("d").cast("bigint").alias("n_events"),
+        F.col("c").cast("bigint").alias("n_censored"),
+        surv.alias("survival"),
+    ).orderBy("day_offset")
