@@ -802,3 +802,95 @@ def q146_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("score", 6).alias("score"),
         (F.col("score") >= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+_AUC_ORACLE = """
+    WITH scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(
+               -2.0
+               + 0.015 * least(len(string_split(text, ' ')), 400)
+               + 3.0 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                        / len(string_split(text, ' ')))
+               - 0.002 * (length(text) * 1.0 / len(string_split(text, ' ')))
+             ))), 6) AS s,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    by_s AS (
+      SELECT s, count(*) AS cnt, sum(y) AS pos FROM scored GROUP BY 1
+    ),
+    ranked AS (
+      SELECT s, cnt, pos,
+             coalesce(sum(cnt) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rank_lo
+      FROM by_s
+    ),
+    agg AS (
+      SELECT sum(pos * (rank_lo + (cnt + 1) / 2.0)) AS r_pos,
+             sum(pos) AS n_pos, sum(cnt - pos) AS n_neg
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           round((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+    FROM agg
+"""
+
+
+@query(
+    "q175_classifier_auc",
+    oracle=_AUC_ORACLE,
+    ref="analytics-auc / Mann-Whitney U (beyond reference; the evaluation verb for q114/q146's model scores)",
+    tags=("analytics", "stats", "llm-data"),
+)
+def q175_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of q114's frozen quality classifier against a long-document
+    label, computed exactly as the tie-corrected Mann–Whitney U statistic:
+    AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋) with AVERAGE ranks over tie groups —
+    the model-evaluation verb every scored corpus needs before thresholds
+    are chosen (AUC is also P(random positive outranks random negative)).
+
+    Scale shape: scores round to 6 decimals BEFORE ranking, so ties are
+    identical on both engines AND the rank computation collapses to the
+    distinct-score relation — the only unpartitioned window runs over at
+    most 10⁶+1 rows regardless of corpus size (scores live in [0,1]);
+    everything corpus-sized is one scan + one groupBy(score)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    z = (
+        F.lit(-2.0)
+        + F.lit(0.015) * F.least(n_tokens, F.lit(400))
+        + F.lit(3.0) * (F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens)
+        - F.lit(0.002) * (F.length("text") * F.lit(1.0) / n_tokens)
+    )
+    scored = docs.select(
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("s"),
+        F.when(F.col("n_chars") >= 300, 1).otherwise(0).alias("y"),
+    )
+    by_s = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    w_excl = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = by_s.select(
+        "s",
+        "cnt",
+        "pos",
+        F.coalesce(F.sum("cnt").over(w_excl), F.lit(0)).alias("rank_lo"),
+    )
+    agg = ranked.agg(
+        F.sum(F.col("pos") * (F.col("rank_lo") + (F.col("cnt") + 1) / 2.0)).alias("r_pos"),
+        F.sum("pos").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).alias("n_neg"),
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(
+            (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+            / (F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
