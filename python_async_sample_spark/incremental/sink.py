@@ -91,6 +91,31 @@ def overwrite_window(
         DT_COL, F.date_add(F.to_date(F.lit("1970-01-01")), epoch_day).cast("string")
     )
 
+    # Heal-forward, then garbage-collect, stage dirs a previous crashed run
+    # left behind (single-writer store — see incremental/state.py — so any
+    # existing .stage-* is stale).  Healing must come FIRST: a crash between
+    # "delete old partition" and "rename staged in" leaves the staged copy
+    # as the ONLY copy of that partition's boundary rows — deleting the
+    # stage unconditionally would destroy it, making the documented
+    # re-delivery recovery a permanent data loss.  Completing the
+    # interrupted swap (rename in any staged partition whose target is
+    # missing) restores the invariant before this run recomputes anything.
+    for child in hadoop_fs.listdir(spark, target_path):
+        if child.startswith(".stage-"):
+            stale = f"{target_path}/{child}"
+            for part in hadoop_fs.listdir(spark, stale):
+                if part.startswith(f"{DT_COL}=") and not hadoop_fs.exists(
+                    spark, f"{target_path}/{part}"
+                ):
+                    if not hadoop_fs.rename(
+                        spark, f"{stale}/{part}", f"{target_path}/{part}"
+                    ):
+                        raise RuntimeError(
+                            f"overwrite_window: recovery rename of {part!r} from "
+                            f"stale stage {stale!r} failed; nothing deleted"
+                        )
+            hadoop_fs.delete(spark, stale)
+
     # Existing partitions the window touches. Only those need the boundary
     # read-back — during forward catch-up none exist, so each chunk is a pure
     # write. Day-aligned windows keep this set empty at any scale.
@@ -113,13 +138,6 @@ def overwrite_window(
     else:
         out = new_rows
 
-    # Garbage-collect stage dirs a previous crashed run left behind (the
-    # store is single-writer — see incremental/state.py — so any existing
-    # .stage-* is stale); then stage the full replacement content before
-    # touching the target.
-    for child in hadoop_fs.listdir(spark, target_path):
-        if child.startswith(".stage-"):
-            hadoop_fs.delete(spark, f"{target_path}/{child}")
     stage = f"{target_path}/.stage-{uuid.uuid4().hex}"
     out.write.mode("overwrite").partitionBy(DT_COL).parquet(stage)
 

@@ -38,11 +38,15 @@ def connected_components(
     included; isolated nodes (no edges) are the caller's to union in.
 
     Raises ``RuntimeError`` if labels have not converged after ``max_iter``
-    rounds — returning partially-propagated labels would silently split
-    clusters, which a dedup pipeline translates into kept duplicates. The
-    bound is the component diameter; hitting it means the edge set is not
-    the shallow near-dup topology this operator is sized for (raise
-    ``max_iter``, or pre-contract the graph)."""
+    propagation rounds — returning partially-propagated labels would
+    silently split clusters, which a dedup pipeline translates into kept
+    duplicates. ``max_iter`` is the component-diameter bound; convergence
+    is only OBSERVABLE on the following no-change round, so the loop runs
+    up to ``max_iter + 1`` times internally — callers size the bound to
+    the diameter and never pay a spurious failure for an exactly-diameter
+    component. Hitting the bound means the edge set is not the shallow
+    near-dup topology this operator is sized for (raise ``max_iter``, or
+    pre-contract the graph)."""
     sym = edges.select(
         F.col(src).alias("n"), F.col(dst).alias("m")
     ).unionByName(edges.select(F.col(dst).alias("n"), F.col(src).alias("m")))
@@ -55,7 +59,9 @@ def connected_components(
     ).localCheckpoint(eager=True)
 
     converged = False
-    for _ in range(max_iter):
+    # +1: the last label change can legitimately land in round max_iter;
+    # the zero-change round that PROVES convergence is one later
+    for _ in range(max_iter + 1):
         # min label over the closed neighborhood: own label ∪ neighbors'
         neighbor_best = (
             sym.join(labels, sym["m"] == labels["node"], "inner")

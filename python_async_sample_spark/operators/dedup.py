@@ -411,3 +411,13 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("da", "db", "inter", "containment")
     )
+
+
+def canopy_key(text_col: str = "text", prefix_chars: int = 40) -> F.Column:
+    """The canonical canopy fingerprint: md5 of the lower-cased first
+    ``prefix_chars`` characters.  q111 (incremental dedup), q116 (corpus
+    health) and q120 (leakage-safe split) must agree on this definition —
+    q120's no-leakage argument holds only if its canopy equals the dedup
+    key — so it lives here once, mirrored verbatim by the oracles'
+    ``md5(substr(lower(text), 1, 40))``."""
+    return F.md5(F.substring(F.lower(F.col(text_col)), 1, prefix_chars))

@@ -129,7 +129,10 @@ class HeaderDecoder(MediaDecoder):
             raise ValueError("not a PNG payload")
         width, height = struct.unpack_from(">II", b, 16)
         bit_depth, color_type = b[24], b[25]
-        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+        channel_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+        if color_type not in channel_map:
+            raise ValueError(f"unknown PNG color type {color_type}")
+        channels = channel_map[color_type]
         del bit_depth
         return Decoded(
             media_type="image", format="png",
@@ -161,6 +164,10 @@ class HeaderDecoder(MediaDecoder):
             seg_len = struct.unpack_from(">H", b, i + 2)[0]
             # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 10 > len(b):
+                    # truncated mid-SOF: keep the decoder's ValueError
+                    # contract (struct.error would fail the Arrow task)
+                    raise ValueError("truncated JPEG SOF segment")
                 height, width = struct.unpack_from(">HH", b, i + 5)
                 channels = b[i + 9]
                 return Decoded(

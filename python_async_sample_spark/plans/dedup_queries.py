@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.cluster import dedup_clusters
 from python_async_sample_spark.operators.dedup import (
+    canopy_key,
     containment_pairs,
     exact_dedup,
     jaccard_pairs,
@@ -236,7 +237,7 @@ def q111_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-materialized, bucketed table and step (b) is a co-located join.
     Returns the surviving batch docs."""
     docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.substring(F.lower(F.col("text")), 1, 40))
+    key = canopy_key("text")
     batch = docs.where(F.col("doc_id") % 4 == 0).select(
         "doc_id", key.alias("content_key")
     )

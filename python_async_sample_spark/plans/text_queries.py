@@ -22,6 +22,7 @@ from python_async_sample_spark.operators.text import (
     with_text_stats,
     with_token_counts,
 )
+from python_async_sample_spark.operators.dedup import canopy_key
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.readers import load_table
 
@@ -499,7 +500,7 @@ def q116_corpus_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks)).alias(
             "distinct_ratio"
         ),
-        F.md5(F.substring(F.lower(F.col("text")), 1, 40)).alias("canopy"),
+        canopy_key("text").alias("canopy"),
     )
     from pyspark.sql.window import Window as W
 

@@ -10,8 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.operators.dedup import canopy_key
 from python_async_sample_spark.operators.packing import pack_sequences
-from python_async_sample_spark.operators.sampling import weighted_sample
+from python_async_sample_spark.operators.sampling import hash_bucket, weighted_sample
 from python_async_sample_spark.operators.text import bm25_scores, redact_pii
 from python_async_sample_spark.plans.registry import query
 from python_async_sample_spark.sources.bucketed import ensure_bucketed
@@ -505,10 +506,7 @@ def q118_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = weights.crossJoin(F.broadcast(max_raw)).select(
         "lang", (F.col("raw") / F.col("mx")).alias("rate")
     )
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("temp"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
-        .cast("bigint") % 10000
-    ).cast("double") / 10000.0
+    u = hash_bucket("doc_id", 10000, "temp").cast("double") / 10000.0
     tagged = docs.join(F.broadcast(rates), "lang").withColumn("u", u)
     return (
         tagged.where(F.col("u") < F.col("rate"))
@@ -558,7 +556,7 @@ def q120_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     structurally zero; the query computes the leaked-cluster count FROM
     THE DATA (not by construction) and the oracle must agree it is 0."""
     docs = load_table(spark, sf_dir, "documents")
-    canopy = F.md5(F.substring(F.lower(F.col("text")), 1, 40))
+    canopy = canopy_key("text")
     bucket = (
         F.conv(F.substring(F.md5(F.concat(F.lit("leak"), canopy)), 1, 8), 16, 10)
         .cast("bigint") % 100

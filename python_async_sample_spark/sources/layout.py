@@ -157,8 +157,11 @@ def delete_keys(
     fresh collision-free names, so no key can hide in a prior pass's output
     and no pass can clobber another's files. Crash safe in the
     never-lose-rows direction: staged files move IN before the originals
-    are removed, so a crash mid-swap leaves duplicates (re-deletable) —
-    never missing kept rows.
+    are removed, so a crash mid-swap leaves DUPLICATED KEPT ROWS — never
+    missing ones. Re-running restores the GDPR contract (target keys are
+    re-deleted from every file), but kept-row duplicates persist until a
+    :func:`compact`/dedup pass collapses them — re-invocation alone does
+    not.
     """
     import glob as _glob
     import os as _os

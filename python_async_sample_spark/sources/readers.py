@@ -158,6 +158,12 @@ def read_binary_dir(
     return df.select(
         F.col("path"),
         F.col("length"),
-        F.lower(F.element_at(F.split(F.col("path"), r"\."), -1)).alias("fmt"),
+        # fmt from the BASENAME only: splitting the full path on '.' breaks on
+        # dotted directory names (corpus.v2/frame01 -> 'v2/frame01')
+        F.lower(
+            F.element_at(
+                F.split(F.element_at(F.split(F.col("path"), "/"), -1), r"\."), -1
+            )
+        ).alias("fmt"),
         F.col("content"),
     )

@@ -339,3 +339,42 @@ def test_overwrite_window_partition_labels_are_utc_under_hostile_session_tz(spar
         assert spark.read.parquet(target).count() == 1
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_overwrite_window_heals_interrupted_swap_before_next_delivery(spark, tmp_path):
+    """Review fix: a crash BETWEEN 'delete old partition' and 'rename staged
+    in' leaves the staged dir holding the ONLY copy of that partition's
+    rows; the next delivery must rename it back IN (heal-forward) before
+    garbage-collecting the stage — the old code deleted the stage first,
+    losing the partition permanently."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from python_async_sample_spark.incremental.sink import overwrite_window
+
+    target = str(tmp_path / "tgt")
+    # day 1 exists from a prior delivery
+    d1 = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 5), 100), (dt.datetime(2024, 1, 1, 6), 101)],
+        "ts timestamp, v int",
+    )
+    overwrite_window(d1, target, "ts", dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))
+    assert spark.read.parquet(target).count() == 2
+
+    # simulate the crash window: the partition was deleted and its full
+    # replacement sits ONLY in a stale stage dir
+    part = f"{target}/__dt=2024-01-01"
+    stale = f"{target}/.stage-deadbeef"
+    os.makedirs(stale, exist_ok=True)
+    shutil.move(part, f"{stale}/__dt=2024-01-01")
+    assert not os.path.exists(part)
+
+    # next idempotent delivery (a different, empty window) must heal first
+    empty = spark.createDataFrame([], "ts timestamp, v int")
+    overwrite_window(
+        empty, target, "ts", dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 6)
+    )
+    assert os.path.exists(part), "interrupted swap was not healed forward"
+    assert not os.path.exists(stale)
+    assert spark.read.parquet(target).count() == 2
