@@ -20,16 +20,22 @@ from pyspark.sql import functions as F
 
 def fixed_bin(value_col: str, width: float, nbins: int) -> F.Column:
     """Fixed-width bin index clamped into [0, nbins): values below 0 land in
-    bin 0 and values past the last edge in bin nbins−1, so every row is
-    counted — a negative metric must move the histogram, not silently fall
-    off the spine."""
-    return (
-        F.least(
-            F.greatest(F.floor(F.col(value_col) / width), F.lit(0)),
-            F.lit(nbins - 1),
-        )
-        .cast("bigint")
-    )
+    bin 0 and values past the last edge in bin nbins−1, so every non-NULL
+    row is counted — a negative metric must move the histogram, not silently
+    fall off the spine.
+
+    NULL values stay NULL (a missing metric has no position on a numeric
+    spine): the downstream bin-spine join drops NULL-bin groups identically
+    on every engine, so NULLs are excluded from the histogram and its
+    totals rather than masquerading as the lowest value (Spark's greatest()
+    skips NULL operands, which would otherwise send NULL to bin 0 while
+    DuckDB's version-dependent greatest() NULL handling dropped or kept the
+    row).  Monitor missingness as its own counter, not as a bin."""
+    clamped = F.least(
+        F.greatest(F.floor(F.col(value_col) / width), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("bigint")
+    return F.when(F.col(value_col).isNotNull(), clamped)
 
 
 def psi_from_counts(

@@ -1863,7 +1863,10 @@ _PSI_ORACLE = f"""
     WITH binned AS (
       SELECT event_type,
              CASE WHEN epoch_us(ts) < {_PSI_SPLIT_US} THEN 1 ELSE 2 END AS win,
-             CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) AS bin
+             -- NULL values keep a NULL bin (excluded by the spine join on
+             -- both engines) — mirrors operators/drift.fixed_bin exactly.
+             CASE WHEN value IS NULL THEN NULL
+                  ELSE CAST(least(greatest(floor(value / 50), 0), 9) AS BIGINT) END AS bin
       FROM events
     ),
     spine AS (

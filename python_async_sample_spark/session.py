@@ -18,6 +18,33 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def _external_master() -> str | None:
+    """Return an externally-configured Spark master URL, if any.
+
+    A fresh (pre-gateway) driver process cannot read spark-submit's JVM
+    system properties through ``SparkConf()`` — it has no JVM backing — so
+    the only reliable signals are environment variables:
+
+    * ``SPARK_MASTER`` / ``MASTER`` — launcher-script conventions;
+    * ``PYSPARK_SUBMIT_ARGS`` — set by ``spark-submit`` itself; carries
+      ``--master <url>`` and/or ``--conf spark.master=<url>``.
+    """
+    for var in ("SPARK_MASTER", "MASTER"):
+        val = os.environ.get(var)
+        if val:
+            return val
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    tokens = submit_args.split()
+    for i, tok in enumerate(tokens):
+        if tok == "--master" and i + 1 < len(tokens):
+            return tokens[i + 1]
+        if tok.startswith("--master="):
+            return tok.split("=", 1)[1]
+        if tok == "--conf" and i + 1 < len(tokens) and tokens[i + 1].startswith("spark.master="):
+            return tokens[i + 1].split("=", 1)[1]
+    return None
+
+
 def get_spark(
     app_name: str = "python_async_sample_spark",
     cpus: int | None = None,
@@ -35,14 +62,15 @@ def get_spark(
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or max(cpus, 8)
     builder = SparkSession.builder
-    # Respect an externally-provided master (spark-submit --master yarn/k8s,
-    # or SPARK_MASTER/MASTER env): hard-coding local[] here would silently
-    # pin a cluster submission to single-node — the opposite of this
+    # Respect an externally-provided master: hard-coding local[] here would
+    # silently pin a cluster submission to single-node — the opposite of this
     # factory's run-unchanged-on-a-cluster contract. local[] is only the
-    # fallback for bare python invocations.
-    from pyspark import SparkConf
-
-    if not SparkConf().contains("spark.master") and not os.environ.get("MASTER"):
+    # fallback for bare python invocations. NOTE: a JVM-free SparkConf()
+    # cannot see spark-submit's system properties, so the submitted master is
+    # detected from the environment spark-submit itself sets
+    # (PYSPARK_SUBMIT_ARGS carries --master / --conf spark.master) plus the
+    # SPARK_MASTER / MASTER conventions.
+    if _external_master() is None:
         builder = builder.master(f"local[{cpus}]")
     builder = (
         builder.appName(app_name)

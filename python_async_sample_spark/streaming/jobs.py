@@ -442,6 +442,21 @@ def _latest_mv_version(mv_root: str) -> str | None:
     return done[-1] if done else None
 
 
+def _batch_fingerprint(batch_df: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a micro-batch: row count +
+    sum of per-row xxhash64 (folded into [0, 2³²) so the bigint sum cannot
+    overflow at any realistic batch size).  One extra aggregation per batch
+    — bounded by the batch, never by history — buys the ability to tell a
+    genuine epoch replay apart from a fresh checkpoint reusing old ids."""
+    row = batch_df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.sum(F.pmod(F.xxhash64(*batch_df.columns), F.lit(2**32))), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
 def stream_incremental_mv_to_parquet(
     spark: SparkSession, sf_dir: str, work_dir: str, n_source_files: int = 4
 ) -> DataFrame:
@@ -508,8 +523,33 @@ def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
         # `prev` — skip; the work is durably done.  A half-written v{N}
         # (no _SUCCESS) is invisible to _latest_mv_version and safely
         # overwritten below.
-        if os.path.exists(f"{mv_root}/v{epoch_id:05d}/_SUCCESS"):
-            return
+        #
+        # Epoch ids are only unique per CHECKPOINT lifetime, so `v{epoch}`
+        # alone cannot distinguish a genuine replay from a FRESH checkpoint
+        # pointed at an old mv_root (where skipping batch 0 would silently
+        # drop data).  A content fingerprint of the batch, persisted in a
+        # sidecar committed BEFORE the snapshot, disambiguates: matching
+        # fingerprint → true replay, skip; anything else → refuse loudly
+        # (mv_root and checkpoint must be created/deleted together).
+        snap = f"{mv_root}/v{epoch_id:05d}"
+        fp_path = f"{snap}.fp"
+        fp = _batch_fingerprint(batch_df)
+        if os.path.exists(f"{snap}/_SUCCESS"):
+            committed_fp = None
+            if os.path.exists(fp_path):
+                with open(fp_path, encoding="ascii") as fh:
+                    committed_fp = fh.read().strip()
+            if committed_fp == fp:
+                return  # genuine epoch replay — durably merged already
+            raise RuntimeError(
+                f"MV snapshot {snap} is committed but its batch fingerprint "
+                f"({committed_fp!r}) does not match this batch ({fp!r}): the "
+                "checkpoint and mv_root are from different stream lifetimes. "
+                "Delete (or move) BOTH together and re-drain — skipping here "
+                "would silently drop the new batch."
+            )
+        with open(fp_path, "w", encoding="ascii") as fh:
+            fh.write(fp)
         partial = batch_df.groupBy("user_id", "event_type").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum("value").alias("sum_value"),
@@ -525,7 +565,7 @@ def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
                     F.sum("sum_value").alias("sum_value"),
                 )
             )
-        partial.write.mode("overwrite").parquet(f"{mv_root}/v{epoch_id:05d}")
+        partial.write.mode("overwrite").parquet(snap)
 
     with bounded_drain_conf(spark):
         q = (

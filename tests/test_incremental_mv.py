@@ -140,3 +140,43 @@ def test_replayed_epoch_is_not_double_merged(spark, sf_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_fresh_checkpoint_with_different_batch_refuses_loudly(spark, sf_dir):
+    """ADVICE r3 fix: epoch ids are only unique per checkpoint lifetime —
+    a FRESH checkpoint whose batch 0 differs from the old mv_root's
+    committed v00000 must NOT be silently skipped (that is data loss).
+    The batch fingerprint detects the lifetime mismatch and raises."""
+    import shutil
+
+    import pytest
+
+    from python_async_sample_spark.sources.readers import pin_reader_conf
+    from python_async_sample_spark.streaming.jobs import drain_mv_merge
+
+    tmp = tempfile.mkdtemp(prefix="mv_fresh_ckpt_")
+    src, staged = f"{tmp}/src", f"{tmp}/staged"
+    pin_reader_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    os.makedirs(src, exist_ok=True)
+    (part,) = sorted(glob.glob(f"{staged}/part-*.parquet"))
+    shutil.copy(part, f"{src}/file0.parquet")
+
+    drain_mv_merge(spark, src, tmp)  # commits v00000 for file0
+
+    # New stream lifetime: fresh checkpoint AND a different source file —
+    # its batch 0 is new data, but reuses epoch id 0.
+    shutil.rmtree(f"{tmp}/checkpoint")
+    os.remove(f"{src}/file0.parquet")
+    ev.where(F.col("user_id") % 2 == 0).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp}/staged2"
+    )
+    (part2,) = sorted(glob.glob(f"{tmp}/staged2/part-*.parquet"))
+    shutil.copy(part2, f"{src}/other.parquet")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="different stream lifetimes"):
+        drain_mv_merge(spark, src, tmp)
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -86,3 +86,34 @@ def test_utc_lit_is_driver_timezone_independent(spark):
         else:
             os.environ["TZ"] = old_tz
         time.tzset()
+
+
+def test_external_master_detection_covers_submit_args(monkeypatch):
+    """ADVICE r3 fix: a pre-gateway driver cannot see spark-submit's JVM
+    system properties, so the external master must be detected from the
+    environment — SPARK_MASTER/MASTER plus every PYSPARK_SUBMIT_ARGS form
+    spark-submit emits. Otherwise get_spark() would override a cluster
+    submission with local[N]."""
+    from python_async_sample_spark.session import _external_master
+
+    for var in ("SPARK_MASTER", "MASTER", "PYSPARK_SUBMIT_ARGS"):
+        monkeypatch.delenv(var, raising=False)
+    assert _external_master() is None
+
+    monkeypatch.setenv("SPARK_MASTER", "yarn")
+    assert _external_master() == "yarn"
+    monkeypatch.delenv("SPARK_MASTER")
+
+    monkeypatch.setenv("MASTER", "spark://host:7077")
+    assert _external_master() == "spark://host:7077"
+    monkeypatch.delenv("MASTER")
+
+    cases = [
+        ("--master k8s://https://host:6443 pyspark-shell", "k8s://https://host:6443"),
+        ("--master=yarn pyspark-shell", "yarn"),
+        ("--conf spark.master=yarn --deploy-mode cluster pyspark-shell", "yarn"),
+        ("--deploy-mode cluster pyspark-shell", None),
+    ]
+    for args, want in cases:
+        monkeypatch.setenv("PYSPARK_SUBMIT_ARGS", args)
+        assert _external_master() == want, args
