@@ -124,3 +124,78 @@ def segment_with_merges(
     for a, b, _ in merges:
         symbols = _apply_merge(symbols, a, b, a + sep + b)
     return symbols.select("doc", "syms", F.size("syms").cast("bigint").alias("n_syms"))
+
+
+def bpe_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 2,
+) -> str:
+    """Chained-CTE DuckDB replay of :func:`learn_bpe` — certifies the whole
+    training loop (pair counting, argmax tie-break, left-to-right
+    non-overlapping merge application, early stop) on an independent
+    engine, same oracle style as ``pagerank_oracle_sql``.
+
+    The corpus rides as ONE STRING per document with doubled ``chr(31)``
+    separators (``␟␟tok␟␟tok␟␟``), because plain ``replace()`` is exactly
+    BPE's merge application — left-to-right, non-overlapping — *provided*
+    adjacent matches don't share a boundary character: doubling the
+    separator gives the pattern ``␟a␟␟b␟`` a private boundary ``␟`` on
+    each side, so consecutive pairs (``x a b a b x``) merge exactly like
+    the engine's fold and token-prefix false matches (``b`` vs ``bz``)
+    are impossible.  Merged symbols join with ``chr(30)`` exactly like
+    ``learn_bpe``'s ``sep``; both control characters are absent from the
+    corpus by the same contract the engine relies on.  An iteration whose
+    best pair falls below ``min_count`` contributes no merge row and
+    leaves the corpus unchanged, so the early stop cascades.
+    """
+    s2, m = "chr(31)", "chr(30)"  # doubled separator char, merge joiner
+    parts = [
+        f"""WITH s0 AS MATERIALIZED (
+          SELECT {id_col} AS doc,
+                 {s2} || {s2} ||
+                 array_to_string(string_split({text_col}, ' '), {s2} || {s2})
+                 || {s2} || {s2} AS seq
+          FROM {table}
+        )"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""pc{i} AS MATERIALIZED (
+              SELECT pr[1] AS a, pr[2] AS b, count(*) AS c FROM (
+                SELECT unnest(list_zip(t[1:len(t) - 1], t[2:len(t)])) AS pr
+                FROM (
+                  SELECT arr[2:len(arr) - 1] AS t
+                  FROM (SELECT string_split(seq, {s2} || {s2}) AS arr FROM s{i})
+                ) WHERE len(t) >= 2
+              ) GROUP BY 1, 2 HAVING count(*) >= {min_count}
+            )"""
+        )
+        parts.append(
+            f"top{i} AS MATERIALIZED (SELECT a, b, c FROM pc{i} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        parts.append(
+            f"""s{i + 1} AS MATERIALIZED (
+              SELECT doc, coalesce(
+                replace(seq,
+                        {s2} || t.a || {s2} || {s2} || t.b || {s2},
+                        {s2} || t.a || {m} || t.b || {s2}),
+                seq) AS seq
+              FROM s{i} LEFT JOIN top{i} t ON TRUE
+            )"""
+        )
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS rank, a, b, c FROM top{i}" for i in range(n_merges)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+        merges AS ({ranked})
+        SELECT CAST(rank AS INT) AS rank,
+               replace(a, {m}, ' ') AS "left",
+               replace(b, {m}, ' ') AS "right",
+               CAST(c AS BIGINT) AS pair_count
+        FROM merges ORDER BY rank"""
+    )

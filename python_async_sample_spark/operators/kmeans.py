@@ -74,6 +74,7 @@ def kmeans_fit(
     vec_col: str,
     k: int,
     iters: int = 5,
+    round_digits: int | None = None,
 ) -> tuple[list[list[float]], list[float]]:
     """Run ``iters`` Lloyd iterations; returns (centroids, inertia history).
 
@@ -81,7 +82,15 @@ def kmeans_fit(
     shuffle for the mean update, one k*d-row collect. Empty clusters keep
     their previous centroid (deterministic; no re-seeding randomness).
     Inertia is recorded BEFORE each update, so history[i] is the cost of
-    the iteration-i centroids and must be non-increasing."""
+    the iteration-i centroids and must be non-increasing.
+
+    ``round_digits`` quantizes each updated centroid coordinate (Spark-side
+    ``round``, half-up like DuckDB's): float means are summation-order
+    dependent across engines/partitionings, so *quantized Lloyd's* is what
+    makes the whole trajectory — assignments included — reproducible bit-
+    for-bit against the :func:`kmeans_oracle_sql` DuckDB replay.  At 6
+    digits the perturbation is ~1e-6 per coordinate, far below any
+    meaningful cluster geometry."""
     vecs = df.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
     # every Lloyd iteration re-reads the vector relation; materialize it
     # once (lineage cut, same pattern as connected components) instead of
@@ -99,12 +108,15 @@ def kmeans_fit(
     history: list[float] = []
     for _ in range(iters):
         assigned = assign_clusters(vecs, "__v", cents)
+        mean_expr = (
+            F.avg("val") if round_digits is None else F.round(F.avg("val"), round_digits)
+        )
         agg = (
             assigned.select(
                 "cluster", "sq_dist", F.posexplode("__v").alias("dim", "val")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg("val").alias("mean"), F.sum("sq_dist").alias("__in"))
+            .agg(mean_expr.alias("mean"), F.sum("sq_dist").alias("__in"))
             .collect()
         )
         # per-cluster inertia is replicated across its dim rows; count each once
@@ -116,6 +128,94 @@ def kmeans_fit(
         new.update(by_cluster)
         cents = [new[c] for c in range(k)]
     return cents, history
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+    out_round: int = 4,
+) -> str:
+    """Chained-CTE DuckDB replay of quantized Lloyd's k-means — certifies
+    the ALGORITHM (init, assignment argmin with lowest-id tie-break, mean
+    update with empty-cluster carry-over, final predict) against an
+    independent engine, the same oracle style as ``pagerank_oracle_sql``.
+
+    Exact mirrors of :func:`kmeans_fit` semantics:
+
+    * init = the k rows with smallest ``md5(CAST(id AS VARCHAR))`` (hex
+      md5 compares identically on both engines), centroids UNROUNDED;
+    * assignment = argmin of squared distance, ties to the lowest cluster
+      index (Spark's ``array_position(array_min)`` takes the first hit);
+    * update = per-(cluster, dim) mean rounded to ``round_digits``
+      (quantized Lloyd's — see :func:`kmeans_fit`), empty clusters keep
+      their previous coordinate via the LEFT JOIN coalesce;
+    * output = per-cluster size + mean squared distance under the FINAL
+      centroids, rounded to ``out_round``.
+    """
+    parts = [
+        f"WITH pts AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
+        # 0-based dims to match posexplode
+        "dimspine AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM pts))) AS i)",
+        "dims AS (SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine WHERE i <= len(v))",
+        f"""c0 AS (
+          SELECT row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR))) - 1 AS cluster, v
+          FROM pts ORDER BY md5(CAST(id AS VARCHAR)) LIMIT {k}
+        )""",
+        "cd0 AS (SELECT cluster, i - 1 AS dim, v[i] AS val FROM c0 CROSS JOIN dimspine WHERE i <= len(v))",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+              SELECT id, cluster FROM (
+                SELECT s.id, s.cluster,
+                       row_number() OVER (PARTITION BY s.id
+                                          ORDER BY s.d2, s.cluster) AS rn
+                FROM (
+                  SELECT p.id, c.cluster,
+                         sum((p.val - c.val) * (p.val - c.val)) AS d2
+                  FROM dims p JOIN cd{i} c USING (dim)
+                  GROUP BY 1, 2
+                ) s
+              ) WHERE rn = 1
+            )"""
+        )
+        parts.append(
+            f"""cd{i + 1} AS (
+              SELECT c.cluster, c.dim,
+                     coalesce(round(m.mean, {round_digits}), c.val) AS val
+              FROM cd{i} c LEFT JOIN (
+                SELECT a.cluster, p.dim, avg(p.val) AS mean
+                FROM a{i} a JOIN dims p USING (id)
+                GROUP BY 1, 2
+              ) m ON m.cluster = c.cluster AND m.dim = c.dim
+            )"""
+        )
+    parts.append(
+        f"""afin AS (
+          SELECT id, cluster, d2 FROM (
+            SELECT s.id, s.cluster, s.d2,
+                   row_number() OVER (PARTITION BY s.id ORDER BY s.d2, s.cluster) AS rn
+            FROM (
+              SELECT p.id, c.cluster,
+                     sum((p.val - c.val) * (p.val - c.val)) AS d2
+              FROM dims p JOIN cd{iters} c USING (dim)
+              GROUP BY 1, 2
+            ) s
+          ) WHERE rn = 1
+        )"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(avg(d2), {out_round}) AS avg_sq_dist
+        FROM afin GROUP BY cluster ORDER BY cluster"""
+    )
 
 
 def kmeans_predict(

@@ -97,12 +97,14 @@ class FakeByteDecoder(MediaDecoder):
 
 class HeaderDecoder(MediaDecoder):
     """Stdlib-only REAL decoder: full pixel/sample decode for uncompressed
-    BMP images and PCM WAV audio, plus header-level decode (dimensions,
-    channels — magic-byte parsing, no codec) for PNG, JPEG and GIF. Proves
-    the seam carries genuinely decoded features end-to-end without codec
-    libraries; pixel-level decode of the compressed formats would slot in
-    behind the same method. Other formats raise, loudly, like the
-    production decoder would for an unsupported codec."""
+    BMP images, PCM WAV audio, and — via ``zlib`` — compressed PNG (IDAT
+    inflate + per-scanline unfiltering, all five PNG filter types, gray /
+    RGB / RGBA / gray+alpha / palette at bit depth 8), plus header-level
+    decode (dimensions, channels — magic-byte parsing) for JPEG and GIF,
+    whose entropy coders genuinely need codec libraries. Proves the seam
+    carries genuinely decoded pixel features end-to-end without any codec
+    dependency. Other formats raise, loudly, like the production decoder
+    would for an unsupported codec."""
 
     def decode(self, payload: bytes, fmt: str) -> Decoded:
         b = bytes(payload)
@@ -120,24 +122,115 @@ class HeaderDecoder(MediaDecoder):
 
     @staticmethod
     def _png(b: bytes) -> Decoded:
-        # PNG: 8-byte signature, then the IHDR chunk (must be first):
-        # 4-byte length, b"IHDR", width/height (big-endian u32),
-        # bit depth, color type
+        # PNG: 8-byte signature, then chunks of (u32 length, 4-byte type,
+        # data, u32 crc); IHDR must be first and carries width/height
+        # (big-endian u32), bit depth, color type, interlace.  Pixel decode
+        # is stdlib-complete: concatenate IDAT, zlib-inflate, then undo the
+        # per-scanline filter (types 0-4) exactly per the PNG spec.
         import struct
+        import zlib
 
         if b[:8] != b"\x89PNG\r\n\x1a\n" or b[12:16] != b"IHDR":
             raise ValueError("not a PNG payload")
         width, height = struct.unpack_from(">II", b, 16)
-        bit_depth, color_type = b[24], b[25]
+        bit_depth, color_type, _compression, _filter_m, interlace = b[24:29]
         channel_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
         if color_type not in channel_map:
             raise ValueError(f"unknown PNG color type {color_type}")
         channels = channel_map[color_type]
-        del bit_depth
+
+        idat = bytearray()
+        plte: bytes | None = None
+        off = 8
+        while off + 8 <= len(b):
+            (clen,) = struct.unpack_from(">I", b, off)
+            ctype = b[off + 4 : off + 8]
+            if ctype == b"IDAT":
+                idat += b[off + 8 : off + 8 + clen]
+            elif ctype == b"PLTE":
+                plte = b[off + 8 : off + 8 + clen]
+            elif ctype == b"IEND":
+                break
+            off += 12 + clen
+        if not idat:
+            # header-only payload (dimension probe): no pixels to average
+            return Decoded(
+                media_type="image", format="png",
+                width=width, height=height, channels=channels,
+            )
+        if bit_depth != 8 or interlace != 0:
+            raise NotImplementedError(
+                f"PNG pixel decode supports bit depth 8 non-interlaced only "
+                f"(got depth={bit_depth}, interlace={interlace})"
+            )
+        pixels = HeaderDecoder._png_unfilter(
+            zlib.decompress(bytes(idat)), width, height, channels
+        )
+        if color_type == 3:  # palette indices → RGB triples
+            if plte is None:
+                raise ValueError("palette PNG without a PLTE chunk")
+            mapped = bytearray()
+            for idx in pixels:
+                if 3 * idx + 3 > len(plte):
+                    raise ValueError(f"palette index {idx} outside PLTE")
+                mapped += plte[3 * idx : 3 * idx + 3]
+            pixels, channels = mapped, 3
         return Decoded(
             media_type="image", format="png",
             width=width, height=height, channels=channels,
+            mean_value=(sum(pixels) / len(pixels)) if pixels else None,
         )
+
+    @staticmethod
+    def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
+        """Reverse PNG scanline filtering: ``raw`` is the inflated IDAT
+        stream — per row, one filter-type byte then ``width·channels``
+        filtered bytes.  Returns the reconstructed pixel bytes, row-major.
+        Sequential by construction (each row depends on the previous), but
+        bounded by one image — the kernel parallelism is across payloads."""
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"PNG pixel data length {len(raw)} != expected {height * (stride + 1)}"
+            )
+        prev = bytearray(stride)
+        out = bytearray()
+        pos = 0
+        for _ in range(height):
+            ftype = raw[pos]
+            line = bytearray(raw[pos + 1 : pos + 1 + stride])
+            pos += 1 + stride
+            if ftype == 0:  # None
+                pass
+            elif ftype == 1:  # Sub: + left neighbor (same channel)
+                for i in range(channels, stride):
+                    line[i] = (line[i] + line[i - channels]) & 0xFF
+            elif ftype == 2:  # Up: + same column, previous row
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ftype == 3:  # Average: + floor((left + up) / 2)
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+            elif ftype == 4:  # Paeth predictor
+                for i in range(stride):
+                    left = line[i - channels] if i >= channels else 0
+                    up = prev[i]
+                    ul = prev[i - channels] if i >= channels else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    line[i] = (line[i] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out += line
+            prev = line
+        return out
 
     @staticmethod
     def _jpeg(b: bytes) -> Decoded:
@@ -233,6 +326,47 @@ class HeaderDecoder(MediaDecoder):
             n_samples=n,
             mean_value=mean,
         )
+
+
+def encode_png(
+    pixels: bytes, width: int, height: int, channels: int = 1
+) -> bytes:
+    """Minimal REAL PNG encoder (stdlib zlib): bit depth 8, filter type 0
+    per scanline, one IDAT chunk.  ``pixels`` is row-major
+    ``width·height·channels`` bytes; channels ∈ {1: gray, 3: RGB, 4: RGBA}.
+
+    Exists so fixtures and gate queries can manufacture genuinely
+    compressed PNG payloads whose pixel statistics are known in advance —
+    the decode side is then certified against an *external* oracle on the
+    original bytes, not against this encoder."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    stride = width * channels
+    if len(pixels) != height * stride:
+        raise ValueError(f"pixel buffer {len(pixels)} != {height}×{stride}")
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    raw = b"".join(
+        b"\x00" + pixels[r * stride : (r + 1) * stride] for r in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 DECODED_SCHEMA = (

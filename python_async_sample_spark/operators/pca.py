@@ -88,6 +88,21 @@ def fit_pca(
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
+    # Fit-time spectral certificate (VERDICT r3): the eigendecomposition is
+    # checked against two identities computed DIRECTLY from the covariance
+    # matrix — Σλ ≡ trace(C) and Σλ² ≡ ‖C‖²_F — so a mis-assembled moment
+    # matrix, a dropped eigenvalue, or an eigh misuse fails loudly at fit
+    # time instead of shipping a plausible-but-wrong spectrum. d² driver
+    # flops; data-size independent.
+    tr, fro2 = float(np.trace(cov)), float((cov * cov).sum())
+    scale = max(1.0, abs(tr), fro2)
+    if abs(float(evals.sum()) - tr) > 1e-9 * scale or abs(
+        float((evals * evals).sum()) - fro2
+    ) > 1e-9 * scale:
+        raise ValueError(
+            f"PCA spectral certificate failed: sum(λ)={evals.sum()!r} vs "
+            f"trace={tr!r}, sum(λ²)={(evals * evals).sum()!r} vs ‖C‖²_F={fro2!r}"
+        )
     order = np.argsort(evals)[::-1][:n_components]
     comps = evecs[:, order].T  # k x d
     # deterministic sign: largest-|coordinate| entry positive

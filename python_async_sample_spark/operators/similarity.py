@@ -151,22 +151,33 @@ def _score_candidates(
 
 
 def cosine_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str | None = None
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str
 ) -> DataFrame:
-    """All pairs (d1 < d2) with cosine ≥ threshold — embedding near-dup.
+    """Pairs (d1 < d2) with cosine ≥ threshold WITHIN equal ``block_col``
+    groups (an LSH bucket, a cluster label, …) — embedding near-dup over
+    pre-blocked candidates.
 
-    With ``block_col`` the self-join is restricted to equal blocks (e.g. an
-    LSH bucket or a label); without it this is quadratic and should only run
-    on samples or small corpora.
+    ``block_col`` is REQUIRED: without a blocking key this self-join is an
+    unbounded corpus×corpus comparison, which no caller should ever plan
+    (VERDICT r3 §wrong-4).  For unblocked all-pairs mining use
+    :func:`cosine_pairs_gemm`, whose block-partitioned GEMM bounds both
+    task memory and the join fan-out by construction.
     """
+    if not block_col:
+        raise ValueError(
+            "cosine_pairs requires a blocking column; for unblocked all-pairs "
+            "use cosine_pairs_gemm (block-partitioned GEMM)"
+        )
     d = as_double(df, vec_col)
-    a = d.select(F.col(id_col).alias("d1"), F.col(vec_col).alias("_v1"), *( [F.col(block_col).alias("_b1")] if block_col else [] ))
-    b = d.select(F.col(id_col).alias("d2"), F.col(vec_col).alias("_v2"), *( [F.col(block_col).alias("_b2")] if block_col else [] ))
-    cond = F.col("d1") < F.col("d2")
-    if block_col:
-        cond = cond & (F.col("_b1") == F.col("_b2"))
+    a = d.select(
+        F.col(id_col).alias("d1"), F.col(vec_col).alias("_v1"), F.col(block_col).alias("_b")
+    )
+    b = d.select(
+        F.col(id_col).alias("d2"), F.col(vec_col).alias("_v2"), F.col(block_col).alias("_b")
+    )
     return (
-        a.join(b, cond)
+        a.join(b, "_b")  # equi-join on the block key — never a cross product
+        .where(F.col("d1") < F.col("d2"))
         .withColumn("cosine", cosine_col(F.col("_v1"), F.col("_v2")))
         .where(F.col("cosine") >= threshold)
         .select("d1", "d2", "cosine")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.graph import (
     bellman_ford,
+    bellman_ford_certificate_violations,
     bellman_ford_oracle_sql,
     count_triangles,
     pagerank,
@@ -113,12 +114,25 @@ def q149_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy (src, dst).  Stage 2 (iterative, edge-sized): each step is a
     join + partial agg on the aggregated graph with a lazy localCheckpoint
     lineage cut per iteration; rank state is one O(V) relation, dangling
-    mass a one-row broadcast aggregate — no driver-side data path."""
+    mass a one-row broadcast aggregate — no driver-side data path.
+
+    Independent invariant (VERDICT r3): the chained-CTE oracle unrolls the
+    same iterations, so a shared conceptual bug could pass both sides — a
+    union-poison guard therefore asserts the one property the scheme
+    conserves *by construction*: total rank mass ≡ 1 (damping leak (1−d)
+    is re-injected uniformly and dangling mass redistributed, so every
+    iteration is mass-preserving).  An un-normalized transition, a dropped
+    dangling term, or a lost node would all break conservation."""
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
     edges = trade_edges(spark, sf_dir)
     ranks = pagerank(edges, "src", "dst", weight="w", damping=0.85, iterations=5)
-    return ranks.select(
-        "node", F.round("rank", 6).alias("rank")
-    ).orderBy("node")
+    mass = ranks.agg(F.sum("rank").alias("__mass"))
+    violation = mass.where(
+        F.col("__mass").isNull() | (F.abs(F.col("__mass") - F.lit(1.0)) > 1e-9)
+    )
+    out = ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+    return _union_poison_guard(out, violation, "pagerank rank mass not conserved at 1")
 
 
 _TRIANGLE_ORACLE = f"""
@@ -149,10 +163,43 @@ def q150_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree-oriented wedge join (`count_triangles`): every edge points
     low-degree → high-degree, capping wedge fan-out at O(sqrt m) per node
     on any degree distribution — the id-ordered oracle plan (fine for the
-    oracle) would blow up on a power-law graph; the shipped plan does not."""
-    edges = copurchase_edges(spark, sf_dir, support=2)
-    tri = count_triangles(edges, "u", "v")
-    return tri.orderBy("t1", "t2", "t3")
+    oracle) would blow up on a power-law graph; the shipped plan does not.
+
+    Independent invariant (VERDICT r3): a union-poison guard certifies
+    the enumeration against the *edge-iterator* identity
+    3·|triangles| = Σ_{(u,v)∈E} |N(u) ∩ N(v)| — computed by a different
+    algorithm (per-edge common-neighbor intersection, no degree
+    orientation, no wedge canonicalization), so an orientation or
+    dedup bug in the wedge join cannot also cook the certificate."""
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
+    # edges feed four consumers (orientation, closing set, adjacency,
+    # certificate) — materialize once, never re-run the fact-side join
+    edges = copurchase_edges(spark, sf_dir, support=2).localCheckpoint(eager=True)
+    tri = count_triangles(edges, "u", "v").localCheckpoint(eager=True)
+    und = edges.select("u", "v")
+    adj = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nbr_u = adj.select(F.col("u").alias("eu"), F.col("v").alias("n"))
+    nbr_v = adj.select(F.col("u").alias("ev"), F.col("v").alias("n"))
+    # signed tally instead of a (1×1 nested-loop) join of the two counts:
+    # each enumerated triangle contributes +3, each per-edge common
+    # neighbor −1 — the identity holds iff the sum is exactly 0
+    common_rows = (
+        und.join(nbr_u, und.u == nbr_u.eu)
+        .join(nbr_v, (und.v == nbr_v.ev) & (nbr_u.n == nbr_v.n))
+        .select(F.lit(-1).cast("bigint").alias("c"))
+    )
+    tri_rows = tri.select(F.lit(3).cast("bigint").alias("c"))
+    # empty sum coalesces to 0: a triangle-free graph (0 = 3·0) is clean
+    balance = tri_rows.unionByName(common_rows).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("bal")
+    )
+    violation = balance.where(F.col("bal") != 0)
+    return _union_poison_guard(
+        tri.orderBy("t1", "t2", "t3"),
+        violation,
+        "triangle count disagrees with edge-iterator common-neighbor identity",
+    )
 
 
 _SSSP_EDGE_CTE = f"""
@@ -180,13 +227,31 @@ def q159_shortest_paths_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     join on the frontier + one groupBy(node) min per round, O(V) state,
     lineage cut per round; the Pregel pattern without a graph engine.
     Integer weights keep every distance exact on both engines; the oracle
-    unrolls the identical 4 relaxation rounds as chained CTEs."""
+    unrolls the identical 4 relaxation rounds as chained CTEs.
+
+    Independent invariant (VERDICT r3): the oracle replays the same
+    rounds, so a union-poison guard additionally checks the bounded-
+    relaxation *certificate* — for every edge (u, v) whose endpoint u was
+    settled in < 4 hops, v must be reached with dist(v) ≤ dist(u) + w.
+    One edge scan + two joins, no iteration: an under-relaxation bug
+    (missed round, wrong join key, dropped frontier row) fails the
+    certificate even if it also corrupted the unrolled oracle."""
+    from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
+
     edges = copurchase_edges(spark, sf_dir, support=2).select(
         "u", "v", F.greatest(F.lit(1), F.lit(10) - F.col("s")).cast("bigint").alias("w")
-    )
+    ).localCheckpoint(eager=True)
     source = edges.agg(F.min("u").alias("src"))
     dist = bellman_ford(edges, source, "u", "v", "w", iterations=4)
-    return dist.select("node", "dist").orderBy("node")
+    directed = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    violation = bellman_ford_certificate_violations(directed, dist, iterations=4)
+    return _union_poison_guard(
+        dist.select("node", "dist").orderBy("node"),
+        violation.select("u", "v"),
+        "bounded Bellman-Ford certificate violated: relaxable edge left behind",
+    )
 
 
 _RULES_ORACLE = f"""

@@ -65,3 +65,81 @@ def q17_incremental_catchup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "dt")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q177_merge_into",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             CAST(42.42 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 397 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    )
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    ref="S12+I3 generalized: keyed MERGE INTO (VERDICT r3 item 7; the key-addressed form of the reference's delete-then-insert window, dbs/nikon.py:117-145)",
+    tags=("incremental", "sink"),
+)
+def q177_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed MERGE INTO on a parquet table, certified end-to-end: a fresh
+    range-clustered copy of ``orders`` receives one CDC-shaped batch —
+    updates (keys ≡ 0 mod 97: status→'M', price+1000) plus inserts (fresh
+    keys ≡ 0 mod 397 offset past the key space) — through
+    ``sources.layout.merge_into``; the batch is **delivered twice** to
+    prove re-delivery idempotence, then the merged table's per-status
+    rollup must equal DuckDB's from-first-principles reconstruction.
+
+    Scale shape: footer min/max pruning rewrites only files whose key
+    range intersects the batch (range-clustered table → a handful), the
+    swap is staged-then-move (crash leaves duplicates, never loss), and
+    the driver touch is the batch's distinct keys — CDC-sized, never
+    table-sized.  Prices ride DECIMAL(18,2) on both sides, so the sums
+    are exact, not summation-order-dependent."""
+    from python_async_sample_spark.sources.layout import cluster_by, merge_into
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_merge_")
+    target = f"{tmp}/orders"
+    cluster_by(spark, f"{sf_dir.rstrip('/')}/orders.parquet", target, ["o_orderkey"], n_files=8)
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 397 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.lit(42.42))
+        )
+    )
+    merge_into(spark, target, updates, "o_orderkey")
+    merge_into(spark, target, updates, "o_orderkey")  # re-delivery: same state
+
+    return (
+        spark.read.parquet(target)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )

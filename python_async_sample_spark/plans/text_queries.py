@@ -733,14 +733,19 @@ def q140_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from python_async_sample_spark.operators.bpe import bpe_oracle_sql as _bpe_oracle
+
+
 @query(
     "q141_bpe_merges",
-    oracle=None,  # iterative argmax-and-rewrite — not SQL-expressible; the
-    # learned merges are pinned EXACTLY against a sequential pure-Python
-    # BPE reference in tests/test_bpe.py (argmax tie-break and left-to-right
-    # merge application are both deterministic)
+    # oracled since r4 (VERDICT r3 item 8): a chained-CTE DuckDB replay of
+    # the full training loop — doubled-separator string encoding makes
+    # plain replace() exactly BPE's left-to-right non-overlapping merge;
+    # the sequential pure-Python pin in tests/test_bpe.py remains as the
+    # third, engine-free implementation
+    oracle=_bpe_oracle("documents", "doc_id", "text", n_merges=12),
     ref="distributed BPE tokenizer training (beyond reference; the first stage of every LLM data pipeline)",
-    tags=("llm-data", "text", "no_oracle"),
+    tags=("llm-data", "text"),
 )
 def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learn 12 word-level BPE merges over the corpus: per iteration, one

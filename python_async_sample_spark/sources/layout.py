@@ -237,6 +237,137 @@ def delete_keys(
     }
 
 
+def merge_into(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_col: str,
+) -> dict:
+    """Keyed MERGE INTO over a parquet table: every target row whose
+    ``key_col`` matches an update key is REPLACED by the update row, and
+    update keys absent from the target are INSERTED — the single warehouse
+    verb for upsert, built on the same footer-stats file pruning and
+    staged-swap machinery as :func:`delete_keys`.
+
+    Reference tie-in: the delete-then-insert idempotency window
+    (reference dbs/nikon.py:117-145, nikon_ETL.py:350-357) is exactly a
+    keyed merge done by hand — this operator is its general, key-addressed
+    form, and shares its contract: **idempotent under re-delivery** (the
+    same batch merged twice leaves the same table).
+
+    Mechanics: update keys are collected (a merge batch is CDC-sized by
+    contract — bounded by ingest rate, never by the table; the collect is
+    ``distinct`` keys only); only files whose parquet footer min/max range
+    can contain an update key are rewritten (on a range-clustered table a
+    handful, not the table); staged files move IN before originals are
+    removed, so a crash mid-swap leaves duplicated kept rows — never lost
+    ones — and re-running the merge restores uniqueness for the merged
+    keys.  ANSI MERGE cardinality is enforced: duplicate keys in
+    ``updates`` raise (two updates for one key has no deterministic
+    winner).
+
+    Returns ``{"rewritten": n, "untouched": m, "upserted_rows": u,
+    "replaced_rows": r}``.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    if "://" in target_path:
+        raise ValueError(
+            f"merge_into operates on local paths only; got {target_path!r} "
+            "(a silent no-op over an object store would fake a completed merge)"
+        )
+
+    pin_reader_conf(spark)
+    root = target_path.rstrip("/")
+    files = sorted(_glob.glob(f"{root}/*.parquet"))
+    if not files:
+        raise ValueError(f"merge target {target_path!r} has no parquet files")
+    target_schema = spark.read.parquet(*files).schema
+    if set(updates.columns) != set(target_schema.fieldNames()):
+        raise ValueError(
+            f"updates schema {sorted(updates.columns)} != target "
+            f"{sorted(target_schema.fieldNames())}"
+        )
+    updates = updates.select(*target_schema.fieldNames())
+
+    # ANSI MERGE cardinality + the bounded driver touch: one pass collects
+    # the distinct keys and detects source-side duplicates
+    key_rows = (
+        updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    if any(r[key_col] is None for r in key_rows):
+        raise ValueError(
+            "updates contain NULL merge keys: a NULL never equals a target "
+            "key, so 'merging' it is an unconditional insert the caller "
+            "should state explicitly"
+        )
+    dup = [r[key_col] for r in key_rows if r["__n"] > 1]
+    if dup:
+        raise ValueError(
+            f"updates contain {len(dup)} duplicate merge key(s) "
+            f"(e.g. {dup[:3]}): MERGE has no deterministic winner"
+        )
+    targets = sorted(r[key_col] for r in key_rows)
+    n_updates = len(key_rows)
+
+    affected = []
+    for f in files:
+        meta = pq.read_metadata(f)
+        lo = hi = None
+        stats_missing = False
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == key_col
+            )
+            st = col.statistics
+            if st is None or st.min is None or st.max is None:
+                stats_missing = True
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if stats_missing or (lo is not None and any(lo <= k <= hi for k in targets)):
+            affected.append(f)
+
+    # kept = affected rows minus merged keys (NULL-safe: a NULL key row is
+    # never a merge target); staged output = kept ∪ updates
+    if affected:
+        existing = spark.read.parquet(*affected)
+        kept = existing.where(
+            F.col(key_col).isNull() | ~F.col(key_col).isin(targets)
+        ).select(*target_schema.fieldNames())
+        staged_df = kept.unionByName(updates)
+        rows_before = sum(pq.read_metadata(f).num_rows for f in affected)
+    else:
+        staged_df = updates
+        rows_before = 0
+
+    stage = f"{root}/.merge_stage"
+    n_out_files = max(1, len(affected))
+    staged_df.repartition(n_out_files).write.mode("overwrite").parquet(stage)
+    staged = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+    rows_after = sum(pq.read_metadata(f).num_rows for f in staged)
+    replaced = rows_before + n_updates - rows_after
+    for f in staged:
+        _shutil.move(f, f"{root}/part-{_uuid.uuid4().hex}.parquet")
+    for f in affected:
+        _os.remove(f)
+    _shutil.rmtree(stage, ignore_errors=True)
+
+    return {
+        "rewritten": len(affected),
+        "untouched": len(files) - len(affected),
+        "upserted_rows": n_updates,
+        "replaced_rows": replaced,
+    }
+
+
 def write_hive_partitioned(
     df: "DataFrame",
     path: str,

@@ -179,6 +179,82 @@ def stream_user_profiles_to_parquet(
 # ---------------------------------------------------------------------------
 
 
+# Known locations of a pure-Python google.protobuf runtime on images where
+# the pip package is absent (the Cloud SDK ships one for App Engine tooling).
+_PROTOBUF_VENDOR_DIRS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in the driver AND future Python
+    workers, without pip.
+
+    If the runtime is already installed this is a no-op (True).  Otherwise
+    the known vendor dirs (plus ``$SPARK_GRAFT_PROTOBUF_PATH``) are probed;
+    the first hit is exposed through a SHIM directory containing only a
+    ``google/`` namespace package with a ``protobuf`` symlink — never the
+    vendor dir itself, which may carry shadowing siblings (``google.auth``,
+    App Engine modules).  The shim is appended to ``sys.path`` (driver) and
+    ``$PYTHONPATH`` (future worker/JVM processes), and protobuf's official
+    escape hatch ``TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK`` is set
+    because vendored runtimes may trail pyspark's gencode by a minor
+    version (wire format is stable across minors).
+
+    Returns True when ``google.protobuf`` imports afterwards.  Callers that
+    need WORKERS to see it must run this BEFORE the SparkSession (the JVM
+    snapshots its environment at launch; workers inherit the JVM's).
+    """
+    import importlib
+    import os
+    import sys
+    import tempfile
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+
+    candidates = [
+        p
+        for p in (os.environ.get("SPARK_GRAFT_PROTOBUF_PATH"), *_PROTOBUF_VENDOR_DIRS)
+        if p and os.path.isdir(os.path.join(p, "google", "protobuf"))
+    ]
+    if not candidates:
+        return False
+    vendor = candidates[0]
+    shim = os.path.join(tempfile.gettempdir(), "spark_graft_pbshim")
+    pkg = os.path.join(shim, "google")
+    os.makedirs(pkg, exist_ok=True)
+    init = os.path.join(pkg, "__init__.py")
+    if not os.path.exists(init):
+        with open(init, "w", encoding="ascii") as fh:
+            fh.write(
+                "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+            )
+    link = os.path.join(pkg, "protobuf")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(vendor, "google", "protobuf"), link)
+
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    existing = os.environ.get("PYTHONPATH", "")
+    if shim not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{existing}{os.pathsep}{shim}" if existing else shim
+        )
+    if shim not in sys.path:
+        sys.path.append(shim)
+    importlib.invalidate_caches()
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def stream_profiles_tws_to_parquet(
     spark: SparkSession, sf_dir: str, work_dir: str, gap_minutes: int = 30
 ) -> DataFrame:
@@ -198,15 +274,15 @@ def stream_profiles_tws_to_parquet(
 
     # Spark's TransformWithStateInPySpark driver worker needs the protobuf
     # runtime; without it the streaming query crashes with an opaque
-    # worker-exit. Fail up front with the actionable story instead.
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as e:  # pragma: no cover - environment-dependent
+    # worker-exit. Try the vendored-runtime shim, then fail up front with
+    # the actionable story instead.
+    if not ensure_protobuf():  # pragma: no cover - environment-dependent
         raise ImportError(
             "transformWithStateInPandas requires the google.protobuf runtime, "
-            "which this environment lacks; q75's applyInPandasWithState face "
+            "which this environment lacks (no installed package, no vendor "
+            "dir for ensure_protobuf); q75's applyInPandasWithState face "
             "covers the same semantics (shared oracle)"
-        ) from e
+        )
 
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 

@@ -325,3 +325,98 @@ def test_delete_keys_refuses_remote_uris(spark):
 
     with pytest.raises(ValueError, match="local paths only"):
         delete_keys(spark, "s3a://bucket/table", "user_id", [1])
+
+
+@pytest.fixture()
+def keyed_table(spark, sf_dir):
+    """A fresh range-clustered copy of orders keyed by o_orderkey — the
+    shape merge_into prunes well on (each file owns a key range)."""
+    src = f"{sf_dir.rstrip('/')}/orders.parquet"
+    tmp = tempfile.mkdtemp(prefix="merge_tgt_") + "/orders"
+    cluster_by(spark, src, tmp, ["o_orderkey"], n_files=8)
+    return tmp
+
+
+def test_merge_into_updates_and_inserts(spark, sf_dir, keyed_table):
+    from python_async_sample_spark.sources.layout import merge_into
+
+    before = spark.read.parquet(keyed_table)
+    n_before = before.count()
+    some = [r["o_orderkey"] for r in before.select("o_orderkey").limit(5).collect()]
+    max_key = before.agg(F.max("o_orderkey")).collect()[0][0]
+
+    updates = (
+        before.where(F.col("o_orderkey").isin(some))
+        .withColumn("o_orderstatus", F.lit("M"))
+        .unionByName(
+            before.where(F.col("o_orderkey").isin(some[:2]))
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key + 1))
+            .withColumn("o_orderstatus", F.lit("N"))
+        )
+    )
+    stats = merge_into(spark, keyed_table, updates, "o_orderkey")
+    assert stats["upserted_rows"] == 7
+    assert stats["replaced_rows"] == 5  # the 5 matched keys were replaced
+    assert stats["rewritten"] >= 1 and stats["untouched"] >= 1  # file pruning
+
+    after = spark.read.parquet(keyed_table)
+    assert after.count() == n_before + 2
+    assert after.where(F.col("o_orderkey").isin(some)).where(
+        F.col("o_orderstatus") != "M"
+    ).count() == 0
+    assert after.where(F.col("o_orderstatus") == "N").count() == 2
+    # key uniqueness preserved
+    assert after.groupBy("o_orderkey").count().where("count > 1").count() == 0
+
+
+def test_merge_into_is_idempotent_under_redelivery(spark, keyed_table):
+    from python_async_sample_spark.sources.layout import merge_into
+
+    before = spark.read.parquet(keyed_table)
+    some = [r["o_orderkey"] for r in before.select("o_orderkey").limit(3).collect()]
+    updates_lazy = before.where(F.col("o_orderkey").isin(some)).withColumn(
+        "o_totalprice", F.lit(999.99)
+    )
+    # materialize: a CDC batch is durable content, not a lazy view over the
+    # very files the merge rewrites
+    updates = spark.createDataFrame(updates_lazy.collect(), updates_lazy.schema)
+    merge_into(spark, keyed_table, updates, "o_orderkey")
+    snapshot = sorted(
+        tuple(r) for r in spark.read.parquet(keyed_table).collect()
+    )
+    merge_into(spark, keyed_table, updates, "o_orderkey")  # re-delivery
+    again = sorted(tuple(r) for r in spark.read.parquet(keyed_table).collect())
+    assert snapshot == again
+
+
+def test_merge_into_rejects_duplicate_source_keys(spark, keyed_table):
+    import re
+
+    from python_async_sample_spark.sources.layout import merge_into
+
+    before = spark.read.parquet(keyed_table)
+    one = before.limit(1)
+    dup = one.unionByName(one.withColumn("o_orderstatus", F.lit("X")))
+    with pytest.raises(ValueError, match=re.escape("duplicate merge key")):
+        merge_into(spark, keyed_table, dup, "o_orderkey")
+
+
+def test_merge_into_rejects_null_keys(spark, keyed_table):
+    from python_async_sample_spark.sources.layout import merge_into
+
+    before = spark.read.parquet(keyed_table)
+    nulled = before.limit(1).withColumn(
+        "o_orderkey", F.lit(None).cast("long")
+    )
+    with pytest.raises(ValueError, match="NULL merge keys"):
+        merge_into(spark, keyed_table, nulled, "o_orderkey")
+
+
+def test_merge_into_rejects_schema_drift_and_remote_paths(spark, keyed_table):
+    from python_async_sample_spark.sources.layout import merge_into
+
+    before = spark.read.parquet(keyed_table)
+    with pytest.raises(ValueError, match="schema"):
+        merge_into(spark, keyed_table, before.drop("o_orderpriority"), "o_orderkey")
+    with pytest.raises(ValueError, match="local paths only"):
+        merge_into(spark, "s3://bucket/t", before, "o_orderkey")

@@ -173,3 +173,132 @@ def test_jpeg_fill_bytes_and_eoi(spark):
     bad = _media_df(spark, [(2, no_sof, "jpeg")])
     with pytest.raises(Exception, match="no SOF"):
         decode_media(bad, "doc_id", HeaderDecoder()).collect()
+
+
+def _png_full(width, height, channels, scanlines):
+    """Hand-build a real PNG from (filter_type, filtered_bytes) rows —
+    filters are applied BY HAND in the fixtures below, so the decoder's
+    unfiltering is certified against independently-written data, never
+    against our own encoder."""
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    raw = b"".join(bytes([f]) + bytes(line) for f, line in scanlines)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_png_pixel_decode_all_filter_types_golden():
+    """Golden unfilter test (VERDICT r3 item 3): a 3×5 gray image whose
+    rows use filter types 0,1,2,3,4 with hand-computed filtered bytes;
+    the decoder must recover the exact intended pixel matrix."""
+    from python_async_sample_spark.operators.multimodal import HeaderDecoder
+
+    # intended pixels (3 wide, 5 tall):
+    # row0: 10  20  30   filter 0 (None)   → stored 10 20 30
+    # row1: 15  25  35   filter 1 (Sub)    → stored 15, 25-15=10, 35-25=10
+    # row2: 20  30  40   filter 2 (Up)     → stored 20-15=5, 30-25=5, 40-35=5
+    # row3: 25  35  45   filter 3 (Average): left0=0,up=20→pred 10, stored 15;
+    #        x=35 left=25 up=30 → pred 27, stored 8; x=45 left=35 up=40 → 37, stored 8
+    # row4: 30  40  50   filter 4 (Paeth): x=30 a=0 b=25 c=0 → pred 25, stored 5;
+    #        x=40 a=30 b=35 c=25 → p=40 pa=10 pb=5 pc=15 → pred 35, stored 5;
+    #        x=50 a=40 b=45 c=35 → p=50 pa=10 pb=5 pc=15 → pred 45, stored 5
+    png = _png_full(3, 5, 1, [
+        (0, [10, 20, 30]),
+        (1, [15, 10, 10]),
+        (2, [5, 5, 5]),
+        (3, [15, 8, 8]),
+        (4, [5, 5, 5]),
+    ])
+    d = HeaderDecoder().decode(png, "png")
+    want = [10, 20, 30, 15, 25, 35, 20, 30, 40, 25, 35, 45, 30, 40, 50]
+    assert (d.width, d.height, d.channels) == (3, 5, 1)
+    assert d.mean_value == pytest.approx(sum(want) / len(want))
+    # and the raw matrix itself, via the unfilter helper
+    pix = HeaderDecoder._png_unfilter(
+        b"".join(bytes([f]) + bytes(l) for f, l in [
+            (0, [10, 20, 30]), (1, [15, 10, 10]), (2, [5, 5, 5]),
+            (3, [15, 8, 8]), (4, [5, 5, 5]),
+        ]), 3, 5, 1)
+    assert list(pix) == want
+
+
+def test_png_pixel_decode_rgb_sub_filter_uses_channel_offset():
+    """Sub's 'left' is the same CHANNEL of the previous pixel, not the
+    previous byte — an off-by-channels bug here decodes garbage for RGB."""
+    from python_async_sample_spark.operators.multimodal import HeaderDecoder
+
+    # one row, two RGB pixels: (10, 100, 200) then (20, 110, 210)
+    # filter 1 (Sub): first pixel verbatim; second stores +10 per channel
+    png = _png_full(2, 1, 3, [(1, [10, 100, 200, 10, 10, 10])])
+    d = HeaderDecoder().decode(png, "png")
+    want = [10, 100, 200, 20, 110, 210]
+    assert (d.width, d.height, d.channels) == (2, 1, 3)
+    assert d.mean_value == pytest.approx(sum(want) / len(want))
+
+
+def test_png_pixel_decode_palette_maps_through_plte():
+    import zlib
+
+    from python_async_sample_spark.operators.multimodal import HeaderDecoder
+
+    # 2×2 palette image, indices [[0,1],[1,0]]; palette: 0→(255,0,0), 1→(0,0,255)
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 3, 0, 0, 0])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data)))
+
+    raw = b"\x00\x00\x01" + b"\x00\x01\x00"
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    d = HeaderDecoder().decode(png, "png")
+    assert (d.width, d.height, d.channels) == (2, 2, 3)
+    # pixels: 2×(255,0,0) + 2×(0,0,255) → mean = (255+255+255+255)/12
+    assert d.mean_value == pytest.approx(1020 / 12)
+
+
+def test_png_encoder_roundtrips_through_decoder():
+    """encode_png is certified by decoding: mean equals the source bytes'
+    mean exactly, multi-row, RGB and gray."""
+    from python_async_sample_spark.operators.multimodal import HeaderDecoder, encode_png
+
+    data = bytes(range(200)) * 3  # 600 bytes
+    png = encode_png(data, width=20, height=10, channels=3)
+    d = HeaderDecoder().decode(png, "png")
+    assert (d.width, d.height, d.channels) == (20, 10, 3)
+    assert d.mean_value == pytest.approx(sum(data) / len(data))
+
+    gray = encode_png(data[:120], width=40, height=3, channels=1)
+    g = HeaderDecoder().decode(gray, "png")
+    assert (g.width, g.height, g.channels, g.mean_value) == (
+        40, 3, 1, pytest.approx(sum(data[:120]) / 120))
+
+
+def test_png_interlaced_or_16bit_refuses_loudly():
+    import zlib
+
+    from python_async_sample_spark.operators.multimodal import HeaderDecoder
+
+    def build(depth, interlace):
+        ihdr = struct.pack(">II", 1, 1) + bytes([depth, 0, 0, 0, interlace])
+
+        def chunk(ctype, data):
+            return (struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data)))
+
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00\x07"))
+                + chunk(b"IEND", b""))
+
+    with pytest.raises(NotImplementedError, match="bit depth 8"):
+        HeaderDecoder().decode(build(16, 0), "png")
+    with pytest.raises(NotImplementedError, match="interlace"):
+        HeaderDecoder().decode(build(8, 1), "png")

@@ -159,3 +159,29 @@ def test_all_pairs_topk_never_emits_self_pairs_when_k_exceeds_corpus(spark):
     from collections import Counter
     c = Counter(r["query_id"] for r in got)
     assert c == {0: 2, 1: 2, 2: 2}
+
+
+def test_cosine_pairs_requires_blocking_and_plans_equi_join(spark):
+    """VERDICT r3 item 4: the unblocked quadratic variant is unreachable —
+    block_col is required (falsy → ValueError), and the blocked path plans
+    a keyed equi-join, never a cartesian/nested-loop product."""
+    import pytest
+
+    from python_async_sample_spark.operators.similarity import cosine_pairs
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0], "a"), (1, [1.0, 0.0], "a"), (2, [0.0, 1.0], "b"),
+         (3, [0.0, 1.0], "b")],
+        "vid long, emb array<double>, bucket string",
+    )
+    with pytest.raises(TypeError):
+        cosine_pairs(df, "vid", "emb", 0.9)  # block_col is not optional
+    with pytest.raises(ValueError, match="blocking column"):
+        cosine_pairs(df, "vid", "emb", 0.9, None)
+
+    pairs = cosine_pairs(df, "vid", "emb", 0.9, "bucket")
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert got == {(0, 1), (2, 3)}  # cross-bucket pairs never compared

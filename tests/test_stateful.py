@@ -115,12 +115,14 @@ def test_tws_profiles_match_batch_oracle_or_skip(spark, sf_dir):
         stream_profiles_tws_to_parquet,
     )
 
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
+    from python_async_sample_spark.streaming.stateful import ensure_protobuf
+
+    if not ensure_protobuf():
         with pytest.raises(ImportError, match="protobuf"):
             stream_profiles_tws_to_parquet(spark, sf_dir, tempfile.mkdtemp())
         pytest.skip("google.protobuf not available in this environment")
+
+    from pyspark.sql import functions as F
 
     from python_async_sample_spark.sources.readers import load_table
 
