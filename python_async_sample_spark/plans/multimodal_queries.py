@@ -168,8 +168,12 @@ def q87_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q176_png_pixel_decode",
     oracle="""
     WITH trunc AS (
+      -- ASCII-only guard mirrored on both sides: the kernel measures UTF-8
+      -- BYTES while SQL length/ascii measure codepoints; on ASCII they are
+      -- the same thing, and non-ASCII docs are excluded identically
       SELECT doc_id, substr(text, 1, 64 * (length(text) // 64)) AS s
-      FROM documents WHERE length(text) >= 64
+      FROM documents
+      WHERE length(text) >= 64 AND NOT regexp_matches(text, '[^\\x00-\\x7f]')
     ),
     chars AS (
       SELECT doc_id, unnest(string_split(s, '')) AS c FROM trunc
@@ -214,6 +218,10 @@ def q176_png_pixel_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .where(F.length("text") >= 64)
+        # ASCII-only (mirrored in the oracle): the kernel's byte math and
+        # the oracle's codepoint math agree exactly on ASCII; multi-byte
+        # docs would diverge (height, mean) and are excluded on BOTH sides
+        .where(~F.col("text").rlike(r"[^\x00-\x7f]"))
         .select("doc_id", F.encode("text", "UTF-8").alias("raw"))
     )
 

@@ -21,13 +21,20 @@ DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 def _external_master() -> str | None:
     """Return an externally-configured Spark master URL, if any.
 
-    A fresh (pre-gateway) driver process cannot read spark-submit's JVM
-    system properties through ``SparkConf()`` — it has no JVM backing — so
-    the only reliable signals are environment variables:
+    Detection covers every launch path:
 
-    * ``SPARK_MASTER`` / ``MASTER`` — launcher-script conventions;
-    * ``PYSPARK_SUBMIT_ARGS`` — set by ``spark-submit`` itself; carries
-      ``--master <url>`` and/or ``--conf spark.master=<url>``.
+    * ``spark-submit app.py``: the JVM gateway is ALREADY RUNNING before
+      user code executes (PythonRunner exports ``PYSPARK_GATEWAY_PORT``/
+      ``SECRET``, never the submit args), so the submitted ``--master``
+      is visible only as the live gateway's ``spark.master`` system
+      property — ``SparkConf()`` attaches to that gateway and sees it;
+    * ``pyspark``-shell style launches: ``PYSPARK_SUBMIT_ARGS`` carries
+      ``--master <url>`` / ``--conf spark.master=<url>``;
+    * launcher-script conventions: ``SPARK_MASTER`` / ``MASTER``.
+
+    In a bare ``python`` process none of these exist (and SparkConf() is
+    never consulted — constructing it there would launch a gateway), so
+    the caller falls back to local[N].
     """
     for var in ("SPARK_MASTER", "MASTER"):
         val = os.environ.get(var)
@@ -42,6 +49,14 @@ def _external_master() -> str | None:
             return tok.split("=", 1)[1]
         if tok == "--conf" and i + 1 < len(tokens) and tokens[i + 1].startswith("spark.master="):
             return tokens[i + 1].split("=", 1)[1]
+    if os.environ.get("PYSPARK_GATEWAY_PORT"):
+        # only under spark-submit: attach to the existing gateway and read
+        # the submitted master from the JVM system properties
+        from pyspark import SparkConf
+
+        conf = SparkConf()
+        if conf.contains("spark.master"):
+            return conf.get("spark.master")
     return None
 
 

@@ -136,6 +136,78 @@ def zorder_by(
     return spark.read.parquet(out_path)
 
 
+def _require_local_path(path: str, verb: str) -> None:
+    """File discovery and the swap ride the LOCAL filesystem (glob/os/
+    shutil) — on an object-store URI the glob would match nothing and the
+    operation would silently "succeed" over zero files, the worst failure
+    mode a data-mutation verb can have. Refuse loudly; the hadoop_fs
+    helpers are the porting seam when a remote-FS variant is needed."""
+    if "://" in path:
+        raise ValueError(
+            f"{verb} operates on local paths only; got {path!r} "
+            f"(a silent no-op over an object store would fake a completed {verb})"
+        )
+
+
+def _prune_files_by_key_stats(
+    files: list[str], key_col: str, targets: list
+) -> tuple[list[str], int]:
+    """Files whose parquet footer min/max range can contain ANY target key,
+    plus their total row count (from the same footers — no second read).
+    A file whose writer omitted the column statistics is conservatively
+    treated as affected. One metadata read per file, never a data scan."""
+    import pyarrow.parquet as pq
+
+    affected, rows = [], 0
+    for f in files:
+        meta = pq.read_metadata(f)
+        lo = hi = None
+        stats_missing = False
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == key_col
+            )
+            st = col.statistics
+            if st is None or st.min is None or st.max is None:
+                stats_missing = True
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if stats_missing or (lo is not None and any(lo <= k <= hi for k in targets)):
+            affected.append(f)
+            rows += meta.num_rows
+    return affected, rows
+
+
+def _staged_swap(
+    root: str, staged_df: DataFrame, n_files: int, originals: list[str], stage_name: str
+) -> int:
+    """Write ``staged_df`` to a stage dir, move the staged files IN under
+    fresh collision-free names, THEN remove ``originals`` — a crash between
+    the two steps leaves DUPLICATED rows, never lost ones (re-running the
+    calling verb restores its contract). Returns the staged row count
+    (from the staged footers — metadata only)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    stage = f"{root}/{stage_name}"
+    staged_df.repartition(n_files).write.mode("overwrite").parquet(stage)
+    staged = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+    rows_after = sum(pq.read_metadata(f).num_rows for f in staged)
+    for f in staged:
+        _shutil.move(f, f"{root}/part-{_uuid.uuid4().hex}.parquet")
+    for f in originals:
+        _os.remove(f)
+    _shutil.rmtree(stage, ignore_errors=True)
+    return rows_after
+
+
 def delete_keys(
     spark: SparkSession,
     path: str,
@@ -164,47 +236,13 @@ def delete_keys(
     not.
     """
     import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
 
-    import pyarrow.parquet as pq
-
-    # file discovery and the swap ride the LOCAL filesystem (glob/os/shutil)
-    # — on an object-store URI the glob would match nothing and the deletion
-    # would silently "succeed" over zero files, the worst failure mode a
-    # GDPR verb can have. Refuse loudly; the hadoop_fs helpers are the
-    # porting seam when a remote-FS variant is needed.
-    if "://" in path:
-        raise ValueError(
-            f"delete_keys operates on local paths only; got {path!r} "
-            "(a silent no-op over an object store would fake a completed deletion)"
-        )
-
+    _require_local_path(path, "delete_keys")
     pin_reader_conf(spark)
-    files = sorted(_glob.glob(f"{path.rstrip('/')}/*.parquet"))
+    root = path.rstrip("/")
+    files = sorted(_glob.glob(f"{root}/*.parquet"))
     targets = sorted(keys)
-    affected = []
-    for f in files:
-        meta = pq.read_metadata(f)
-        lo = hi = None
-        stats_missing = False
-        for rg in range(meta.num_row_groups):
-            col = next(
-                meta.row_group(rg).column(i)
-                for i in range(meta.num_columns)
-                if meta.row_group(rg).column(i).path_in_schema == key_col
-            )
-            st = col.statistics
-            if st is None or st.min is None or st.max is None:
-                # writer omitted footer stats (e.g. very long strings):
-                # conservatively treat the file as possibly containing keys
-                stats_missing = True
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if stats_missing or (lo is not None and any(lo <= k <= hi for k in targets)):
-            affected.append(f)
+    affected, rows_before = _prune_files_by_key_stats(files, key_col, targets)
 
     deleted = 0
     if affected:
@@ -213,22 +251,8 @@ def delete_keys(
         # NULL keys, which would silently delete every NULL-key row in an
         # affected file — rows nobody asked to delete
         keep = df.where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
-        # rewrite affected files: stage, move staged IN (unique names), then
-        # remove originals — crash between the two leaves duplicates, not loss
-        stage = f"{path.rstrip('/')}/.delete_stage"
-        keep.repartition(len(affected)).write.mode("overwrite").parquet(stage)
-        staged = sorted(_glob.glob(f"{stage}/part-*.parquet"))
-        # deleted count from footers (metadata only) — the affected files
-        # were already footer-read above, and re-scanning the data twice
-        # (count, count) tripled deletion latency for a single number
-        rows_before = sum(pq.read_metadata(f).num_rows for f in affected)
-        rows_after = sum(pq.read_metadata(f).num_rows for f in staged)
+        rows_after = _staged_swap(root, keep, len(affected), affected, ".delete_stage")
         deleted = rows_before - rows_after
-        for f in staged:
-            _shutil.move(f, f"{path.rstrip('/')}/part-{_uuid.uuid4().hex}.parquet")
-        for f in affected:
-            _os.remove(f)
-        _shutil.rmtree(stage, ignore_errors=True)
 
     return {
         "rewritten": len(affected),
@@ -270,18 +294,8 @@ def merge_into(
     "replaced_rows": r}``.
     """
     import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import uuid as _uuid
 
-    import pyarrow.parquet as pq
-
-    if "://" in target_path:
-        raise ValueError(
-            f"merge_into operates on local paths only; got {target_path!r} "
-            "(a silent no-op over an object store would fake a completed merge)"
-        )
-
+    _require_local_path(target_path, "merge_into")
     pin_reader_conf(spark)
     root = target_path.rstrip("/")
     files = sorted(_glob.glob(f"{root}/*.parquet"))
@@ -315,25 +329,7 @@ def merge_into(
     targets = sorted(r[key_col] for r in key_rows)
     n_updates = len(key_rows)
 
-    affected = []
-    for f in files:
-        meta = pq.read_metadata(f)
-        lo = hi = None
-        stats_missing = False
-        for rg in range(meta.num_row_groups):
-            col = next(
-                meta.row_group(rg).column(i)
-                for i in range(meta.num_columns)
-                if meta.row_group(rg).column(i).path_in_schema == key_col
-            )
-            st = col.statistics
-            if st is None or st.min is None or st.max is None:
-                stats_missing = True
-                break
-            lo = st.min if lo is None else min(lo, st.min)
-            hi = st.max if hi is None else max(hi, st.max)
-        if stats_missing or (lo is not None and any(lo <= k <= hi for k in targets)):
-            affected.append(f)
+    affected, rows_before = _prune_files_by_key_stats(files, key_col, targets)
 
     # kept = affected rows minus merged keys (NULL-safe: a NULL key row is
     # never a merge target); staged output = kept ∪ updates
@@ -343,22 +339,13 @@ def merge_into(
             F.col(key_col).isNull() | ~F.col(key_col).isin(targets)
         ).select(*target_schema.fieldNames())
         staged_df = kept.unionByName(updates)
-        rows_before = sum(pq.read_metadata(f).num_rows for f in affected)
     else:
         staged_df = updates
-        rows_before = 0
 
-    stage = f"{root}/.merge_stage"
-    n_out_files = max(1, len(affected))
-    staged_df.repartition(n_out_files).write.mode("overwrite").parquet(stage)
-    staged = sorted(_glob.glob(f"{stage}/part-*.parquet"))
-    rows_after = sum(pq.read_metadata(f).num_rows for f in staged)
+    rows_after = _staged_swap(
+        root, staged_df, max(1, len(affected)), affected, ".merge_stage"
+    )
     replaced = rows_before + n_updates - rows_after
-    for f in staged:
-        _shutil.move(f, f"{root}/part-{_uuid.uuid4().hex}.parquet")
-    for f in affected:
-        _os.remove(f)
-    _shutil.rmtree(stage, ignore_errors=True)
 
     return {
         "rewritten": len(affected),

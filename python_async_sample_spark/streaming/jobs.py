@@ -535,10 +535,23 @@ def drain_mv_merge(spark: SparkSession, src_dir: str, work_dir: str) -> None:
         fp_path = f"{snap}.fp"
         fp = _batch_fingerprint(batch_df)
         if os.path.exists(f"{snap}/_SUCCESS"):
-            committed_fp = None
-            if os.path.exists(fp_path):
-                with open(fp_path, encoding="ascii") as fh:
-                    committed_fp = fh.read().strip()
+            if not os.path.exists(fp_path):
+                # legacy snapshot (committed before fingerprints existed):
+                # the new-lifetime hazard cannot apply — every snapshot this
+                # code writes gets a sidecar first — so this is the old
+                # crash-window replay; skip like the pre-fingerprint code
+                # did, but say so.
+                import warnings
+
+                warnings.warn(
+                    f"MV snapshot {snap} has no batch-fingerprint sidecar "
+                    "(committed by a pre-fingerprint version); treating the "
+                    "replay as genuine and skipping the merge.",
+                    stacklevel=2,
+                )
+                return
+            with open(fp_path, encoding="ascii") as fh:
+                committed_fp = fh.read().strip()
             if committed_fp == fp:
                 return  # genuine epoch replay — durably merged already
             raise RuntimeError(

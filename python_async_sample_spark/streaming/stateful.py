@@ -225,18 +225,19 @@ def ensure_protobuf() -> bool:
     if not candidates:
         return False
     vendor = candidates[0]
-    shim = os.path.join(tempfile.gettempdir(), "spark_graft_pbshim")
+    # a FRESH private dir per process (mkdtemp: mode 0700, unpredictable
+    # name) — a fixed world-known path under /tmp would let any local user
+    # pre-plant a google/__init__.py that the driver and every worker then
+    # import, and stale symlinks from earlier runs would shadow a
+    # re-configured vendor dir
+    shim = tempfile.mkdtemp(prefix="spark_graft_pbshim_")
     pkg = os.path.join(shim, "google")
-    os.makedirs(pkg, exist_ok=True)
-    init = os.path.join(pkg, "__init__.py")
-    if not os.path.exists(init):
-        with open(init, "w", encoding="ascii") as fh:
-            fh.write(
-                "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
-            )
-    link = os.path.join(pkg, "protobuf")
-    if not os.path.exists(link):
-        os.symlink(os.path.join(vendor, "google", "protobuf"), link)
+    os.makedirs(pkg)
+    with open(os.path.join(pkg, "__init__.py"), "w", encoding="ascii") as fh:
+        fh.write(
+            "__path__ = __import__('pkgutil').extend_path(__path__, __name__)\n"
+        )
+    os.symlink(os.path.join(vendor, "google", "protobuf"), os.path.join(pkg, "protobuf"))
 
     os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
     existing = os.environ.get("PYTHONPATH", "")

@@ -180,3 +180,35 @@ def test_fresh_checkpoint_with_different_batch_refuses_loudly(spark, sf_dir):
     with pytest.raises(StreamingQueryException, match="different stream lifetimes"):
         drain_mv_merge(spark, src, tmp)
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_legacy_snapshot_without_sidecar_skips_replay(spark, sf_dir):
+    """A snapshot committed by the pre-fingerprint code (no .fp sidecar)
+    replaying after a crash must SKIP (the old, correct behavior) — not
+    raise a false 'different lifetimes' diagnosis."""
+    import shutil
+
+    from python_async_sample_spark.sources.readers import pin_reader_conf
+    from python_async_sample_spark.streaming.jobs import _latest_mv_version, drain_mv_merge
+
+    tmp = tempfile.mkdtemp(prefix="mv_legacy_")
+    src, staged = f"{tmp}/src", f"{tmp}/staged"
+    pin_reader_conf(spark)
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    ev.coalesce(1).write.mode("overwrite").parquet(staged)
+    os.makedirs(src, exist_ok=True)
+    (part,) = sorted(glob.glob(f"{staged}/part-*.parquet"))
+    shutil.copy(part, f"{src}/file0.parquet")
+
+    drain_mv_merge(spark, src, tmp)
+    os.remove(f"{tmp}/mv/v00000.fp")  # simulate a pre-fingerprint commit
+    shutil.rmtree(f"{tmp}/checkpoint")  # crash-window replay of epoch 0
+
+    drain_mv_merge(spark, src, tmp)  # must warn+skip, not raise
+
+    got = (
+        spark.read.parquet(_latest_mv_version(f"{tmp}/mv"))
+        .groupBy().agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+    )
+    assert got == ev.count()  # not double-merged
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -96,7 +96,7 @@ def test_external_master_detection_covers_submit_args(monkeypatch):
     submission with local[N]."""
     from python_async_sample_spark.session import _external_master
 
-    for var in ("SPARK_MASTER", "MASTER", "PYSPARK_SUBMIT_ARGS"):
+    for var in ("SPARK_MASTER", "MASTER", "PYSPARK_SUBMIT_ARGS", "PYSPARK_GATEWAY_PORT"):
         monkeypatch.delenv(var, raising=False)
     assert _external_master() is None
 
