@@ -39,12 +39,14 @@ def _normalized_key(df: DataFrame, key_col: str):
     return col
 
 
-def _bit_positions(col, k: int, m_bits: int):
+def _bit_positions(col, k: int, m_bits: int, hash_fn=None):
     """k (word, mask) structs for ``col`` under seeds 0..k-1 — xxhash64
-    JVM-side, no Python in the path."""
+    JVM-side, no Python in the path. ``hash_fn(col, i)`` swaps the family
+    (e.g. ``sketches.portable_hash`` for a DuckDB-replayable filter)."""
     out = []
     for i in range(k):
-        h = F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+        raw = hash_fn(col, i) if hash_fn is not None else F.xxhash64(col, F.lit(i))
+        h = F.pmod(raw, F.lit(m_bits))
         # call_function: F.shiftleft only takes a literal shift count, the
         # SQL function accepts a column
         mask = F.call_function(
@@ -60,12 +62,12 @@ def _bit_positions(col, k: int, m_bits: int):
 
 
 def build_bloom(
-    build: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5
+    build: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5, hash_fn=None
 ) -> DataFrame:
     """Aggregate the build side's keys into a (word, word_mask) filter
     relation of at most ``m_bits/64`` rows."""
     return (
-        build.select(F.explode(_bit_positions(_normalized_key(build, key_col), k, m_bits)).alias("b"))
+        build.select(F.explode(_bit_positions(_normalized_key(build, key_col), k, m_bits, hash_fn)).alias("b"))
         .select("b.word", "b.mask")
         .groupBy("word")
         .agg(F.bit_or("mask").alias("word_mask"))
@@ -73,7 +75,12 @@ def build_bloom(
 
 
 def bloom_might_contain(
-    probe: DataFrame, bloom: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 5
+    probe: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    hash_fn=None,
 ) -> DataFrame:
     """Keep probe rows whose key might be in the filter (all k bits set).
 
@@ -85,7 +92,7 @@ def bloom_might_contain(
         F.map_from_entries(F.collect_list(F.struct("word", "word_mask"))).alias("__bm")
     )
     tagged = probe.withColumn(
-        "__bp", _bit_positions(_normalized_key(probe, key_col), k, m_bits)
+        "__bp", _bit_positions(_normalized_key(probe, key_col), k, m_bits, hash_fn)
     ).crossJoin(F.broadcast(bloom_map))
     keep = F.forall(
         "__bp",

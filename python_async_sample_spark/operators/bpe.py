@@ -151,6 +151,60 @@ def bpe_oracle_sql(
     best pair falls below ``min_count`` contributes no merge row and
     leaves the corpus unchanged, so the early stop cascades.
     """
+    parts = _bpe_chain_sql(table, id_col, text_col, n_merges, min_count)
+    m = "chr(30)"
+    ranked = "\nUNION ALL\n".join(
+        f"SELECT {i + 1} AS rank, a, b, c FROM top{i}" for i in range(n_merges)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+        merges AS ({ranked})
+        SELECT CAST(rank AS INT) AS rank,
+               replace(a, {m}, ' ') AS "left",
+               replace(b, {m}, ' ') AS "right",
+               CAST(c AS BIGINT) AS pair_count
+        FROM merges ORDER BY rank"""
+    )
+
+
+def bpe_encode_oracle_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_merges: int,
+    min_count: int = 2,
+) -> str:
+    """DuckDB replay of :func:`segment_with_merges` fed by a fresh
+    :func:`learn_bpe` — the ENCODE path: after the training chain's final
+    corpus state s{n}, each document's symbol count is read straight off
+    its doubled-separator string (``len(split) - 2`` strips the two empty
+    boundary slots), joined back to the source for the whitespace-token
+    baseline. Certifies that applying the learned merges left-to-right
+    compresses every document identically on an independent engine."""
+    s2 = "chr(31)"
+    parts = _bpe_chain_sql(table, id_col, text_col, n_merges, min_count)
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT s.doc AS doc_id,
+               CAST(len(string_split(d.{text_col}, ' ')) AS BIGINT) AS n_ws_tokens,
+               CAST(len(string_split(s.seq, {s2} || {s2})) - 2 AS BIGINT)
+                 AS n_bpe_symbols,
+               CAST(len(string_split(d.{text_col}, ' '))
+                    - (len(string_split(s.seq, {s2} || {s2})) - 2) AS BIGINT)
+                 AS merged_away
+        FROM s{n_merges} s JOIN {table} d ON s.doc = d.{id_col}
+        ORDER BY doc_id"""
+    )
+
+
+def _bpe_chain_sql(
+    table: str, id_col: str, text_col: str, n_merges: int, min_count: int
+) -> list[str]:
+    """The shared chained-CTE training replay: returns the WITH components
+    s0..s{n}, pc{i}, top{i} (all MATERIALIZED — DuckDB inlines plain CTEs
+    per reference, which made the chain exponential)."""
     s2, m = "chr(31)", "chr(30)"  # doubled separator char, merge joiner
     parts = [
         f"""WITH s0 AS MATERIALIZED (
@@ -186,16 +240,4 @@ def bpe_oracle_sql(
               FROM s{i} LEFT JOIN top{i} t ON TRUE
             )"""
         )
-    ranked = "\nUNION ALL\n".join(
-        f"SELECT {i + 1} AS rank, a, b, c FROM top{i}" for i in range(n_merges)
-    )
-    return (
-        ",\n".join(parts)
-        + f""",
-        merges AS ({ranked})
-        SELECT CAST(rank AS INT) AS rank,
-               replace(a, {m}, ' ') AS "left",
-               replace(b, {m}, ' ') AS "right",
-               CAST(c AS BIGINT) AS pair_count
-        FROM merges ORDER BY rank"""
-    )
+    return parts

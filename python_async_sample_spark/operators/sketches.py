@@ -99,3 +99,188 @@ def cms_estimate(
         .groupBy(key_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash sketch variants — cross-engine replayable.
+#
+# xxhash64 has no DuckDB equivalent, so the sketches above carry error-band
+# guards instead of value oracles.  The variants below ride a 32-bit
+# xor-shift-multiply mixer (two rounds of ``h ^= h >> 16; h *= M`` plus a
+# final xor-fold — the splitmix/lowbias32 construction, seeded per hash
+# index by the golden gamma):
+#
+#     x   = (key + (i+1) * 0x9E3779B9) mod 2^32
+#     x   = ((x XOR (x >> 16)) * 0x45D9F3B) mod 2^32      (twice)
+#     h_i = x XOR (x >> 16)                               (< 2^32)
+#
+# Every step is exact int64 arithmetic (operands < 2^32, products < 2^59 —
+# no overflow on any ANSI engine) using only XOR / shift / multiply /
+# modulo, all of which DuckDB computes bit-identically — so the ENTIRE
+# sketch (every CMS cell, HLL register, Bloom bit) is reproducible in plain
+# SQL and hash-matchable, not just error-banded.  An affine hash
+# (a*x+b mod p) is NOT enough here despite being 2-universal: it maps
+# arithmetic-progression keys (sequential ids — the common case) onto
+# correlated registers/leading-zero patterns and HLL's estimate collapses;
+# the xor-multiply rounds break that structure.
+# ---------------------------------------------------------------------------
+
+_PH_M32 = 1 << 32
+_PH_GAMMA = 0x9E3779B9
+_PH_MULT = 0x45D9F3B
+
+
+def portable_hash(col, i: int):
+    """h_i over an integral column, as exact int64 Spark expressions.
+    ``pmod`` keeps the seed reduction non-negative for negative keys; the
+    mix rounds preserve [0, 2^32) so plain ``%`` suffices after them."""
+    x = F.pmod(col.cast("long") + F.lit(_PH_GAMMA * (i + 1)), F.lit(_PH_M32))
+    for _ in range(2):
+        x = F.pmod(
+            x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PH_MULT), F.lit(_PH_M32)
+        )
+    return x.bitwiseXOR(F.shiftright(x, 16))
+
+
+def portable_hash_sql(expr: str, i: int) -> str:
+    """The same h_i as a DuckDB SQL fragment.  The sub-expression is spelled
+    out twice per round (no LET in SQL) — deterministic, just verbose."""
+    x = f"((({expr}) + {_PH_GAMMA * (i + 1)}) % {_PH_M32} + {_PH_M32}) % {_PH_M32}"
+    for _ in range(2):
+        x = f"((xor({x}, ({x}) >> 16)) * {_PH_MULT}) % {_PH_M32}"
+    return f"xor({x}, ({x}) >> 16)"
+
+
+def cms_build_portable(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """:func:`cms_build` with the portable hash family — same explode +
+    bounded groupBy shape, same cell-sum mergeability, but every cell value
+    is reproducible in SQL (see ``cms_cell_sql``)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (portable_hash(F.col(key_col), i) % width).cast("int").alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        df.select(rows.alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+
+
+def cms_estimate_portable(
+    keys: DataFrame, sketch: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """:func:`cms_estimate` over a portable-hash sketch (broadcast join —
+    the sketch is depth*width-bounded by construction)."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (portable_hash(F.col(key_col), i) % width)
+                        .cast("int")
+                        .alias("col"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("rc"),
+    ).select(key_col, F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col"], "left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("est_count"))
+    )
+
+
+def cms_cell_sql(expr: str, i: int, width: int) -> str:
+    """SQL fragment for the portable CMS column index of hash row ``i``."""
+    return f"({portable_hash_sql(expr, i)} % {width})"
+
+
+def hll_portable_registers(df: DataFrame, key_col: str, m: int = 128) -> DataFrame:
+    """Portable-hash HyperLogLog register relation (reg, max_rho).
+
+    One hash per key: the low ``log2 m`` bits (h mod m) pick the register,
+    the remaining budget ``B = 32 - log2 m`` bits (h div m) feed
+    rho = leading-zero count + 1, computed portably as ``B - bitlength(w)
+    + 1`` with bitlength via the base-2 string (Spark ``conv``, DuckDB
+    ``printf('%b')`` — both return '0' for 0, handled by the w=0 branch).
+    The relation is m-bounded and merges by per-register MAX — the HLL
+    merge law, pinned in tests/test_sketches.py."""
+    assert m & (m - 1) == 0 and 2 <= m <= 65536, "m must be a power of two"
+    budget = 32 - m.bit_length() + 1  # bits of h above the register index
+    h = portable_hash(F.col(key_col), 0)
+    w = F.floor(h / m).cast("long")
+    rho = F.when(w == 0, F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select((h % m).cast("int").alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy("reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_portable_estimate(registers: DataFrame, m: int = 128) -> DataFrame:
+    """One-row (v_zero, est) from a portable register relation.
+
+    Standard HLL with small-range correction: E_raw = alpha_m * m^2 /
+    (sum 2^-M_j + V) where V counts never-touched registers (each
+    contributing 2^0); if E_raw <= 2.5m and V > 0, E = m * ln(m/V).  Every
+    term is cross-engine exact (powers of two sum exactly in a 53-bit
+    mantissa; the alpha literal is spelled identically in the SQL twin) —
+    only ln() rides libm, so estimates are rounded to 2 decimals."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))).alias("present_sum"),
+    )
+    e_raw = F.lit(alpha) * m * m / (F.col("present_sum") + F.col("v_zero"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return agg.select("v_zero", F.round(est, 2).alias("est"))
+
+
+def hll_portable_sql(table: str, expr: str, m: int = 128) -> str:
+    """DuckDB replay of registers + estimate over ``expr`` in ``table``."""
+    budget = 32 - m.bit_length() + 1
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    h = portable_hash_sql(expr, 0)
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT {h} AS h FROM {table}
+    ),
+    regs AS (
+      SELECT h % {m} AS reg,
+             CASE WHEN h // {m} = 0 THEN {budget + 1}
+                  ELSE {budget + 1} - length(printf('%b', h // {m}))
+             END AS rho
+      FROM hashes
+    ),
+    m_regs AS (SELECT reg, max(rho) AS max_rho FROM regs GROUP BY reg),
+    agg AS (
+      SELECT CAST({m} - count(*) AS BIGINT) AS v_zero,
+             sum(power(2.0, -max_rho)) AS present_sum
+      FROM m_regs
+    )
+    SELECT v_zero,
+           round(CASE WHEN {alpha} * {m} * {m} / (present_sum + v_zero) <= 2.5 * {m}
+                       AND v_zero > 0
+                      THEN {m} * ln({m} * 1.0 / v_zero)
+                      ELSE {alpha} * {m} * {m} / (present_sum + v_zero)
+                 END, 2) AS est
+    FROM agg
+    """

@@ -91,7 +91,12 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # the remaining r3 candidates (q106, q112, q115, q140) and the rest of the
 # r3 middle (q100-q120 range, q124-q148 range, q164-q175) — all verified
 # every round by scripts/driver_sim.py + tests/test_oracle_parity.py, and
-# the natural round-5 rotation pool.
+# the natural round-5 rotation pool.  ROUND-5 CANDIDATES, strongest first:
+# the round-4 additions q177 (MERGE INTO), q176 (PNG pixel decode), q178
+# (PCA closed form), q179 (BPE encode), q180-q183 (portable-hash CMS/HLL/
+# Bloom/bootstrap — the first value-oracled sketches), then q106, q112,
+# q115, q140, q127 (k-means, oracled since r4), q141 (BPE training,
+# oracled since r4), q144, q145-q148, q164-q175.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
@@ -212,6 +217,7 @@ def load_all() -> dict[str, QuerySpec]:
         linkage_queries,
         multimodal_queries,
         pipeline_queries,
+        portable_sketch_queries,
         relational,
         rollup_queries,
         similarity_queries,

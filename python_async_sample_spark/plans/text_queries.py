@@ -767,6 +767,51 @@ def q141_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+from python_async_sample_spark.operators.bpe import (
+    bpe_encode_oracle_sql as _bpe_encode_oracle,
+)
+
+
+@query(
+    "q179_bpe_encode",
+    # full train->encode round trip oracled: the DuckDB replay re-learns the
+    # merges AND re-applies them, so both learn_bpe and segment_with_merges
+    # (the tokenize-with-vocab path q141 leaves untested at the oracle
+    # level) must agree with an independent engine per document
+    oracle=_bpe_encode_oracle("documents", "doc_id", "text", n_merges=8),
+    ref="BPE tokenization/encode with a learned vocabulary (beyond reference; the apply side of q141's training loop)",
+    tags=("llm-data", "text"),
+)
+def q179_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a just-learned 8-merge BPE vocabulary and
+    account per document: whitespace tokens in, BPE symbols out, symbols
+    merged away. Training is q141's loop; ENCODING is one pure-JVM fold
+    per merge over each document's symbol array — embarrassingly parallel,
+    no shuffle at all (the merge list is a plan literal, never a join).
+    The token-count deltas feed packing/budget stages (q47/q122), which
+    is why the per-document accounting — not just the vocabulary — needs
+    certification."""
+    from python_async_sample_spark.operators.bpe import learn_bpe, segment_with_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe(docs, "doc_id", "text", n_merges=8)
+    seg = segment_with_merges(docs, "doc_id", "text", merges)
+    ws = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+    )
+    return (
+        seg.join(ws, "doc")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_ws_tokens",
+            F.col("n_syms").alias("n_bpe_symbols"),
+            (F.col("n_ws_tokens") - F.col("n_syms")).cast("bigint").alias("merged_away"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query(
     "q146_batch_inference",
     oracle="""

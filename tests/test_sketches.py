@@ -152,3 +152,116 @@ def test_hll_inclusion_exclusion_overlap(spark):
     assert abs(overlap(a, b_disjoint)) < 30
     assert abs(overlap(a, b_half) - 500) < 50
     assert abs(overlap(a, a) - 1000) < 30
+
+
+# ---------------------------------------------------------------------------
+# Portable-hash family (cross-engine replayable sketches)
+# ---------------------------------------------------------------------------
+
+
+def test_portable_hash_matches_duckdb_bit_for_bit(spark):
+    """THE contract everything portable rests on: Spark's mixer and the SQL
+    fragment produce identical values for every hash index, including
+    negative and 2^32-straddling keys."""
+    import duckdb
+
+    from python_async_sample_spark.operators.sketches import (
+        portable_hash,
+        portable_hash_sql,
+    )
+
+    keys = [-(2**40) - 7, -129, -1, 0, 1, 2, 127, 65535, 65536, 2**31 - 1, 2**31, 2**40 + 3]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {
+        r["k"]: [r[f"h{i}"] for i in range(4)]
+        for r in df.select(
+            "k", *[portable_hash(F.col("k"), i).alias(f"h{i}") for i in range(4)]
+        ).collect()
+    }
+    con = duckdb.connect()
+    for k in keys:
+        want = [
+            con.execute(f"SELECT {portable_hash_sql(str(k), i)}").fetchone()[0]
+            for i in range(4)
+        ]
+        assert got[k] == want, f"hash mismatch for key {k}"
+        assert all(0 <= h < 2**32 for h in want)
+
+
+def test_portable_hash_spreads_sequential_keys(spark):
+    """Sequential ids (the common key shape) must not land on correlated
+    registers/leading-zero patterns — the failure mode that ruled out an
+    affine mod-p family: its HLL estimate over 0..149 was 21x high."""
+    from python_async_sample_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+    )
+
+    df = spark.range(0, 150).select(F.col("id").alias("k"))
+    est = hll_portable_estimate(hll_portable_registers(df, "k", m=128), m=128).collect()[0]["est"]
+    assert abs(est / 150 - 1) < 0.2, est
+
+
+def test_portable_cms_never_underestimates_and_merges(spark, sf_dir):
+    from python_async_sample_spark.operators.sketches import (
+        cms_build_portable,
+        cms_estimate_portable,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    sketch = cms_build_portable(ev, "user_id", depth=4, width=64)
+    est = cms_estimate_portable(keys, sketch, "user_id", depth=4, width=64)
+    true = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("t"))
+    n = ev.count()
+    bad = est.join(true, "user_id").where(
+        (F.col("est_count") < F.col("t"))
+        | (F.col("est_count") > F.col("t") + 3.0 * n / 64)
+    )
+    assert bad.count() == 0
+
+    # merge law: sketch(A) + sketch(B) cell-sum == sketch(A union B)
+    a = ev.where(F.col("event_type") == "purchase")
+    b = ev.where(F.col("event_type") != "purchase")
+    merged = (
+        cms_build_portable(a, "user_id", depth=4, width=64)
+        .unionByName(cms_build_portable(b, "user_id", depth=4, width=64))
+        .groupBy("row", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_build_portable(ev, "user_id", depth=4, width=64)
+    assert merged.exceptAll(direct).count() == 0 and direct.exceptAll(merged).count() == 0
+
+
+def test_portable_hll_register_merge_law(spark, sf_dir):
+    """max-per-register of two partial register relations == registers of
+    the union — the property that lets 100 TB build per-partition HLLs."""
+    from python_async_sample_spark.operators.sketches import hll_portable_registers
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.where(F.col("user_id") % 2 == 0)
+    b = ev.where(F.col("user_id") % 2 != 0)
+    merged = (
+        hll_portable_registers(a, "user_id", m=128)
+        .unionByName(hll_portable_registers(b, "user_id", m=128))
+        .groupBy("reg")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    direct = hll_portable_registers(ev, "user_id", m=128)
+    assert merged.exceptAll(direct).count() == 0 and direct.exceptAll(merged).count() == 0
+
+
+def test_portable_bloom_no_false_negatives(spark, sf_dir):
+    from python_async_sample_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+    from python_async_sample_spark.operators.sketches import portable_hash
+
+    ev = load_table(spark, sf_dir, "events")
+    build = ev.where(F.col("event_type") == "signup").select("user_id").distinct()
+    bloom = build_bloom(build, "user_id", m_bits=2048, k=3, hash_fn=portable_hash)
+    passed = bloom_might_contain(ev, bloom, "user_id", m_bits=2048, k=3, hash_fn=portable_hash)
+    truth = ev.join(build, "user_id", "left_semi")
+    missed = truth.join(passed.select("event_id"), "event_id", "left_anti")
+    assert missed.count() == 0
