@@ -77,12 +77,19 @@ def learn_bpe(
     n_merges: int,
     min_count: int = 2,
     sep: str = "\x1e",
-) -> list[tuple[str, str, int]]:
+    return_corpus: bool = False,
+):
     """Learn ``n_merges`` BPE merges over the corpus; returns
     [(left, right, pair_count), ...] in learned order. Stops early when no
     pair reaches ``min_count``. Each iteration costs one corpus scan + one
     pair-keyed shuffle + a one-row argmax; merged symbols join with
-    ``sep`` so multi-way merges stay unambiguous."""
+    ``sep`` so multi-way merges stay unambiguous.
+
+    ``return_corpus=True`` returns ``(merges, symbols_df)`` where the
+    (doc, syms) relation already has every learned merge applied — the
+    training loop rewrites the corpus each iteration anyway, so an
+    encode-after-train caller gets its tokenized corpus for FREE instead
+    of replaying ``n_merges`` folds over the raw text (halved q179)."""
     symbols = to_symbols(df, id_col, text_col)
     # the per-iteration fold rewrites EVERY document — a small source (one
     # parquet file -> one partition) would serialize that work, so fan out
@@ -108,6 +115,8 @@ def learn_bpe(
         # the rewritten corpus as a side effect — one job per iteration
         # instead of two
         symbols = _apply_merge(symbols, a, b, a + sep + b).localCheckpoint(eager=False)
+    if return_corpus:
+        return merges, symbols
     return merges
 
 

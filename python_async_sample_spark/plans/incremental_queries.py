@@ -143,3 +143,100 @@ def q177_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q184_versioned_time_travel",
+    oracle="""
+    WITH upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ins AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             CAST(42.42 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 397 = 0
+    ),
+    merged AS (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM upd
+      UNION ALL SELECT * FROM ins
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    ),
+    v2 AS (
+      SELECT CAST(2 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM merged GROUP BY o_orderstatus
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v2
+    ORDER BY version, o_orderstatus
+    """,
+    ref="S11-S13 upgraded to snapshot semantics: manifest-versioned MERGE with atomic visibility + time travel (sources/versioned.py; the whole-table generalization of the reference's watermark interval swap, dbs/nikon.py:107-186)",
+    tags=("incremental", "sink", "versioned"),
+)
+def q184_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q177's MERGE batch against a MANIFEST-VERSIONED table: the same CDC
+    batch commits twice (v1, v2 — re-delivery is a new identical-content
+    snapshot, not corruption), then ONE output reports the per-status
+    rollup of BOTH version 0 and the head. The oracle checks two
+    properties at once: the head equals DuckDB's from-first-principles
+    merge, and time travel still returns the EXACT pre-merge table — a
+    crash-window observer can only ever see one of these two states
+    (commits are exclusive-linked manifests; data files are immutable;
+    see tests/test_versioned.py for the crash and racing-writer cases)."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_vtq_")
+    root = f"{tmp}/orders_v"
+    orders = load_table(spark, sf_dir, "orders")
+    # range-ordered base so footer min/max pruning has teeth (same reason
+    # q177 cluster_by's its copy)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 397 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.lit(42.42))
+        )
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    merge_into_versioned(spark, root, updates, "o_orderkey")  # re-delivery
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+        )
+
+    return (
+        rollup(read_version(spark, root, 0), 0)
+        .unionByName(rollup(read_version(spark, root), 2))
+        .orderBy("version", "o_orderstatus")
+    )

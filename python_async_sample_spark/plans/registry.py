@@ -94,7 +94,9 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # the natural round-5 rotation pool.  ROUND-5 CANDIDATES, strongest first:
 # the round-4 additions q177 (MERGE INTO), q176 (PNG pixel decode), q178
 # (PCA closed form), q179 (BPE encode), q180-q183 (portable-hash CMS/HLL/
-# Bloom/bootstrap — the first value-oracled sketches), then q106, q112,
+# Bloom/bootstrap — the first value-oracled sketches), q184-q185 (manifest-
+# versioned table: time-travel MERGE, exactly-once streaming sink), then
+# q106, q112,
 # q115, q140, q127 (k-means, oracled since r4), q141 (BPE training,
 # oracled since r4), q144, q145-q148, q164-q175.
 #

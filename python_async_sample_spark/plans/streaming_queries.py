@@ -432,3 +432,48 @@ def q165_stream_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     return _union_poison_guard(
         out, violation, "streamed CMS underestimated a key count — impossible by construction"
     ).orderBy("rank")
+
+
+@query(
+    "q185_stream_versioned_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    ref="streaming exactly-once sink onto the manifest-versioned table (beyond reference; the atomic-visibility upgrade of the epoch-keyed-directory recipe)",
+    tags=("streaming", "versioned", "sink"),
+)
+def q185_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the events stream into a MANIFEST-VERSIONED table, then drain
+    it AGAIN from a fresh checkpoint — the replay every directory-based
+    sink mishandles: epoch ids restart at 0, but the (id, content
+    fingerprint) identity recorded in the manifest op recognizes the
+    replay and skips it, so the rollup equals ONE copy of the stream.
+    Readers meanwhile only ever see whole epochs (each append is one
+    atomic manifest commit). The same mechanism refuses loudly when a
+    reused epoch id carries DIFFERENT data (tests/test_versioned.py)."""
+    from python_async_sample_spark.sources.versioned import create_table, read_version
+    from python_async_sample_spark.streaming.jobs import stream_append_to_versioned
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_svs_")
+    root = f"{tmp}/events_v"
+    seed = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    create_table(spark, root, seed.limit(0), n_files=1)
+
+    stream_append_to_versioned(spark, sf_dir, root, f"{tmp}/ckpt1")
+    # fresh checkpoint, same source: epoch 0 replays; fingerprint says skip
+    stream_append_to_versioned(spark, sf_dir, root, f"{tmp}/ckpt2")
+
+    return (
+        read_version(spark, root)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

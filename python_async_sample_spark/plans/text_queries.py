@@ -791,11 +791,14 @@ def q179_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     The token-count deltas feed packing/budget stages (q47/q122), which
     is why the per-document accounting — not just the vocabulary — needs
     certification."""
-    from python_async_sample_spark.operators.bpe import learn_bpe, segment_with_merges
+    from python_async_sample_spark.operators.bpe import learn_bpe
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = learn_bpe(docs, "doc_id", "text", n_merges=8)
-    seg = segment_with_merges(docs, "doc_id", "text", merges)
+    # return_corpus: training already rewrote the corpus merge by merge —
+    # the encoded relation is free (segment_with_merges replays the same
+    # folds for a vocabulary learned elsewhere; pinned equal in test_bpe)
+    _merges, seg_syms = learn_bpe(docs, "doc_id", "text", n_merges=8, return_corpus=True)
+    seg = seg_syms.select("doc", F.size("syms").cast("bigint").alias("n_syms"))
     ws = docs.select(
         F.col("doc_id").alias("doc"),
         F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),

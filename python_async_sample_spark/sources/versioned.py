@@ -1,0 +1,404 @@
+"""Manifest-versioned parquet tables: atomic snapshots, time travel,
+optimistic concurrency — the Iceberg/Delta discipline distilled to its
+load-bearing core on plain parquet + POSIX primitives.
+
+The in-place verbs (``layout.delete_keys`` / ``layout.merge_into``) carry a
+documented crash window: staged files move IN before originals leave, so a
+crash (or a concurrent reader) can observe duplicated rows.  Versioning
+removes the window entirely:
+
+* data files are IMMUTABLE once written — a snapshot is a MANIFEST (a JSON
+  list of file names + the schema), never the directory listing;
+* a commit creates the next manifest with ``os.link`` from a fully-written
+  temp file — create-exclusive AND all-or-nothing, so readers can never
+  observe a half-written manifest, and two racing writers cannot both win
+  the same version (the loser's ``link`` raises and it must rebase);
+* nothing is ever deleted at write time; :func:`vacuum` later removes only
+  files unreachable from every retained manifest.
+
+A crash at ANY step leaves every committed snapshot intact and readable:
+while staging or moving data files the new files are orphans no manifest
+references (vacuum reclaims them); before the manifest link lands the
+commit simply never happened; after, it fully happened.  Re-running the
+interrupted verb is always safe, and readers are never exposed to an
+intermediate state — strictly stronger than the in-place verbs'
+"duplicates, never loss".
+
+Multiple writers are detected, not assumed away: the exclusive manifest
+create is the commit lock on any namespace with atomic link/create
+(POSIX, HDFS).  Object stores without an atomic create need a coordination
+layer — the same documented porting seam as ``layout._require_local_path``.
+
+Reference tie-in: the reference's watermark table + delete-then-insert
+window (dbs/nikon.py:107-186) hand-rolls "readers see either the old or
+the new interval"; the manifest generalizes that contract from one
+interval to the whole table.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from python_async_sample_spark.sources.layout import (
+    _prune_files_by_key_stats,
+    _require_local_path,
+)
+from python_async_sample_spark.sources.readers import pin_reader_conf
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first — rebase and retry."""
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return f"{root}/{_MANIFEST_DIR}/v{version:07d}.json"
+
+
+def table_versions(root: str) -> list[int]:
+    """All committed versions, ascending. Only fully-committed manifests
+    are visible by construction (exclusive-link commit)."""
+    return sorted(
+        int(os.path.basename(p)[1:-5])
+        for p in glob.glob(f"{root.rstrip('/')}/{_MANIFEST_DIR}/v*.json")
+    )
+
+
+def current_version(root: str) -> int:
+    versions = table_versions(root)
+    if not versions:
+        raise FileNotFoundError(f"no committed manifest under {root!r}")
+    return versions[-1]
+
+
+def _read_manifest(root: str, version: int) -> dict:
+    path = _manifest_path(root.rstrip("/"), version)
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"version {version} of {root!r} does not exist (committed: "
+            f"{table_versions(root)}; it may have been vacuumed)"
+        )
+    with open(path, encoding="ascii") as fh:
+        return json.load(fh)
+
+
+def _stage_files(df: DataFrame, root: str, n_files: int) -> list[str]:
+    """Write ``df`` as ``n_files`` immutable data files and return their
+    data-dir-relative names.  Files are moved under ``data/`` with fresh
+    uuid names BEFORE any manifest references them, so a crash here leaves
+    only unreferenced orphans — invisible to every reader, reclaimed by
+    :func:`vacuum`."""
+    stage = f"{root}/.stage-{uuid.uuid4().hex}"
+    df.repartition(max(1, n_files)).write.mode("overwrite").parquet(stage)
+    os.makedirs(f"{root}/{_DATA_DIR}", exist_ok=True)
+    names = []
+    for f in sorted(glob.glob(f"{stage}/part-*.parquet")):
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        shutil.move(f, f"{root}/{_DATA_DIR}/{name}")
+        names.append(name)
+    shutil.rmtree(stage, ignore_errors=True)
+    return names
+
+
+def _commit(root: str, files: list[str], schema_json: str, op: str, parent: int | None) -> int:
+    """Atomically publish the next manifest.  The JSON is fully written to
+    a temp file first; ``os.link`` then both creates the final name
+    EXCLUSIVELY (two writers racing for the same version — one loses with
+    :class:`ConcurrentWriteError`) and makes the complete content visible
+    in one step (no reader can open a torn manifest)."""
+    version = 0 if parent is None else parent + 1
+    mdir = f"{root}/{_MANIFEST_DIR}"
+    os.makedirs(mdir, exist_ok=True)
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "files": sorted(files),
+        "schema": schema_json,
+    }
+    fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="ascii") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, _manifest_path(root, version))
+        except FileExistsError as ex:
+            raise ConcurrentWriteError(
+                f"version {version} of {root!r} was committed by another "
+                "writer after this one read its parent snapshot — rebase "
+                "on the new current version and retry"
+            ) from ex
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def create_table(spark: SparkSession, root: str, df: DataFrame, n_files: int = 4) -> int:
+    """Materialize ``df`` as version 0 of a new versioned table."""
+    _require_local_path(root, "create_table")
+    root = root.rstrip("/")
+    if table_versions(root):
+        raise FileExistsError(f"versioned table already exists at {root!r}")
+    os.makedirs(root, exist_ok=True)
+    files = _stage_files(df, root, n_files)
+    return _commit(root, files, df.schema.json(), "create", parent=None)
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """The snapshot AS OF ``version`` (default: current).  Reads exactly
+    the manifest's file list — never the directory listing, so concurrent
+    commits, orphaned stage files and pending vacuums are all invisible.
+
+    The read is pinned to the MANIFEST's schema, not whatever the files
+    carry: a data file written before an :func:`add_column` commit lacks
+    the evolved column and surfaces it as NULL (Iceberg's null-fill
+    contract), and time travel to a pre-evolution version reads with that
+    version's schema — the column does not exist there at all."""
+    pin_reader_conf(spark)
+    root = root.rstrip("/")
+    manifest = _read_manifest(root, current_version(root) if version is None else version)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if not manifest["files"]:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[f"{root}/{_DATA_DIR}/{name}" for name in manifest["files"]]
+    )
+
+
+def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
+    """Schema evolution as a metadata-only snapshot commit: the new
+    (nullable) column joins the manifest schema, NO data file rewrites.
+    Readers of this and later versions see NULL for rows in pre-evolution
+    files; time travel to earlier versions does not see the column.  At
+    100 TB this is the difference between an O(1) commit and a full-table
+    rewrite — exactly why manifests carry the schema instead of letting
+    the file listing imply it."""
+    root = root.rstrip("/")
+    _require_local_path(root, "add_column")
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if name in schema.fieldNames():
+        raise ValueError(f"column {name!r} already exists in {root!r}")
+    new_schema = schema.add(T.StructField(name, _parse_ddl_type(ddl_type), True))
+    return _commit(
+        root, manifest["files"], new_schema.json(), f"alter-add:{name}", parent
+    )
+
+
+def _parse_ddl_type(ddl_type: str) -> T.DataType:
+    return T.StructType.fromDDL(f"__c {ddl_type}")["__c"].dataType
+
+
+def merge_into_versioned(
+    spark: SparkSession, root: str, updates: DataFrame, key_col: str
+) -> dict:
+    """Keyed MERGE INTO as a snapshot commit: same semantics and ANSI
+    guards as ``layout.merge_into`` (update rows replace matching target
+    rows, unmatched keys insert; duplicate or NULL update keys raise), but
+    the rewrite lands as a NEW manifest — readers switch from the old
+    snapshot to the merged one atomically, and the old version stays
+    queryable for time travel until vacuumed.
+
+    Scale shape is unchanged: footer min/max pruning picks the affected
+    files from the CURRENT manifest, only those rewrite, the driver touch
+    is the batch's distinct keys (CDC-sized by contract)."""
+    root = root.rstrip("/")
+    _require_local_path(root, "merge_into_versioned")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    schema_json = manifest["schema"]
+    target_fields = [
+        f["name"] for f in json.loads(schema_json)["fields"]
+    ]
+    updates = updates.select(*target_fields)
+
+    # ANSI MERGE cardinality + NULL-key rejection (same contract as the
+    # in-place verb: two updates per key has no deterministic winner, and
+    # a NULL key matches nothing meaningfully)
+    key_rows = (
+        updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    )
+    if any(r[key_col] is None for r in key_rows):
+        raise ValueError("merge_into_versioned: NULL update key")
+    dupes = sorted(r[key_col] for r in key_rows if r["__n"] > 1)
+    if dupes:
+        raise ValueError(
+            f"merge_into_versioned: duplicate update keys {dupes[:5]} — ANSI "
+            "MERGE cardinality violation"
+        )
+    targets = sorted(r[key_col] for r in key_rows)
+    n_updates = len(key_rows)
+    if n_updates == 0:
+        return {
+            "version": parent, "rewritten": 0, "untouched": len(manifest["files"]),
+            "upserted_rows": 0, "replaced_rows": 0,
+        }
+
+    paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+    affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
+    affected_names = {os.path.basename(p) for p in affected}
+
+    if affected:
+        # read with the MANIFEST schema: files from before an add_column
+        # commit surface the evolved column as NULL, so kept ∪ updates
+        # always line up even across schema versions
+        kept = (
+            spark.read.schema(T.StructType.fromJson(json.loads(schema_json)))
+            .parquet(*affected)
+            .where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
+            .select(*target_fields)
+        )
+        staged_df = kept.unionByName(updates)
+    else:
+        staged_df = updates
+    new_names = _stage_files(staged_df, root, max(1, len(affected)))
+    import pyarrow.parquet as pq
+
+    rows_after = sum(
+        pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
+    )
+    next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
+    version = _commit(root, next_files, schema_json, f"merge:{key_col}", parent)
+    return {
+        "version": version,
+        "rewritten": len(affected),
+        "untouched": len(manifest["files"]) - len(affected),
+        "upserted_rows": n_updates,
+        "replaced_rows": rows_before + n_updates - rows_after,
+    }
+
+
+def delete_keys_versioned(
+    spark: SparkSession, root: str, key_col: str, keys: list
+) -> dict:
+    """Keyed deletion as a snapshot commit (the versioned twin of
+    ``layout.delete_keys``, NULL-safe the same way: NULL-key rows are
+    never deletion targets)."""
+    root = root.rstrip("/")
+    _require_local_path(root, "delete_keys_versioned")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    targets = sorted(keys)
+    paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+    affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
+    if not affected:
+        return {"version": parent, "rewritten": 0, "deleted_rows": 0}
+    affected_names = {os.path.basename(p) for p in affected}
+    keep = (
+        spark.read.schema(T.StructType.fromJson(json.loads(manifest["schema"])))
+        .parquet(*affected)
+        .where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
+    )
+    new_names = _stage_files(keep, root, len(affected))
+    import pyarrow.parquet as pq
+
+    rows_after = sum(
+        pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
+    )
+    next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
+    version = _commit(root, next_files, manifest["schema"], f"delete:{key_col}", parent)
+    return {
+        "version": version,
+        "rewritten": len(affected),
+        "deleted_rows": rows_before - rows_after,
+    }
+
+
+def commit_stream_epoch(
+    spark: SparkSession,
+    root: str,
+    batch_df: DataFrame,
+    epoch_id: int,
+    fingerprint: str,
+    n_files: int = 1,
+) -> int | None:
+    """Exactly-once APPEND of a streaming micro-batch as a snapshot commit.
+
+    Epoch identity is ``(epoch_id, content fingerprint)`` recorded in the
+    manifest ``op`` field, so idempotence needs no sidecar files and
+    inherits the manifest's atomicity:
+
+    * a replay whose (id, fingerprint) pair already appears in a committed
+      manifest is SKIPPED — even across checkpoint lifetimes, because the
+      fingerprint, not the checkpoint, is the identity;
+    * the same epoch id with a DIFFERENT fingerprint refuses loudly — a
+      fresh checkpoint pointed at an old table would otherwise silently
+      drop or double its first batches (the ``drain_mv_merge`` lesson,
+      streaming/jobs.py);
+    * a crash after staging but before the manifest link leaves the table
+      exactly at its previous snapshot, and the engine's replay of the
+      epoch commits it cleanly (orphans go to :func:`vacuum`).
+
+    Returns the committed version, or ``None`` when the replay was skipped.
+    """
+    root = root.rstrip("/")
+    _require_local_path(root, "commit_stream_epoch")
+    parent = current_version(root)
+    op_prefix = f"append-epoch:{epoch_id}:"
+    op = op_prefix + fingerprint
+    for v in table_versions(root):
+        prior = _read_manifest(root, v)["op"]
+        if prior == op:
+            return None  # durably committed — genuine replay
+        if prior.startswith(op_prefix):
+            raise RuntimeError(
+                f"epoch {epoch_id} was already committed to {root!r} with a "
+                f"different batch fingerprint ({prior!r} vs {op!r}) — this "
+                "is a fresh checkpoint reusing epoch ids against an old "
+                "table, not a replay; refusing to guess which batch is real"
+            )
+    manifest = _read_manifest(root, parent)
+    new_names = _stage_files(batch_df.select(*[
+        f["name"] for f in json.loads(manifest["schema"])["fields"]
+    ]), root, n_files)
+    return _commit(
+        root, manifest["files"] + new_names, manifest["schema"], op, parent
+    )
+
+
+def vacuum(root: str, keep_last: int = 2) -> dict:
+    """Remove data files unreachable from the ``keep_last`` most recent
+    manifests, and the older manifests themselves.  Safe to run (and crash)
+    at any time: it deletes only what no retained snapshot references, so
+    every surviving version stays exactly readable; an interrupted vacuum
+    just leaves some garbage for the next one."""
+    root = root.rstrip("/")
+    versions = table_versions(root)
+    if not versions:
+        return {"data_files_removed": 0, "manifests_removed": 0}
+    retained = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    live: set[str] = set()
+    for v in retained:
+        live.update(_read_manifest(root, v)["files"])
+    removed = 0
+    for path in glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet"):
+        if os.path.basename(path) not in live:
+            os.remove(path)
+            removed += 1
+    dropped = 0
+    for v in versions:
+        if v not in retained:
+            os.remove(_manifest_path(root, v))
+            dropped += 1
+    # stale stage dirs from crashed writers are unreferenced by definition
+    for stale in glob.glob(f"{root}/.stage-*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    return {"data_files_removed": removed, "manifests_removed": dropped}

@@ -766,3 +766,38 @@ def stream_cms_cells_to_parquet(
     return partials.groupBy("row", "col").agg(
         F.sum("cnt").cast("bigint").alias("cnt")
     )
+
+
+def stream_append_to_versioned(
+    spark: SparkSession, sf_dir: str, root: str, checkpoint: str
+) -> None:
+    """Drain the events stream into a MANIFEST-VERSIONED table with
+    exactly-once epoch commits (``versioned.commit_stream_epoch``).
+
+    Strictly stronger than the epoch-keyed-directory recipe
+    (:func:`drain_epoch_partials`): each micro-batch append is one atomic
+    manifest commit, so a reader NEVER sees a partially-landed epoch, a
+    replayed epoch is skipped by (id, content-fingerprint) identity — even
+    from a FRESH checkpoint, which the directory recipe can't distinguish —
+    and a fresh checkpoint carrying DIFFERENT data under a reused epoch id
+    refuses loudly instead of silently skipping (the drain_mv_merge
+    hazard, solved here without sidecar files)."""
+    from python_async_sample_spark.sources.versioned import commit_stream_epoch
+
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def append(batch_df: DataFrame, epoch_id: int) -> None:
+        commit_stream_epoch(
+            spark, root, batch_df, epoch_id, _batch_fingerprint(batch_df)
+        )
+
+    with bounded_drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(append)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()

@@ -73,3 +73,15 @@ def test_segmentation_matches_reference(spark, sf_dir):
 def test_min_count_stops_early(spark):
     df = spark.createDataFrame([(1, "x y z w")], "doc_id long, text string")
     assert learn_bpe(df, "doc_id", "text", n_merges=5, min_count=2) == []
+
+
+def test_return_corpus_equals_segment_with_merges(spark, sf_dir):
+    """The corpus learn_bpe rewrote during training IS the encoded corpus:
+    identical to replaying the learned merges from raw text (what q179's
+    return_corpus fast path relies on)."""
+    docs_df = load_table(spark, sf_dir, "documents").where("doc_id % 17 = 0")
+    merges, corpus = learn_bpe(docs_df, "doc_id", "text", n_merges=6, return_corpus=True)
+    replayed = segment_with_merges(docs_df, "doc_id", "text", merges)
+    got = {r["doc"]: r["syms"] for r in corpus.select("doc", "syms").collect()}
+    want = {r["doc"]: r["syms"] for r in replayed.select("doc", "syms").collect()}
+    assert got == want

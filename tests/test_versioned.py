@@ -1,0 +1,269 @@
+"""Manifest-versioned parquet tables: atomic visibility, time travel,
+crash windows, optimistic concurrency, vacuum reachability."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.sources.readers import load_table
+from python_async_sample_spark.sources.versioned import (
+    ConcurrentWriteError,
+    _manifest_path,
+    _stage_files,
+    create_table,
+    current_version,
+    delete_keys_versioned,
+    merge_into_versioned,
+    read_version,
+    table_versions,
+    vacuum,
+)
+
+
+@pytest.fixture
+def root():
+    tmp = tempfile.mkdtemp(prefix="spark_graft_vt_")
+    yield f"{tmp}/t"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _orders(spark, sf_dir):
+    return load_table(spark, sf_dir, "orders")
+
+
+def test_create_read_roundtrip(spark, sf_dir, root):
+    orders = _orders(spark, sf_dir)
+    v = create_table(spark, root, orders, n_files=4)
+    assert v == 0 and table_versions(root) == [0]
+    got = read_version(spark, root)
+    assert got.count() == orders.count()
+    assert got.exceptAll(orders.select(*got.columns)).count() == 0
+
+
+def test_merge_commits_new_version_and_time_travel(spark, sf_dir, root):
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=4)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+    )
+    n_upd = updates.count()
+    res = merge_into_versioned(spark, root, updates, "o_orderkey")
+    assert res["version"] == 1 and res["upserted_rows"] == n_upd
+    # merged state
+    v1 = read_version(spark, root, 1)
+    assert v1.where(F.col("o_orderstatus") == "M").count() == n_upd
+    assert v1.count() == orders.count()
+    # time travel: v0 must be EXACTLY the pre-merge table
+    v0 = read_version(spark, root, 0)
+    assert v0.where(F.col("o_orderstatus") == "M").count() == orders.where(
+        F.col("o_orderstatus") == "M"
+    ).count()
+    assert v0.exceptAll(orders.select(*v0.columns)).count() == 0
+
+
+def test_merge_redelivery_idempotent(spark, sf_dir, root):
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=4)
+    updates = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    a = read_version(spark, root).orderBy("o_orderkey").collect()
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    b = read_version(spark, root).orderBy("o_orderkey").collect()
+    assert a == b and current_version(root) == 2
+
+
+def test_merge_rejects_duplicate_and_null_keys(spark, sf_dir, root):
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)
+    one = orders.limit(1)
+    with pytest.raises(ValueError, match="duplicate update keys"):
+        merge_into_versioned(spark, root, one.unionAll(one), "o_orderkey")
+    with pytest.raises(ValueError, match="NULL update key"):
+        merge_into_versioned(
+            spark, root, one.withColumn("o_orderkey", F.lit(None).cast("long")),
+            "o_orderkey",
+        )
+    assert current_version(root) == 0  # nothing committed
+
+
+def test_delete_keys_versioned_null_safe(spark, root):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "keepme"), (4, "d")], "k int, v string"
+    )
+    create_table(spark, root, df, n_files=1)
+    res = delete_keys_versioned(spark, root, "k", [2, 4])
+    assert res["deleted_rows"] == 2 and res["version"] == 1
+    left = {r["v"] for r in read_version(spark, root).collect()}
+    assert left == {"a", "keepme"}
+    # v0 still intact
+    assert read_version(spark, root, 0).count() == 4
+
+
+def test_crash_before_commit_is_invisible_and_rerunnable(spark, sf_dir, root):
+    """Orphaned data files (crash after staging, before the manifest link)
+    must not change any reader's view; re-running the verb then succeeds
+    and vacuum reclaims the orphans."""
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)
+    before = read_version(spark, root).count()
+    # simulate the crash window: stage files in, never commit
+    _stage_files(orders.limit(7), root, 1)
+    assert read_version(spark, root).count() == before
+    assert current_version(root) == 0
+    # the interrupted verb re-runs cleanly
+    updates = orders.limit(3).withColumn("o_orderstatus", F.lit("M"))
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    assert read_version(spark, root).where(F.col("o_orderstatus") == "M").count() == 3
+    # vacuum removes exactly the unreachable files
+    n_data = len(glob.glob(f"{root}/data/part-*.parquet"))
+    live = set()
+    for v in table_versions(root):
+        with open(_manifest_path(root, v), encoding="ascii") as fh:
+            live.update(json.load(fh)["files"])
+    vacuum(root, keep_last=len(table_versions(root)))
+    assert len(glob.glob(f"{root}/data/part-*.parquet")) == len(live) < n_data
+    assert read_version(spark, root, 0).count() == before  # still readable
+
+
+def test_torn_manifest_can_never_be_observed(spark, sf_dir, root):
+    """The commit is an os.link of a fully-fsynced temp file — at no point
+    does a file exist under _manifests/ with partial JSON. Simulate the
+    worst interleaving by hand: a .tmp in the manifest dir is ignored by
+    every listing."""
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=1)
+    with open(f"{root}/_manifests/zzz.tmp", "w", encoding="ascii") as fh:
+        fh.write('{"version": 99, "files": [')  # torn writer mid-crash
+    assert table_versions(root) == [0]
+    assert read_version(spark, root).count() == orders.count()
+
+
+def test_concurrent_writer_loses_cleanly(spark, sf_dir, root):
+    """Two writers that both read parent v0: the first _commit wins v1, the
+    second raises ConcurrentWriteError instead of clobbering; a verb that
+    rebases onto the new current version then succeeds."""
+    from python_async_sample_spark.sources.versioned import _commit
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)
+    v0_files = json.load(open(_manifest_path(root, 0), encoding="ascii"))["files"]
+    schema = orders.schema.json()
+    assert _commit(root, v0_files, schema, "writer-1", parent=0) == 1
+    with pytest.raises(ConcurrentWriteError):
+        _commit(root, v0_files, schema, "writer-2", parent=0)
+    assert table_versions(root) == [0, 1]  # loser committed NOTHING
+    updates = orders.limit(2).withColumn("o_orderstatus", F.lit("M"))
+    res = merge_into_versioned(spark, root, updates, "o_orderkey")
+    assert res["version"] == 2
+
+
+def test_vacuumed_version_raises_cleanly(spark, sf_dir, root):
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)
+    updates = orders.limit(2).withColumn("o_orderstatus", F.lit("M"))
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    merge_into_versioned(
+        spark, root, updates.withColumn("o_orderstatus", F.lit("X")), "o_orderkey"
+    )
+    vacuum(root, keep_last=1)
+    assert table_versions(root) == [2]
+    assert read_version(spark, root).count() == orders.count()
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        read_version(spark, root, 0)
+
+
+def test_empty_table_snapshot_readable(spark, root):
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    create_table(spark, root, df, n_files=1)
+    delete_keys_versioned(spark, root, "k", [1])
+    got = read_version(spark, root)
+    assert got.count() in (0,) or got.columns == ["k", "v"]
+    assert got.columns == ["k", "v"]
+
+
+def test_stream_epoch_commit_exactly_once_and_refuses_foreign_batch(spark, sf_dir, root):
+    """The streaming sink's replay identity is (epoch id, content
+    fingerprint) in the manifest op: same pair skips even from a fresh
+    checkpoint; same id with different content refuses loudly."""
+    import glob as _glob
+
+    from python_async_sample_spark.sources.versioned import commit_stream_epoch
+    from python_async_sample_spark.streaming.jobs import (
+        _batch_fingerprint,
+        stream_append_to_versioned,
+    )
+
+    seed = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    create_table(spark, root, seed.limit(0), n_files=1)
+    n = seed.count()
+
+    base = os.path.dirname(root)
+    stream_append_to_versioned(spark, sf_dir, root, f"{base}/ckpt1")
+    assert read_version(spark, root).count() == n
+    v_after_first = current_version(root)
+
+    # fresh checkpoint = epoch ids restart at 0; fingerprint says replay
+    stream_append_to_versioned(spark, sf_dir, root, f"{base}/ckpt2")
+    assert read_version(spark, root).count() == n          # not doubled
+    assert current_version(root) == v_after_first           # no new commit
+
+    # same epoch id, DIFFERENT content: must refuse, not guess
+    foreign = seed.limit(5)
+    with pytest.raises(RuntimeError, match="different batch fingerprint"):
+        commit_stream_epoch(spark, root, foreign, 0, _batch_fingerprint(foreign))
+
+    # a NEW epoch id with new content appends cleanly
+    v = commit_stream_epoch(spark, root, foreign, 1, _batch_fingerprint(foreign))
+    assert v == v_after_first + 1
+    assert read_version(spark, root).count() == n + 5
+    # and every reader-visible state was a whole epoch: no data file is
+    # referenced by a manifest before it fully exists (all manifest files
+    # resolve on disk at all times)
+    for mf in sorted(_glob.glob(f"{root}/_manifests/v*.json")):
+        files = json.load(open(mf, encoding="ascii"))["files"]
+        assert all(os.path.exists(f"{root}/data/{x}") for x in files)
+
+
+def test_add_column_metadata_only_evolution(spark, sf_dir, root):
+    """add_column commits NO data rewrites: pre-evolution files surface the
+    new column as NULL, post-evolution merges carry it, and time travel to
+    v0 does not see the column at all."""
+    from python_async_sample_spark.sources.versioned import add_column
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k int, v string")
+    create_table(spark, root, df, n_files=1)
+    files_v0 = json.load(open(_manifest_path(root, 0), encoding="ascii"))["files"]
+
+    v = add_column(spark, root, "score", "double")
+    assert v == 1
+    files_v1 = json.load(open(_manifest_path(root, 1), encoding="ascii"))["files"]
+    assert files_v1 == files_v0  # metadata-only: same data files
+
+    got = read_version(spark, root)
+    assert got.columns == ["k", "v", "score"]
+    assert all(r["score"] is None for r in got.collect())
+
+    # a merge after evolution writes the column; old rows stay NULL
+    upd = spark.createDataFrame([(2, "B", 0.5), (9, "i", 1.5)], "k int, v string, score double")
+    merge_into_versioned(spark, root, upd, "k")
+    rows = {r["k"]: (r["v"], r["score"]) for r in read_version(spark, root).collect()}
+    assert rows == {1: ("a", None), 2: ("B", 0.5), 3: ("c", None), 9: ("i", 1.5)}
+
+    # time travel: v0 predates the column
+    assert read_version(spark, root, 0).columns == ["k", "v"]
+
+    # duplicate column refused
+    with pytest.raises(ValueError, match="already exists"):
+        add_column(spark, root, "score", "double")
