@@ -44,8 +44,18 @@ def _sq_dist(vec_col: str, centroid: list[float]) -> F.Column:
 def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
     """Append ``cluster`` (0-based nearest centroid) and ``sq_dist`` columns.
     Pure expression tree — k distance expressions, argmin via
-    array_position(array_min); JVM codegen, no Python, no shuffle."""
-    dists = F.array(*[_sq_dist(vec_col, c) for c in centroids])
+    array_position(array_min); JVM codegen, no Python, no shuffle.
+
+    Each squared distance is quantized to 9 decimals BEFORE the argmin
+    (ADVICE r4): Spark's sequential array fold and DuckDB's group-by sum
+    add the per-dim terms in different orders, so near-equal distances can
+    differ by ulps and flip an assignment or a rank tie-break.  Rounding
+    both engines' distances to the same grid makes the compared values
+    identical, so argmin + lowest-index tie-break agree even on
+    adversarial near-tie inputs (the oracle rounds its ``d2`` the same
+    way).  At 1e-9 the quantization is far below any meaningful cluster
+    geometry."""
+    dists = F.array(*[F.round(_sq_dist(vec_col, c), 9) for c in centroids])
     return df.withColumn("__d", dists).select(
         "*",
         (F.array_position(F.col("__d"), F.array_min("__d")) - 1)
@@ -148,8 +158,11 @@ def kmeans_oracle_sql(
 
     * init = the k rows with smallest ``md5(CAST(id AS VARCHAR))`` (hex
       md5 compares identically on both engines), centroids UNROUNDED;
-    * assignment = argmin of squared distance, ties to the lowest cluster
-      index (Spark's ``array_position(array_min)`` takes the first hit);
+    * assignment = argmin of squared distance QUANTIZED to 9 decimals on
+      both engines (summation orders differ, so raw doubles can disagree
+      by ulps on near-ties — see :func:`assign_clusters`), ties to the
+      lowest cluster index (Spark's ``array_position(array_min)`` takes
+      the first hit);
     * update = per-(cluster, dim) mean rounded to ``round_digits``
       (quantized Lloyd's — see :func:`kmeans_fit`), empty clusters keep
       their previous coordinate via the LEFT JOIN coalesce;
@@ -176,7 +189,7 @@ def kmeans_oracle_sql(
                                           ORDER BY s.d2, s.cluster) AS rn
                 FROM (
                   SELECT p.id, c.cluster,
-                         sum((p.val - c.val) * (p.val - c.val)) AS d2
+                         round(sum((p.val - c.val) * (p.val - c.val)), 9) AS d2
                   FROM dims p JOIN cd{i} c USING (dim)
                   GROUP BY 1, 2
                 ) s

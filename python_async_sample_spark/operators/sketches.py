@@ -110,10 +110,17 @@ def cms_estimate(
 # final xor-fold — the splitmix/lowbias32 construction, seeded per hash
 # index by the golden gamma):
 #
-#     x   = (key + (i+1) * 0x9E3779B9) mod 2^32
+#     x   = ((key mod 2^32) + (i+1) * 0x9E3779B9) mod 2^32
 #     x   = ((x XOR (x >> 16)) * 0x45D9F3B) mod 2^32      (twice)
 #     h_i = x XOR (x >> 16)                               (< 2^32)
 #
+# The key is reduced mod 2^32 BEFORE the gamma seed is added (ADVICE r4):
+# adding the seed to a raw int64 key within ~2^35 of the int64 boundary
+# would overflow — silently wrapping on Spark (non-ANSI) but RAISING on
+# DuckDB's checked BIGINT arithmetic, a cross-engine divergence.  With the
+# pre-reduction every intermediate stays < 2^40 for any int64 key (modular
+# arithmetic makes the result identical where the old form didn't
+# overflow), so the whole domain is exact on both engines.
 # Every step is exact int64 arithmetic (operands < 2^32, products < 2^59 —
 # no overflow on any ANSI engine) using only XOR / shift / multiply /
 # modulo, all of which DuckDB computes bit-identically — so the ENTIRE
@@ -132,9 +139,14 @@ _PH_MULT = 0x45D9F3B
 
 def portable_hash(col, i: int):
     """h_i over an integral column, as exact int64 Spark expressions.
-    ``pmod`` keeps the seed reduction non-negative for negative keys; the
-    mix rounds preserve [0, 2^32) so plain ``%`` suffices after them."""
-    x = F.pmod(col.cast("long") + F.lit(_PH_GAMMA * (i + 1)), F.lit(_PH_M32))
+    The key is pmod-reduced to [0, 2^32) BEFORE the gamma seed lands, so
+    the sum never leaves exact int64 range for ANY int64 key (see the
+    module comment); the mix rounds preserve [0, 2^32) so plain ``%``
+    suffices after them."""
+    x = F.pmod(
+        F.pmod(col.cast("long"), F.lit(_PH_M32)) + F.lit(_PH_GAMMA * (i + 1)),
+        F.lit(_PH_M32),
+    )
     for _ in range(2):
         x = F.pmod(
             x.bitwiseXOR(F.shiftright(x, 16)) * F.lit(_PH_MULT), F.lit(_PH_M32)
@@ -145,7 +157,7 @@ def portable_hash(col, i: int):
 def portable_hash_sql(expr: str, i: int) -> str:
     """The same h_i as a DuckDB SQL fragment.  The sub-expression is spelled
     out twice per round (no LET in SQL) — deterministic, just verbose."""
-    x = f"((({expr}) + {_PH_GAMMA * (i + 1)}) % {_PH_M32} + {_PH_M32}) % {_PH_M32}"
+    x = f"(((({expr}) % {_PH_M32} + {_PH_M32}) % {_PH_M32}) + {_PH_GAMMA * (i + 1)}) % {_PH_M32}"
     for _ in range(2):
         x = f"((xor({x}, ({x}) >> 16)) * {_PH_MULT}) % {_PH_M32}"
     return f"xor({x}, ({x}) >> 16)"

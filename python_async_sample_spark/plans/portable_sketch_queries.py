@@ -3,8 +3,12 @@
 The xxhash64 sketch family (q63/q91/q142/q155/q164/q165) is verified by
 error-band guards and merge-law tests because no independent engine can
 recompute xxhash64 values.  The queries below rebuild the same sketch
-shapes on the universal hash ``h_i(x) = (a_i x + b_i) mod (2^31-1)``
-(``operators/sketches.portable_hash``), whose exact int64 arithmetic DuckDB
+shapes on a 32-bit xor-shift-multiply mixer (the splitmix/lowbias32
+construction: golden-gamma seed per hash index, then two rounds of
+``x = ((x XOR x>>16) * 0x45D9F3B) mod 2^32`` and a final xor-fold —
+``operators/sketches.portable_hash``; NOT an affine ``a·x+b mod p``
+family, which is 2-universal but collapses HLL on sequential keys),
+whose exact int64 arithmetic DuckDB
 replays verbatim — so every CMS cell, HLL register and Bloom bit is
 HASH-MATCHED against the oracle, not just banded.  The xxhash64 variants
 stay the production path (better diffusion, JVM-native); these certify the

@@ -111,12 +111,24 @@ def _stage_files(df: DataFrame, root: str, n_files: int) -> list[str]:
     return names
 
 
-def _commit(root: str, files: list[str], schema_json: str, op: str, parent: int | None) -> int:
+def _commit(
+    root: str,
+    files: list[str],
+    schema_json: str,
+    op: str,
+    parent: int | None,
+    epochs: dict[str, str] | None = None,
+) -> int:
     """Atomically publish the next manifest.  The JSON is fully written to
     a temp file first; ``os.link`` then both creates the final name
     EXCLUSIVELY (two writers racing for the same version — one loses with
     :class:`ConcurrentWriteError`) and makes the complete content visible
-    in one step (no reader can open a torn manifest)."""
+    in one step (no reader can open a torn manifest).
+
+    ``epochs`` is the exactly-once stream ledger (epoch id → batch
+    fingerprint) carried FORWARD into every child manifest, so replay
+    detection survives :func:`vacuum` dropping the ancestor manifests that
+    originally recorded each epoch."""
     version = 0 if parent is None else parent + 1
     mdir = f"{root}/{_MANIFEST_DIR}"
     os.makedirs(mdir, exist_ok=True)
@@ -126,6 +138,7 @@ def _commit(root: str, files: list[str], schema_json: str, op: str, parent: int 
         "op": op,
         "files": sorted(files),
         "schema": schema_json,
+        "epochs": dict(epochs or {}),
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -197,7 +210,8 @@ def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
         raise ValueError(f"column {name!r} already exists in {root!r}")
     new_schema = schema.add(T.StructField(name, _parse_ddl_type(ddl_type), True))
     return _commit(
-        root, manifest["files"], new_schema.json(), f"alter-add:{name}", parent
+        root, manifest["files"], new_schema.json(), f"alter-add:{name}", parent,
+        epochs=manifest.get("epochs"),
     )
 
 
@@ -275,7 +289,10 @@ def merge_into_versioned(
         pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
     )
     next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
-    version = _commit(root, next_files, schema_json, f"merge:{key_col}", parent)
+    version = _commit(
+        root, next_files, schema_json, f"merge:{key_col}", parent,
+        epochs=manifest.get("epochs"),
+    )
     return {
         "version": version,
         "rewritten": len(affected),
@@ -314,7 +331,10 @@ def delete_keys_versioned(
         pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
     )
     next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
-    version = _commit(root, next_files, manifest["schema"], f"delete:{key_col}", parent)
+    version = _commit(
+        root, next_files, manifest["schema"], f"delete:{key_col}", parent,
+        epochs=manifest.get("epochs"),
+    )
     return {
         "version": version,
         "rewritten": len(affected),
@@ -333,8 +353,14 @@ def commit_stream_epoch(
     """Exactly-once APPEND of a streaming micro-batch as a snapshot commit.
 
     Epoch identity is ``(epoch_id, content fingerprint)`` recorded in the
-    manifest ``op`` field, so idempotence needs no sidecar files and
-    inherits the manifest's atomicity:
+    manifest's ``epochs`` ledger — a dict carried FORWARD into every child
+    manifest by every verb, so replay detection survives :func:`vacuum`
+    dropping the ancestor manifest that first recorded an epoch.  (The
+    ``op`` string still names the epoch for humans, but it is no longer
+    the source of truth: before the ledger existed, a vacuumed epoch
+    manifest silently re-admitted its replay as duplicate rows.)
+    Idempotence needs no sidecar files and inherits the manifest's
+    atomicity:
 
     * a replay whose (id, fingerprint) pair already appears in a committed
       manifest is SKIPPED — even across checkpoint lifetimes, because the
@@ -354,32 +380,71 @@ def commit_stream_epoch(
     parent = current_version(root)
     op_prefix = f"append-epoch:{epoch_id}:"
     op = op_prefix + fingerprint
-    for v in table_versions(root):
-        prior = _read_manifest(root, v)["op"]
-        if prior == op:
-            return None  # durably committed — genuine replay
-        if prior.startswith(op_prefix):
-            raise RuntimeError(
-                f"epoch {epoch_id} was already committed to {root!r} with a "
-                f"different batch fingerprint ({prior!r} vs {op!r}) — this "
-                "is a fresh checkpoint reusing epoch ids against an old "
-                "table, not a replay; refusing to guess which batch is real"
-            )
     manifest = _read_manifest(root, parent)
+    # primary check: the carried-forward ledger in the CURRENT manifest —
+    # survives vacuum of every ancestor manifest
+    ledger = dict(manifest.get("epochs", {}))
+    key = str(epoch_id)
+    prior_fp = ledger.get(key)
+    if prior_fp is None:
+        # legacy fallback: tables whose manifests predate the ledger field
+        # recorded epochs only in the ``op`` string — scan whatever
+        # manifests remain (vacuum refuses to drop un-ledgered epoch
+        # manifests, so this scan stays complete for legacy tables too)
+        for v in table_versions(root):
+            legacy = _read_manifest(root, v)
+            if "epochs" in legacy:
+                continue  # ledgered manifests were already consulted above
+            if legacy["op"].startswith(op_prefix):
+                prior_fp = legacy["op"][len(op_prefix):]
+                break
+    if prior_fp == fingerprint:
+        return None  # durably committed — genuine replay
+    if prior_fp is not None:
+        raise RuntimeError(
+            f"epoch {epoch_id} was already committed to {root!r} with a "
+            f"different batch fingerprint ({prior_fp!r} vs {fingerprint!r}) "
+            "— this is a fresh checkpoint reusing epoch ids against an old "
+            "table, not a replay; refusing to guess which batch is real"
+        )
     new_names = _stage_files(batch_df.select(*[
         f["name"] for f in json.loads(manifest["schema"])["fields"]
     ]), root, n_files)
+    ledger[key] = fingerprint
     return _commit(
-        root, manifest["files"] + new_names, manifest["schema"], op, parent
+        root, manifest["files"] + new_names, manifest["schema"], op, parent,
+        epochs=ledger,
     )
 
 
-def vacuum(root: str, keep_last: int = 2) -> dict:
+def vacuum(root: str, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
     """Remove data files unreachable from the ``keep_last`` most recent
-    manifests, and the older manifests themselves.  Safe to run (and crash)
-    at any time: it deletes only what no retained snapshot references, so
-    every surviving version stays exactly readable; an interrupted vacuum
-    just leaves some garbage for the next one."""
+    manifests, and the older manifests themselves.
+
+    Safe to run (and crash) at any time, INCLUDING concurrently with
+    writers, because of two guards:
+
+    * **Orphan age threshold** (Iceberg-style): an unreferenced data file
+      or stage dir younger than ``grace_seconds`` is SKIPPED.  Writers
+      move staged files under ``data/`` BEFORE their manifest commits, so
+      a zero-grace vacuum racing an in-flight commit would delete freshly
+      staged files and let the writer commit a manifest referencing
+      missing files — a corrupted committed snapshot.  The grace window
+      must exceed the longest stage→commit gap (default 10 min; raise it
+      for huge batch writes, or pass ``0`` only when no writer can be
+      in flight).
+    * **Epoch-ledger protection**: manifests written before the ``epochs``
+      ledger existed carry their exactly-once epoch identity only in the
+      ``op`` string; dropping one would re-admit a replayed epoch as
+      duplicate rows.  Such legacy epoch manifests are retained until the
+      epoch also appears in the newest retained manifest's ledger.
+
+    With those guards, it deletes only what no retained snapshot (and no
+    possibly-in-flight commit) references, so every surviving version
+    stays exactly readable; an interrupted vacuum just leaves some garbage
+    for the next one."""
+    import time
+
     root = root.rstrip("/")
     versions = table_versions(root)
     if not versions:
@@ -388,17 +453,47 @@ def vacuum(root: str, keep_last: int = 2) -> dict:
     live: set[str] = set()
     for v in retained:
         live.update(_read_manifest(root, v)["files"])
-    removed = 0
+    newest_ledger = _read_manifest(root, retained[-1]).get("epochs", {})
+    now = time.time()
+    removed = skipped_young = 0
     for path in glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet"):
-        if os.path.basename(path) not in live:
-            os.remove(path)
-            removed += 1
-    dropped = 0
+        if os.path.basename(path) in live:
+            continue
+        try:
+            age = now - os.path.getmtime(path)
+        except OSError:
+            continue  # already gone (concurrent vacuum)
+        if age < grace_seconds:
+            skipped_young += 1  # possibly staged by an in-flight commit
+            continue
+        os.remove(path)
+        removed += 1
+    dropped = kept_epoch = 0
     for v in versions:
-        if v not in retained:
-            os.remove(_manifest_path(root, v))
-            dropped += 1
-    # stale stage dirs from crashed writers are unreferenced by definition
+        if v in retained:
+            continue
+        m = _read_manifest(root, v)
+        if "epochs" not in m and m["op"].startswith("append-epoch:"):
+            # legacy epoch manifest: its op string is the only durable
+            # record of the epoch unless the ledger now covers it
+            eid = m["op"].split(":", 2)[1]
+            if eid not in newest_ledger:
+                kept_epoch += 1
+                continue
+        os.remove(_manifest_path(root, v))
+        dropped += 1
+    # stale stage dirs from crashed writers are unreferenced by definition,
+    # but young ones may belong to a LIVE writer mid-stage — same grace
     for stale in glob.glob(f"{root}/.stage-*"):
+        try:
+            if now - os.path.getmtime(stale) < grace_seconds:
+                continue
+        except OSError:
+            continue
         shutil.rmtree(stale, ignore_errors=True)
-    return {"data_files_removed": removed, "manifests_removed": dropped}
+    return {
+        "data_files_removed": removed,
+        "manifests_removed": dropped,
+        "young_orphans_skipped": skipped_young,
+        "legacy_epoch_manifests_kept": kept_epoch,
+    }

@@ -170,7 +170,13 @@ def test_portable_hash_matches_duckdb_bit_for_bit(spark):
         portable_hash_sql,
     )
 
-    keys = [-(2**40) - 7, -129, -1, 0, 1, 2, 127, 65535, 65536, 2**31 - 1, 2**31, 2**40 + 3]
+    # int64 extremes included (ADVICE r4): before the key was pre-reduced
+    # mod 2^32, seeding keys within ~2^35 of the boundary overflowed —
+    # wrapping on Spark, RAISING on DuckDB
+    keys = [
+        -(2**63), -(2**63) + 5, -(2**40) - 7, -129, -1, 0, 1, 2, 127,
+        65535, 65536, 2**31 - 1, 2**31, 2**40 + 3, 2**63 - 17, 2**63 - 1,
+    ]
     df = spark.createDataFrame([(k,) for k in keys], "k long")
     got = {
         r["k"]: [r[f"h{i}"] for i in range(4)]

@@ -130,7 +130,7 @@ def test_crash_before_commit_is_invisible_and_rerunnable(spark, sf_dir, root):
     for v in table_versions(root):
         with open(_manifest_path(root, v), encoding="ascii") as fh:
             live.update(json.load(fh)["files"])
-    vacuum(root, keep_last=len(table_versions(root)))
+    vacuum(root, keep_last=len(table_versions(root)), grace_seconds=0)
     assert len(glob.glob(f"{root}/data/part-*.parquet")) == len(live) < n_data
     assert read_version(spark, root, 0).count() == before  # still readable
 
@@ -175,7 +175,7 @@ def test_vacuumed_version_raises_cleanly(spark, sf_dir, root):
     merge_into_versioned(
         spark, root, updates.withColumn("o_orderstatus", F.lit("X")), "o_orderkey"
     )
-    vacuum(root, keep_last=1)
+    vacuum(root, keep_last=1, grace_seconds=0)
     assert table_versions(root) == [2]
     assert read_version(spark, root).count() == orders.count()
     with pytest.raises(FileNotFoundError, match="vacuumed"):
@@ -267,3 +267,83 @@ def test_add_column_metadata_only_evolution(spark, sf_dir, root):
     # duplicate column refused
     with pytest.raises(ValueError, match="already exists"):
         add_column(spark, root, "score", "double")
+
+
+def test_epoch_replay_skipped_even_after_vacuum_drops_its_manifest(spark, root):
+    """ADVICE r4 (medium): the exactly-once ledger must survive vacuum.
+    Epoch identities are carried forward in every child manifest's
+    ``epochs`` dict, so a replay whose ORIGINAL manifest was vacuumed is
+    still skipped (same fingerprint) or refused (different fingerprint)."""
+    from python_async_sample_spark.sources.versioned import commit_stream_epoch
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    create_table(spark, root, df.limit(0), n_files=1)
+    commit_stream_epoch(spark, root, df, 0, "fp-zero")
+    # later commits push the epoch manifest out of the retained window
+    merge_into_versioned(spark, root, df.withColumn("v", F.lit("x")), "k")
+    merge_into_versioned(spark, root, df.withColumn("v", F.lit("y")), "k")
+    vacuum(root, keep_last=1, grace_seconds=0)
+    assert table_versions(root) == [3]  # the epoch manifest (v1) is GONE
+    n = read_version(spark, root).count()
+
+    # genuine replay: skipped with no new commit, no duplicate rows
+    assert commit_stream_epoch(spark, root, df, 0, "fp-zero") is None
+    assert current_version(root) == 3
+    assert read_version(spark, root).count() == n
+
+    # fresh checkpoint reusing the id with different content: refused
+    with pytest.raises(RuntimeError, match="different batch fingerprint"):
+        commit_stream_epoch(spark, root, df.limit(1), 0, "fp-other")
+
+
+def test_vacuum_grace_window_spares_inflight_staged_files(spark, root):
+    """ADVICE r4 (medium): _stage_files moves data files in BEFORE the
+    manifest commits, so vacuum must not reclaim young orphans — a racing
+    writer would otherwise commit a manifest referencing deleted files."""
+    df = spark.createDataFrame([(i, "x") for i in range(10)], "k int, v string")
+    create_table(spark, root, df, n_files=1)
+    # simulate an in-flight writer: staged files, manifest not yet linked
+    staged = _stage_files(df.limit(3), root, 1)
+    res = vacuum(root, keep_last=1)  # default grace: young orphans survive
+    assert res["data_files_removed"] == 0
+    assert res["young_orphans_skipped"] >= 1
+    for name in staged:
+        assert os.path.exists(f"{root}/data/{name}")
+    # the in-flight commit can now land referencing intact files
+    from python_async_sample_spark.sources.versioned import _commit
+
+    m = json.load(open(_manifest_path(root, 0), encoding="ascii"))
+    _commit(root, m["files"] + staged, m["schema"], "append", parent=0)
+    assert read_version(spark, root).count() == 13
+    # with no writer in flight, zero grace reclaims true orphans
+    orphans = _stage_files(df.limit(2), root, 1)
+    res = vacuum(root, keep_last=1, grace_seconds=0)
+    assert res["data_files_removed"] >= len(orphans)
+
+
+def test_vacuum_retains_legacy_epoch_manifests_until_ledgered(spark, root):
+    """Tables written before the epochs ledger carry epoch identity only in
+    the manifest op string; vacuum must keep those manifests so the legacy
+    scan in commit_stream_epoch stays complete."""
+    from python_async_sample_spark.sources.versioned import commit_stream_epoch
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    create_table(spark, root, df.limit(0), n_files=1)
+    commit_stream_epoch(spark, root, df, 7, "fp-seven")
+    # strip the ledger from every manifest on disk → pre-ledger table
+    for v in table_versions(root):
+        p = _manifest_path(root, v)
+        m = json.load(open(p, encoding="ascii"))
+        m.pop("epochs", None)
+        json.dump(m, open(p, "w", encoding="ascii"))
+    merge_into_versioned(spark, root, df.withColumn("v", F.lit("z")), "k")
+    merge_into_versioned(spark, root, df.withColumn("v", F.lit("w")), "k")
+
+    res = vacuum(root, keep_last=1, grace_seconds=0)
+    assert res["legacy_epoch_manifests_kept"] == 1
+    assert 1 in table_versions(root)  # the epoch manifest survived
+
+    # and the legacy scan still enforces exactly-once
+    assert commit_stream_epoch(spark, root, df, 7, "fp-seven") is None
+    with pytest.raises(RuntimeError, match="different batch fingerprint"):
+        commit_stream_epoch(spark, root, df, 7, "fp-eight")
