@@ -87,18 +87,37 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   q130 (transition matrix), q152 (sequence pattern);
 #   q96 → windowed/prefix-sum family in-window via q132 (peak concurrency);
 #   q99 → §2.7 math stays via q22/q80; quantile family keeps r3 row.
-# Still never-driver-checked after this rotation (the window holds 50):
-# the remaining r3 candidates (q106, q112, q115, q140) and the rest of the
-# r3 middle (q100-q120 range, q124-q148 range, q164-q175) — all verified
-# every round by scripts/driver_sim.py + tests/test_oracle_parity.py, and
-# the natural round-5 rotation pool.  ROUND-5 CANDIDATES, strongest first:
-# the round-4 additions q177 (MERGE INTO), q176 (PNG pixel decode), q178
-# (PCA closed form), q179 (BPE encode), q180-q183 (portable-hash CMS/HLL/
-# Bloom/bootstrap — the first value-oracled sketches), q184-q185 (manifest-
-# versioned table: time-travel MERGE, exactly-once streaming sink), then
-# q106, q112,
-# q115, q140, q127 (k-means, oracled since r4), q141 (BPE training,
-# oracled since r4), q144, q145-q148, q164-q175.
+# ROUND-5 ROTATION (executes the r4 candidate list recorded below): the 23
+# §2-critical residents stay; the other 27 slots swap onto never-driver-
+# checked ORACLED queries, strongest first — the 10 round-4 additions
+# (q177 MERGE INTO, q176 PNG pixel decode, q178 PCA closed form, q179 BPE
+# encode, q180-q183 portable-hash CMS/HLL/Bloom/bootstrap, q184-q185
+# manifest-versioned time travel + exactly-once stream sink), the four
+# remaining r3 candidates (q106, q112, q115, q140), the newly-oracled
+# q127 (quantized-Lloyd's k-means) and q141 (BPE training), the corpus/
+# inference quartet (q145-q148), and seven of the statistics family
+# (q166, q167, q170, q172, q173, q174, q175).
+# Coverage bookkeeping for the 27 rotated-out round-4 occupants: each has
+# a green CORRECTNESS_r04.json row from last round plus ongoing
+# driver_sim/pytest parity, and their §2 families keep in-window faces —
+#   streaming: q71/q75 (residents) + q185 (exactly-once versioned sink,
+#   rotating IN) cover what q131/q160/q163 covered;
+#   near-dup/pair mining: q121/q154 hand to q106 (edit-distance-1 fuzzy
+#   join), q147 (incremental near-dedup), q112 (bloom semi-join);
+#   graph (q149/q150/q159): r4 rows + invariant guards + parity;
+#   PIT/as-of (q143/q163): r4 rows; the dimension-join shape stays via
+#   q177's keyed MERGE and q184's time travel;
+#   statistics (q153/q157 etc.): family stays in-window via
+#   q170/q173/q174/q175;
+#   LM scoring (q125): r4 row; token surface stays via q141/q179;
+#   ANN kernel (q158): r4 row; GEMM top-k shape stays via q167
+#   (reciprocal nearest pairs rides the same kernel).
+# Still never-driver-checked after this rotation: q100/q101/q103/q107-
+# q111/q113/q114/q116-q120/q124/q126/q128/q134/q137/q138/q139-range
+# leftovers, q168/q169/q171, and the deliberate rows-only tail — all
+# verified every round by scripts/driver_sim.py + tests/test_oracle_parity
+# at sf0.001/sf0.01.  ROUND-6 CANDIDATES, strongest first: q168, q169,
+# q171, q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
@@ -136,34 +155,34 @@ _PRIORITY: tuple[str, ...] = (
     "q75_stream_stateful_profiles",
     "q80_normalize_text",
     "q83_set_operations",
-    # ---- 27 round-4 rotations: r3 additions earning their first driver row
-    "q121_repeated_ngram_spans",
-    "q132_peak_concurrency",
-    "q131_stream_incremental_mv",
-    "q135_geo_near_join",
-    "q143_pit_dimension_join",
-    "q149_pagerank_trade_graph",
-    "q161_probabilistic_linkage",
-    "q150_triangle_copurchase",
-    "q159_shortest_paths_bounded",
-    "q160_stream_drift_monitor",
-    "q163_stream_pit_enrich",
-    "q151_hybrid_rrf_retrieval",
-    "q154_containment_pairs",
-    "q162_join_size_estimate",
-    "q125_bigram_logprob",
-    "q133_table_checksum",
-    "q152_sequence_pattern",
-    "q153_ab_welch_ttest",
-    "q156_weighted_reservoir",
-    "q157_drift_psi",
-    "q158_knn_label_transfer",
-    "q122_token_budget_sample",
-    "q123_scd2_user_state",
-    "q129_retention_cohorts",
-    "q130_event_transition_matrix",
-    "q136_group_ols",
-    "q139_date_spine_gaps",
+    # ---- 27 round-5 rotations: never-driver-checked oracled queries ----
+    "q177_merge_into",
+    "q176_png_pixel_decode",
+    "q178_pca_closed_form",
+    "q179_bpe_encode",
+    "q180_cms_portable_exact",
+    "q181_hll_portable_exact",
+    "q182_bloom_portable_exact",
+    "q183_bootstrap_ci",
+    "q184_versioned_time_travel",
+    "q185_stream_versioned_sink",
+    "q106_fuzzy_join_ed1",
+    "q112_bloom_semi_join",
+    "q115_tfidf_keywords",
+    "q140_source_entropy",
+    "q127_kmeans_embeddings",
+    "q141_bpe_merges",
+    "q145_corpus_release_pipeline",
+    "q146_batch_inference",
+    "q147_incremental_near_dedup",
+    "q148_stream_inference",
+    "q166_data_contract_report",
+    "q167_reciprocal_nearest_pairs",
+    "q170_ks_drift",
+    "q172_golden_record_merge",
+    "q173_association_rules",
+    "q174_kaplan_meier",
+    "q175_classifier_auc",
 )
 
 _TAIL: tuple[str, ...] = (
