@@ -187,6 +187,34 @@ def cms_build_portable(
     )
 
 
+def cms_build_portable_from_counts(
+    counts: DataFrame, key_col: str, cnt_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """CMS cells from an already-aggregated (key, count) relation: each
+    distinct key contributes its count to its ``depth`` cells, so the
+    explode runs over |distinct keys| rows instead of |events| — cell
+    values are IDENTICAL to :func:`cms_build_portable` on the raw stream
+    (a cell is a sum of per-key counts either way).  The pre-aggregation
+    is the win when the caller already needs per-key counts (q180 shares
+    one groupBy between the sketch and the heavy-hitter ranking)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (portable_hash(F.col(key_col), i) % width).cast("int").alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        counts.select(F.col(cnt_col).alias("__n"), rows.alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("__n").cast("bigint").alias("cnt"))
+    )
+
+
 def cms_estimate_portable(
     keys: DataFrame, sketch: DataFrame, key_col: str, depth: int = 4, width: int = 64
 ) -> DataFrame:

@@ -294,3 +294,89 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def shingle_boilerplate_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 5,
+    df_num: int = 3,
+    df_den: int = 10,
+) -> DataFrame:
+    """Template/boilerplate removal, the CCNet/RefinedWeb line-dedup idea
+    re-expressed for token streams: a token ``n``-gram occurring in at
+    least ``df_num/df_den`` of a group's documents (same site/source
+    emitting the same navigation header, cookie banner, footer on every
+    page) is boilerplate; every token covered by any occurrence of a
+    boilerplate shingle is dropped, the survivors rejoin in order.
+
+    Returns (id, n_tokens, n_removed, clean_text) — one row per input doc,
+    fully-boilerplate docs included with ``clean_text = ''``.
+
+    The document-frequency threshold compares integers
+    (``df_docs * df_den >= df_num * n_docs``) so the cut is exact on any
+    engine.  Scale shape: one shingle explode (≈ tokens rows), one
+    (group, shingle) groupBy with map-side partial countDistinct, one
+    equi-join of shingle occurrences against the detected set (shuffle
+    join — the boilerplate relation is data-dependent, never forced
+    broadcast), one anti-join on covered positions, one per-doc
+    reassembly groupBy.  Nothing is quadratic; no driver collects."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(group_col).alias("__grp"),
+        F.split(F.col(text_col), " ").alias("__toks"),
+    ).withColumn("__n_tokens", F.size("__toks"))
+
+    starts = base.where(F.col("__n_tokens") >= n).select(
+        "__id",
+        "__grp",
+        F.explode(F.sequence(F.lit(1), F.col("__n_tokens") - (n - 1))).alias("__i"),
+        "__toks",
+    ).select(
+        "__id", "__grp", "__i",
+        F.concat_ws(" ", F.slice("__toks", F.col("__i"), n)).alias("__sh"),
+    )
+    n_docs = base.groupBy("__grp").agg(F.countDistinct("__id").alias("__n_docs"))
+    boiler = (
+        starts.groupBy("__grp", "__sh")
+        .agg(F.countDistinct("__id").alias("__df_docs"))
+        .join(n_docs, "__grp")
+        .where(F.col("__df_docs") * df_den >= df_num * F.col("__n_docs"))
+        .select("__grp", "__sh")
+    )
+    covered = (
+        starts.join(boiler, ["__grp", "__sh"])
+        .select(
+            "__id",
+            F.explode(F.sequence(F.col("__i"), F.col("__i") + (n - 1))).alias("__pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        "__id", "__n_tokens", F.posexplode("__toks").alias("__p0", "__tok")
+    ).select("__id", "__n_tokens", (F.col("__p0") + 1).alias("__pos"), "__tok")
+    kept = tok_rows.join(covered, ["__id", "__pos"], "left_anti")
+    reassembled = kept.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("__id", "__n_tokens")
+        .join(reassembled, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__n_tokens").cast("bigint").alias("n_tokens"),
+            (F.col("__n_tokens") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

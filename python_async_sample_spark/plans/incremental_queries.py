@@ -240,3 +240,88 @@ def q184_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup(read_version(spark, root), 2))
         .orderBy("version", "o_orderstatus")
     )
+
+
+@query(
+    "q186_versioned_compaction",
+    oracle="""
+    WITH spine AS (
+      SELECT * FROM (VALUES
+        (0, 'create', 2), (1, 'append', 3), (2, 'append', 4),
+        (3, 'append', 5), (4, 'append', 6), (5, 'append', 7),
+        (6, 'append', 8), (7, 'compact', 1)
+      ) AS t(version, op_kind, n_files)
+    ),
+    slice_agg AS (
+      SELECT CAST(o_orderkey % 7 AS INT) AS k,
+             count(*) AS n,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tp
+      FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT s.version,
+             CAST(sum(a.n) AS BIGINT) AS n_rows,
+             CAST(sum(a.tp) AS DOUBLE) AS total_price
+      FROM spine s JOIN slice_agg a ON a.k <= LEAST(s.version, 6)
+      GROUP BY s.version
+    )
+    SELECT CAST(s.version AS INT) AS version, s.op_kind,
+           CAST(s.n_files AS INT) AS n_files, c.n_rows, c.total_price
+    FROM spine s JOIN cum c USING (version)
+    ORDER BY version
+    """,
+    ref=(
+        "S13 + layout maintenance beyond the reference: snapshot-committed "
+        "small-file compaction (the OPTIMIZE verb) + manifest-computed "
+        "DESCRIBE HISTORY (sources/versioned.py compact/table_history; the "
+        "reference's nearest analog is its batched multi-row insert, "
+        "dbs/db.py:64-96, which exists to avoid tiny writes for the same "
+        "reason)"
+    ),
+    tags=("incremental", "versioned", "layout"),
+)
+def q186_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An append-heavy versioned table (create + 6 single-file appends)
+    bin-packed by ``compact()``, audited by ``table_history()``: one row
+    per snapshot with the file count, the manifest-stats row count, and
+    the per-version total revenue read through time travel.  The oracle
+    pins ALL of it from first principles — op sequence, exact file counts
+    (8 small files collapse to 1), cumulative row counts (metadata path)
+    AND cumulative decimal revenue (data path) — so a compaction that
+    lost/duplicated rows, misfiled a manifest, or failed to pack would
+    hash-mismatch.  Scale shape: every history row is manifest JSON;
+    only the eight per-version rollups touch data."""
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        compact,
+        create_table,
+        read_version,
+        table_history,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_vcq_")
+    root = f"{tmp}/orders_slices"
+    orders = load_table(spark, sf_dir, "orders")
+    slice_of = lambda k: orders.where(F.col("o_orderkey") % 7 == k)  # noqa: E731
+    create_table(spark, root, slice_of(0), n_files=2)
+    for k in range(1, 7):
+        append_versioned(spark, root, slice_of(k), n_files=1)
+    res = compact(spark, root)
+    if res["produced"] >= res["compacted"]:  # loud, not silently unpacked
+        raise RuntimeError(f"compaction did not reduce file count: {res}")
+
+    rollups = None
+    for v in range(8):
+        one = read_version(spark, root, v).agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price")
+        ).select(F.lit(v).cast("int").alias("version"), "total_price")
+        rollups = one if rollups is None else rollups.unionByName(one)
+
+    return (
+        table_history(spark, root)
+        .join(rollups, "version")
+        .select("version", "op_kind", "n_files", "n_rows", "total_price")
+        .orderBy("version")
+    )

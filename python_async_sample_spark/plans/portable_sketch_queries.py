@@ -93,14 +93,36 @@ def q180_cms_portable_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the bounded cell relation), and the deterministic top-10
     ranking all hash-match DuckDB. The never-underestimate guard stays
     in-plan — belt and suspenders over the value oracle."""
-    from python_async_sample_spark.operators.skew import skew_report
+    from pyspark.sql.window import Window as W
+
+    from python_async_sample_spark.operators.sketches import (
+        cms_build_portable_from_counts,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    sketch = cms_build_portable(ev, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH)
-    top = skew_report(ev, "user_id", top_k=10).select(
-        F.col("rank").cast("int").alias("rank"),
-        "user_id",
-        F.col("n_rows").alias("true_count"),
+    # ONE scan + ONE per-key groupBy feeds both faces: the sketch build
+    # (each key adds its count to its cells — identical cells to the
+    # raw-stream build) and the heavy-hitter ranking.  Materialized so the
+    # two consumers don't re-run the scan+shuffle lineage.
+    per_key = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+        .localCheckpoint(eager=False)
+    )
+    sketch = cms_build_portable_from_counts(
+        per_key, "user_id", "true_count", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    top = (
+        per_key.orderBy(F.col("true_count").desc(), "user_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("true_count").desc(), "user_id"))
+            .cast("int")
+            .alias("rank"),
+            "user_id",
+            "true_count",
+        )
     )
     est = cms_estimate_portable(
         top.select("user_id"), sketch, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
@@ -378,3 +400,132 @@ def q183_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.join(ci, "event_type").select(
         "event_type", "n", "mean_value", "ci_lo", "ci_hi"
     ).orderBy("event_type")
+
+
+@query(
+    "q187_simhash_portable_exact",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents
+    ),
+    dig AS (
+      SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1 AS d0,
+             strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1 AS d1,
+             strpos('0123456789abcdef', substr(md5(tok), 3, 1)) - 1 AS d2,
+             strpos('0123456789abcdef', substr(md5(tok), 4, 1)) - 1 AS d3,
+             strpos('0123456789abcdef', substr(md5(tok), 5, 1)) - 1 AS d4,
+             strpos('0123456789abcdef', substr(md5(tok), 6, 1)) - 1 AS d5,
+             strpos('0123456789abcdef', substr(md5(tok), 7, 1)) - 1 AS d6,
+             strpos('0123456789abcdef', substr(md5(tok), 8, 1)) - 1 AS d7
+      FROM tok WHERE tok <> ''
+    ),
+    votes AS (
+      SELECT doc_id,
+             sum(CASE WHEN (d0 & 1) <> 0 THEN 1 ELSE -1 END) AS v0,
+             sum(CASE WHEN (d0 & 2) <> 0 THEN 1 ELSE -1 END) AS v1,
+             sum(CASE WHEN (d0 & 4) <> 0 THEN 1 ELSE -1 END) AS v2,
+             sum(CASE WHEN (d0 & 8) <> 0 THEN 1 ELSE -1 END) AS v3,
+             sum(CASE WHEN (d1 & 1) <> 0 THEN 1 ELSE -1 END) AS v4,
+             sum(CASE WHEN (d1 & 2) <> 0 THEN 1 ELSE -1 END) AS v5,
+             sum(CASE WHEN (d1 & 4) <> 0 THEN 1 ELSE -1 END) AS v6,
+             sum(CASE WHEN (d1 & 8) <> 0 THEN 1 ELSE -1 END) AS v7,
+             sum(CASE WHEN (d2 & 1) <> 0 THEN 1 ELSE -1 END) AS v8,
+             sum(CASE WHEN (d2 & 2) <> 0 THEN 1 ELSE -1 END) AS v9,
+             sum(CASE WHEN (d2 & 4) <> 0 THEN 1 ELSE -1 END) AS v10,
+             sum(CASE WHEN (d2 & 8) <> 0 THEN 1 ELSE -1 END) AS v11,
+             sum(CASE WHEN (d3 & 1) <> 0 THEN 1 ELSE -1 END) AS v12,
+             sum(CASE WHEN (d3 & 2) <> 0 THEN 1 ELSE -1 END) AS v13,
+             sum(CASE WHEN (d3 & 4) <> 0 THEN 1 ELSE -1 END) AS v14,
+             sum(CASE WHEN (d3 & 8) <> 0 THEN 1 ELSE -1 END) AS v15,
+             sum(CASE WHEN (d4 & 1) <> 0 THEN 1 ELSE -1 END) AS v16,
+             sum(CASE WHEN (d4 & 2) <> 0 THEN 1 ELSE -1 END) AS v17,
+             sum(CASE WHEN (d4 & 4) <> 0 THEN 1 ELSE -1 END) AS v18,
+             sum(CASE WHEN (d4 & 8) <> 0 THEN 1 ELSE -1 END) AS v19,
+             sum(CASE WHEN (d5 & 1) <> 0 THEN 1 ELSE -1 END) AS v20,
+             sum(CASE WHEN (d5 & 2) <> 0 THEN 1 ELSE -1 END) AS v21,
+             sum(CASE WHEN (d5 & 4) <> 0 THEN 1 ELSE -1 END) AS v22,
+             sum(CASE WHEN (d5 & 8) <> 0 THEN 1 ELSE -1 END) AS v23,
+             sum(CASE WHEN (d6 & 1) <> 0 THEN 1 ELSE -1 END) AS v24,
+             sum(CASE WHEN (d6 & 2) <> 0 THEN 1 ELSE -1 END) AS v25,
+             sum(CASE WHEN (d6 & 4) <> 0 THEN 1 ELSE -1 END) AS v26,
+             sum(CASE WHEN (d6 & 8) <> 0 THEN 1 ELSE -1 END) AS v27,
+             sum(CASE WHEN (d7 & 1) <> 0 THEN 1 ELSE -1 END) AS v28,
+             sum(CASE WHEN (d7 & 2) <> 0 THEN 1 ELSE -1 END) AS v29,
+             sum(CASE WHEN (d7 & 4) <> 0 THEN 1 ELSE -1 END) AS v30,
+             sum(CASE WHEN (d7 & 8) <> 0 THEN 1 ELSE -1 END) AS v31
+      FROM dig GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN v0 > 0 THEN CAST(1 AS BIGINT) ELSE 0 END) + (CASE WHEN v1 > 0 THEN CAST(2 AS BIGINT) ELSE 0 END) + (CASE WHEN v2 > 0 THEN CAST(4 AS BIGINT) ELSE 0 END) + (CASE WHEN v3 > 0 THEN CAST(8 AS BIGINT) ELSE 0 END) + (CASE WHEN v4 > 0 THEN CAST(16 AS BIGINT) ELSE 0 END) + (CASE WHEN v5 > 0 THEN CAST(32 AS BIGINT) ELSE 0 END) + (CASE WHEN v6 > 0 THEN CAST(64 AS BIGINT) ELSE 0 END) + (CASE WHEN v7 > 0 THEN CAST(128 AS BIGINT) ELSE 0 END) + (CASE WHEN v8 > 0 THEN CAST(256 AS BIGINT) ELSE 0 END) + (CASE WHEN v9 > 0 THEN CAST(512 AS BIGINT) ELSE 0 END) + (CASE WHEN v10 > 0 THEN CAST(1024 AS BIGINT) ELSE 0 END) + (CASE WHEN v11 > 0 THEN CAST(2048 AS BIGINT) ELSE 0 END) + (CASE WHEN v12 > 0 THEN CAST(4096 AS BIGINT) ELSE 0 END) + (CASE WHEN v13 > 0 THEN CAST(8192 AS BIGINT) ELSE 0 END) + (CASE WHEN v14 > 0 THEN CAST(16384 AS BIGINT) ELSE 0 END) + (CASE WHEN v15 > 0 THEN CAST(32768 AS BIGINT) ELSE 0 END) + (CASE WHEN v16 > 0 THEN CAST(65536 AS BIGINT) ELSE 0 END) + (CASE WHEN v17 > 0 THEN CAST(131072 AS BIGINT) ELSE 0 END) + (CASE WHEN v18 > 0 THEN CAST(262144 AS BIGINT) ELSE 0 END) + (CASE WHEN v19 > 0 THEN CAST(524288 AS BIGINT) ELSE 0 END) + (CASE WHEN v20 > 0 THEN CAST(1048576 AS BIGINT) ELSE 0 END) + (CASE WHEN v21 > 0 THEN CAST(2097152 AS BIGINT) ELSE 0 END) + (CASE WHEN v22 > 0 THEN CAST(4194304 AS BIGINT) ELSE 0 END) + (CASE WHEN v23 > 0 THEN CAST(8388608 AS BIGINT) ELSE 0 END) + (CASE WHEN v24 > 0 THEN CAST(16777216 AS BIGINT) ELSE 0 END) + (CASE WHEN v25 > 0 THEN CAST(33554432 AS BIGINT) ELSE 0 END) + (CASE WHEN v26 > 0 THEN CAST(67108864 AS BIGINT) ELSE 0 END) + (CASE WHEN v27 > 0 THEN CAST(134217728 AS BIGINT) ELSE 0 END) + (CASE WHEN v28 > 0 THEN CAST(268435456 AS BIGINT) ELSE 0 END) + (CASE WHEN v29 > 0 THEN CAST(536870912 AS BIGINT) ELSE 0 END) + (CASE WHEN v30 > 0 THEN CAST(1073741824 AS BIGINT) ELSE 0 END) + (CASE WHEN v31 > 0 THEN CAST(2147483648 AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash32
+    FROM votes ORDER BY doc_id
+    """,
+    ref="q33's SimHash algebra certified end-to-end on an independent engine (dedup.py:simhash is the xxhash64/64-bit production path)",
+    tags=("llm-data", "dedup", "portable-sketch"),
+)
+def q187_simhash_portable_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q33's SimHash, rebuilt on a hash both engines share: the token hash
+    is md5 (bit-identical everywhere), each hex digit contributes its four
+    nibble bits, and the 32 per-bit majority votes assemble the signature
+    — so EVERY document's signature is hash-matched against DuckDB, not
+    just banded (the xxhash64 64-bit variant stays the production path;
+    this certifies the vote/bit-packing algebra it shares).  Same plan
+    shape as production: distinct-token explode, ONE groupBy carrying 32
+    map-side-combined vote sums per doc, signature assembled from vote
+    signs with integer bit arithmetic — no Python anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).where(F.length("tok") > 0)
+    dig = toks.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"instr('0123456789abcdef', substring(md5(tok), {j + 1}, 1)) - 1"
+            ).alias(f"d{j}")
+            for j in range(8)
+        ],
+    )
+    votes = dig.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("d0").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v0"),
+        F.sum(F.when(F.col("d0").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v1"),
+        F.sum(F.when(F.col("d0").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v2"),
+        F.sum(F.when(F.col("d0").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v3"),
+        F.sum(F.when(F.col("d1").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v4"),
+        F.sum(F.when(F.col("d1").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v5"),
+        F.sum(F.when(F.col("d1").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v6"),
+        F.sum(F.when(F.col("d1").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v7"),
+        F.sum(F.when(F.col("d2").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v8"),
+        F.sum(F.when(F.col("d2").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v9"),
+        F.sum(F.when(F.col("d2").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v10"),
+        F.sum(F.when(F.col("d2").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v11"),
+        F.sum(F.when(F.col("d3").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v12"),
+        F.sum(F.when(F.col("d3").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v13"),
+        F.sum(F.when(F.col("d3").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v14"),
+        F.sum(F.when(F.col("d3").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v15"),
+        F.sum(F.when(F.col("d4").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v16"),
+        F.sum(F.when(F.col("d4").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v17"),
+        F.sum(F.when(F.col("d4").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v18"),
+        F.sum(F.when(F.col("d4").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v19"),
+        F.sum(F.when(F.col("d5").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v20"),
+        F.sum(F.when(F.col("d5").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v21"),
+        F.sum(F.when(F.col("d5").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v22"),
+        F.sum(F.when(F.col("d5").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v23"),
+        F.sum(F.when(F.col("d6").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v24"),
+        F.sum(F.when(F.col("d6").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v25"),
+        F.sum(F.when(F.col("d6").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v26"),
+        F.sum(F.when(F.col("d6").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v27"),
+        F.sum(F.when(F.col("d7").bitwiseAND(F.lit(1)) != 0, 1).otherwise(-1)).alias("v28"),
+        F.sum(F.when(F.col("d7").bitwiseAND(F.lit(2)) != 0, 1).otherwise(-1)).alias("v29"),
+        F.sum(F.when(F.col("d7").bitwiseAND(F.lit(4)) != 0, 1).otherwise(-1)).alias("v30"),
+        F.sum(F.when(F.col("d7").bitwiseAND(F.lit(8)) != 0, 1).otherwise(-1)).alias("v31"),
+    )
+    sig = None
+    for i in range(32):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return votes.select("doc_id", sig.alias("simhash32")).orderBy("doc_id")

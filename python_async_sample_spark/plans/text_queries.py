@@ -948,3 +948,106 @@ def q175_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
+
+
+from python_async_sample_spark.operators.text import shingle_boilerplate_clean
+
+_BP_HEADER = "site {s} navigation home about contact login"
+_BP_FOOTER = "footer terms privacy copyright {s} network"
+
+
+@query(
+    "q188_boilerplate_removal",
+    oracle="""
+    WITH docs2 AS MATERIALIZED (
+      SELECT doc_id, source,
+             concat('site ', source, ' navigation home about contact login ',
+                    text,
+                    ' footer terms privacy copyright ', source, ' network')
+               AS text2
+      FROM documents
+    ),
+    tk AS MATERIALIZED (
+      SELECT doc_id, source, string_split(text2, ' ') AS toks,
+             len(string_split(text2, ' ')) AS n_tokens
+      FROM docs2
+    ),
+    spine AS (
+      SELECT unnest(generate_series(1, (SELECT max(n_tokens) FROM tk))) AS i
+    ),
+    starts AS MATERIALIZED (
+      SELECT t.doc_id, t.source, s.i,
+             array_to_string(t.toks[s.i:s.i+4], ' ') AS sh
+      FROM tk t JOIN spine s ON s.i <= t.n_tokens - 4
+    ),
+    nsrc AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs FROM docs2 GROUP BY 1
+    ),
+    boiler AS MATERIALIZED (
+      SELECT b.source, b.sh
+      FROM (
+        SELECT source, sh, count(DISTINCT doc_id) AS df_docs
+        FROM starts GROUP BY 1, 2
+      ) b JOIN nsrc USING (source)
+      WHERE b.df_docs * 10 >= 3 * n_docs
+    ),
+    covered AS MATERIALIZED (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT st.doc_id, unnest(generate_series(st.i, st.i + 4)) AS pos
+        FROM starts st JOIN boiler b ON b.source = st.source AND b.sh = st.sh
+      )
+    ),
+    tokrows AS (
+      SELECT t.doc_id, t.n_tokens, s.i AS pos, t.toks[s.i] AS tok
+      FROM tk t JOIN spine s ON s.i <= t.n_tokens
+    ),
+    kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM tokrows k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.pos = k.pos
+      WHERE c.doc_id IS NULL
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(tok ORDER BY pos), ' ') AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(t.n_tokens - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(a.clean_text, '') AS clean_text
+    FROM tk t LEFT JOIN agg a USING (doc_id)
+    ORDER BY t.doc_id
+    """,
+    ref=(
+        "corpus boilerplate removal (CCNet/RefinedWeb frequent-line dedup "
+        "re-expressed for token shingles) — beyond the reference surface; "
+        "nearest analog is its validation side-output discipline "
+        "(nikon_ETL.py error rows: remove-and-account, never silently drop)"
+    ),
+    tags=("llm-data", "text", "dedup"),
+)
+def q188_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source template removal: every doc gets its source's synthetic
+    navigation header and legal footer prepended/appended (both engines
+    build the same strings — the fixture pattern q176 uses for PNGs), the
+    detector must find exactly those shingles as >=30%-document-frequency
+    boilerplate, and the cleaner must strip every covered token while
+    preserving the body verbatim.  The oracle recomputes detection AND
+    removal from first principles, so a missed shingle, an off-by-one in
+    coverage, or a reordered reassembly all hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    header = F.concat(
+        F.lit("site "), F.col("source"),
+        F.lit(" navigation home about contact login ")
+    )
+    footer = F.concat(
+        F.lit(" footer terms privacy copyright "), F.col("source"), F.lit(" network")
+    )
+    templated = docs.select(
+        "doc_id", "source", F.concat(header, F.col("text"), footer).alias("text2")
+    )
+    return shingle_boilerplate_clean(
+        templated, id_col="doc_id", text_col="text2", group_col="source",
+        n=5, df_num=3, df_den=10,
+    ).orderBy("doc_id")

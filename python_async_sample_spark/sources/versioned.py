@@ -111,6 +111,85 @@ def _stage_files(df: DataFrame, root: str, n_files: int) -> list[str]:
     return names
 
 
+def _collect_file_stats(root: str, names: list[str]) -> dict:
+    """Per-file row count + min/max per primitive column, read ONCE from
+    the freshly staged local footers and embedded in the manifest.  At
+    100 TB this is the difference between planning a keyed MERGE/DELETE
+    from the manifest (one small JSON read) and opening every data file's
+    footer over the network (Iceberg keeps file stats in manifests for
+    exactly this reason).  Columns whose footer lacks statistics in any
+    row group, or whose min/max is not a JSON scalar (int/float/str), are
+    simply omitted — readers treat a missing column range as
+    "conservatively affected", never as "prunable"."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for n in names:
+        meta = pq.read_metadata(f"{root}/{_DATA_DIR}/{n}")
+        cols: dict[str, list] = {}
+        bad: set[str] = set()
+        for rg in range(meta.num_row_groups):
+            for i in range(meta.num_columns):
+                c = meta.row_group(rg).column(i)
+                name = c.path_in_schema
+                if name in bad or "." in name:  # nested: skip
+                    continue
+                st = c.statistics
+                if (
+                    st is None
+                    or st.min is None
+                    or st.max is None
+                    or not isinstance(st.min, (int, float, str))
+                    or isinstance(st.min, bool)
+                ):
+                    bad.add(name)
+                    cols.pop(name, None)
+                    continue
+                if name in cols:
+                    cols[name][0] = min(cols[name][0], st.min)
+                    cols[name][1] = max(cols[name][1], st.max)
+                else:
+                    cols[name] = [st.min, st.max]
+        out[n] = {"rows": meta.num_rows, "cols": cols}
+    return out
+
+
+def _carry_stats(manifest: dict, kept: list[str], new_stats: dict) -> dict:
+    """Stats for a child manifest: inherited entries for kept files (they
+    are immutable, so their stats never change) plus the new files'."""
+    parent = manifest.get("stats") or {}
+    out = {n: parent[n] for n in kept if n in parent}
+    out.update(new_stats)
+    return out
+
+
+def _affected_from_manifest(
+    manifest: dict, key_col: str, targets: list
+) -> tuple[list[str], int] | None:
+    """Manifest-stats twin of ``layout._prune_files_by_key_stats``: the
+    file names whose recorded [min, max] range can contain ANY target key,
+    plus their total rows — zero footer reads.  Returns None when any file
+    lacks a recorded range for ``key_col`` (legacy manifest, or a column
+    the footers couldn't summarize) so the caller falls back to footers;
+    a partial answer would be unsound, not just slow."""
+    stats = manifest.get("stats") or {}
+    affected, rows = [], 0
+    for n in manifest["files"]:
+        ent = stats.get(n)
+        if ent is not None and ent["rows"] == 0:
+            continue  # an empty file contains no keys (it has no column
+            # ranges either — zero row groups — so don't mistake that for
+            # "stats missing")
+        rng = ent["cols"].get(key_col) if ent else None
+        if rng is None:
+            return None
+        lo, hi = rng
+        if any(lo <= k <= hi for k in targets):
+            affected.append(n)
+            rows += ent["rows"]
+    return affected, rows
+
+
 def _commit(
     root: str,
     files: list[str],
@@ -118,6 +197,7 @@ def _commit(
     op: str,
     parent: int | None,
     epochs: dict[str, str] | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Atomically publish the next manifest.  The JSON is fully written to
     a temp file first; ``os.link`` then both creates the final name
@@ -139,6 +219,7 @@ def _commit(
         "files": sorted(files),
         "schema": schema_json,
         "epochs": dict(epochs or {}),
+        "stats": dict(stats or {}),
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -167,7 +248,10 @@ def create_table(spark: SparkSession, root: str, df: DataFrame, n_files: int = 4
         raise FileExistsError(f"versioned table already exists at {root!r}")
     os.makedirs(root, exist_ok=True)
     files = _stage_files(df, root, n_files)
-    return _commit(root, files, df.schema.json(), "create", parent=None)
+    return _commit(
+        root, files, df.schema.json(), "create", parent=None,
+        stats=_collect_file_stats(root, files),
+    )
 
 
 def read_version(
@@ -212,6 +296,7 @@ def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
     return _commit(
         root, manifest["files"], new_schema.json(), f"alter-add:{name}", parent,
         epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, manifest["files"], {}),
     )
 
 
@@ -229,9 +314,11 @@ def merge_into_versioned(
     snapshot to the merged one atomically, and the old version stays
     queryable for time travel until vacuumed.
 
-    Scale shape is unchanged: footer min/max pruning picks the affected
-    files from the CURRENT manifest, only those rewrite, the driver touch
-    is the batch's distinct keys (CDC-sized by contract)."""
+    Scale shape is unchanged: min/max pruning picks the affected files —
+    from the manifest's embedded stats when present (zero footer reads),
+    falling back to parquet footers for legacy manifests — only those
+    rewrite, and the driver touch is the batch's distinct keys (CDC-sized
+    by contract)."""
     root = root.rstrip("/")
     _require_local_path(root, "merge_into_versioned")
     pin_reader_conf(spark)
@@ -265,8 +352,13 @@ def merge_into_versioned(
             "upserted_rows": 0, "replaced_rows": 0,
         }
 
-    paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
-    affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
+    pruned = _affected_from_manifest(manifest, key_col, targets)
+    if pruned is not None:
+        names_hit, rows_before = pruned
+        affected = [f"{root}/{_DATA_DIR}/{n}" for n in names_hit]
+    else:  # legacy manifest without embedded stats: open footers
+        paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+        affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
     affected_names = {os.path.basename(p) for p in affected}
 
     if affected:
@@ -283,15 +375,14 @@ def merge_into_versioned(
     else:
         staged_df = updates
     new_names = _stage_files(staged_df, root, max(1, len(affected)))
-    import pyarrow.parquet as pq
-
-    rows_after = sum(
-        pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
-    )
-    next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
+    new_stats = _collect_file_stats(root, new_names)
+    rows_after = sum(new_stats[n]["rows"] for n in new_names)
+    kept_names = [n for n in manifest["files"] if n not in affected_names]
+    next_files = kept_names + new_names
     version = _commit(
         root, next_files, schema_json, f"merge:{key_col}", parent,
         epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, kept_names, new_stats),
     )
     return {
         "version": version,
@@ -314,8 +405,13 @@ def delete_keys_versioned(
     parent = current_version(root)
     manifest = _read_manifest(root, parent)
     targets = sorted(keys)
-    paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
-    affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
+    pruned = _affected_from_manifest(manifest, key_col, targets)
+    if pruned is not None:
+        names_hit, rows_before = pruned
+        affected = [f"{root}/{_DATA_DIR}/{n}" for n in names_hit]
+    else:  # legacy manifest without embedded stats: open footers
+        paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+        affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
     if not affected:
         return {"version": parent, "rewritten": 0, "deleted_rows": 0}
     affected_names = {os.path.basename(p) for p in affected}
@@ -325,15 +421,14 @@ def delete_keys_versioned(
         .where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
     )
     new_names = _stage_files(keep, root, len(affected))
-    import pyarrow.parquet as pq
-
-    rows_after = sum(
-        pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows for n in new_names
-    )
-    next_files = [n for n in manifest["files"] if n not in affected_names] + new_names
+    new_stats = _collect_file_stats(root, new_names)
+    rows_after = sum(new_stats[n]["rows"] for n in new_names)
+    kept_names = [n for n in manifest["files"] if n not in affected_names]
+    next_files = kept_names + new_names
     version = _commit(
         root, next_files, manifest["schema"], f"delete:{key_col}", parent,
         epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, kept_names, new_stats),
     )
     return {
         "version": version,
@@ -414,6 +509,109 @@ def commit_stream_epoch(
     return _commit(
         root, manifest["files"] + new_names, manifest["schema"], op, parent,
         epochs=ledger,
+        stats=_carry_stats(manifest, manifest["files"], _collect_file_stats(root, new_names)),
+    )
+
+
+def append_versioned(
+    spark: SparkSession, root: str, df: DataFrame, n_files: int = 1
+) -> int:
+    """Plain INSERT INTO as a snapshot commit: the batch's files join the
+    current manifest, nothing rewrites.  The cheapest write verb — O(batch)
+    data, O(1) metadata — and the one a 100 TB ingest loop lives on."""
+    root = root.rstrip("/")
+    _require_local_path(root, "append_versioned")
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
+    new_names = _stage_files(df.select(*cols), root, n_files)
+    return _commit(
+        root, manifest["files"] + new_names, manifest["schema"], "append", parent,
+        epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, manifest["files"], _collect_file_stats(root, new_names)),
+    )
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_bytes: int = 128 << 20,
+) -> dict:
+    """Bin-pack small data files into target-sized ones as a snapshot
+    commit — the OPTIMIZE verb.  An append-heavy table accretes one file
+    per commit; at 100 TB that is millions of tiny files, and every scan
+    pays per-file open/seek and per-task scheduling overhead.  Compaction
+    rewrites ONLY the files under ``small_file_bytes`` (large files are
+    left untouched — no full-table rewrite), packing their combined bytes
+    into ``ceil(total/target_file_bytes)`` outputs.
+
+    Content is preserved exactly (same rows, same schema; row order within
+    the table is not part of the snapshot contract).  Crash-safety is the
+    standard commit discipline: staged files are orphans until the
+    manifest links, old files are never touched (time travel to
+    pre-compaction versions keeps working until :func:`vacuum`), and a
+    concurrent writer conflict surfaces as :class:`ConcurrentWriteError` —
+    rerun on the new head."""
+    root = root.rstrip("/")
+    _require_local_path(root, "compact")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    small, kept = [], []
+    total = 0
+    for n in manifest["files"]:
+        size = os.path.getsize(f"{root}/{_DATA_DIR}/{n}")
+        if size < small_file_bytes:
+            small.append(n)
+            total += size
+        else:
+            kept.append(n)
+    if len(small) <= 1:
+        return {"version": parent, "compacted": 0, "produced": 0, "untouched": len(manifest["files"])}
+    n_out = max(1, -(-total // target_file_bytes))
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    packed = spark.read.schema(schema).parquet(
+        *[f"{root}/{_DATA_DIR}/{n}" for n in small]
+    )
+    new_names = _stage_files(packed, root, n_out)
+    version = _commit(
+        root, kept + new_names, manifest["schema"], f"compact:{len(small)}->{len(new_names)}",
+        parent,
+        epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, kept, _collect_file_stats(root, new_names)),
+    )
+    return {
+        "version": version,
+        "compacted": len(small),
+        "produced": len(new_names),
+        "untouched": len(kept),
+    }
+
+
+def table_history(spark: SparkSession, root: str) -> DataFrame:
+    """One row per committed snapshot — (version, op_kind, n_files,
+    n_rows) — computed ENTIRELY from manifests (their embedded row-count
+    stats; a footer read only for legacy manifests without stats).  The
+    DESCRIBE HISTORY face of the table: a 100 TB audit costs kilobytes of
+    JSON, no data I/O."""
+    root = root.rstrip("/")
+    rows = []
+    for v in table_versions(root):
+        m = _read_manifest(root, v)
+        stats = m.get("stats") or {}
+        n_rows = 0
+        for n in m["files"]:
+            ent = stats.get(n)
+            if ent is not None:
+                n_rows += ent["rows"]
+            else:
+                import pyarrow.parquet as pq
+
+                n_rows += pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows
+        rows.append((v, m["op"].split(":", 1)[0], len(m["files"]), n_rows))
+    return spark.createDataFrame(
+        rows, "version int, op_kind string, n_files int, n_rows bigint"
     )
 
 

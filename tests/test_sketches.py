@@ -271,3 +271,19 @@ def test_portable_bloom_no_false_negatives(spark, sf_dir):
     truth = ev.join(build, "user_id", "left_semi")
     missed = truth.join(passed.select("event_id"), "event_id", "left_anti")
     assert missed.count() == 0
+
+
+def test_cms_build_from_counts_equals_raw_stream_build(spark):
+    """The pre-aggregated build (q180's one-groupBy sharing) must produce
+    IDENTICAL cells to the raw-stream build — a cell is a sum of per-key
+    counts either way."""
+    from python_async_sample_spark.operators.sketches import (
+        cms_build_portable,
+        cms_build_portable_from_counts,
+    )
+
+    df = spark.range(0, 5000).select((F.col("id") % 137).alias("k"))
+    raw = cms_build_portable(df, "k", depth=4, width=64)
+    counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    pre = cms_build_portable_from_counts(counts, "k", "n", depth=4, width=64)
+    assert raw.exceptAll(pre).count() == 0 and pre.exceptAll(raw).count() == 0

@@ -347,3 +347,79 @@ def test_vacuum_retains_legacy_epoch_manifests_until_ledgered(spark, root):
     assert commit_stream_epoch(spark, root, df, 7, "fp-seven") is None
     with pytest.raises(RuntimeError, match="different batch fingerprint"):
         commit_stream_epoch(spark, root, df, 7, "fp-eight")
+
+
+def test_manifest_stats_prune_without_footer_reads(spark, sf_dir, root):
+    """Manifests embed per-file row counts + min/max column ranges at
+    commit time; keyed verbs plan their file set from the manifest alone.
+    Prune correctness: the manifest answer must equal the footer answer,
+    and a targeted merge must rewrite only the files whose range covers
+    the keys."""
+    from python_async_sample_spark.sources.versioned import (
+        _affected_from_manifest,
+        _read_manifest,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+    m = _read_manifest(root, 0)
+    assert set(m["stats"]) == set(m["files"])
+    lo_key = orders.agg(F.min("o_orderkey")).first()[0]
+    got = _affected_from_manifest(m, "o_orderkey", [int(lo_key)])
+    assert got is not None
+    names_hit, rows = got
+    # range-ordered 8-file layout: the smallest key lives in exactly 1 file
+    assert len(names_hit) == 1 and rows > 0
+    res = merge_into_versioned(
+        spark, root,
+        orders.where(F.col("o_orderkey") == lo_key).withColumn(
+            "o_orderstatus", F.lit("M")
+        ),
+        "o_orderkey",
+    )
+    assert res["rewritten"] == 1 and res["untouched"] == 7
+    # stats carried forward + refreshed for the rewritten file
+    m1 = _read_manifest(root, 1)
+    assert set(m1["stats"]) == set(m1["files"])
+    # legacy manifest (stats stripped) falls back to footers, same answer
+    m_stripped = dict(m, stats={})
+    assert _affected_from_manifest(m_stripped, "o_orderkey", [int(lo_key)]) is None
+
+
+def test_append_compact_preserves_content_and_packs_files(spark, root):
+    """compact() bin-packs small files into target-sized ones as a commit:
+    content identical, file count down, pre-compaction versions still
+    readable, history reports the whole chain from manifests only."""
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        compact,
+        table_history,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") % 10).alias("v")
+    )
+    create_table(spark, root, df.where("k < 20"), n_files=2)
+    for lo in (20, 40, 60, 80):
+        append_versioned(spark, root, df.where(f"k >= {lo} and k < {lo + 20}"), n_files=1)
+    assert len(glob.glob(f"{root}/data/part-*.parquet")) == 6
+    before = read_version(spark, root).orderBy("k").collect()
+
+    res = compact(spark, root)  # tiny files: everything packs into 1
+    assert res["compacted"] == 6 and res["produced"] == 1 and res["untouched"] == 0
+    after = read_version(spark, root).orderBy("k").collect()
+    assert after == before
+    # time travel across the compaction boundary
+    assert read_version(spark, root, 4).orderBy("k").collect() == before
+    assert read_version(spark, root, 0).count() == 20
+    # compacting a compacted table is a no-op commit-free
+    assert compact(spark, root)["compacted"] == 0
+    hist = {r["version"]: r for r in table_history(spark, root).collect()}
+    assert [hist[v]["op_kind"] for v in sorted(hist)] == [
+        "create", "append", "append", "append", "append", "compact"
+    ]
+    assert hist[5]["n_files"] == 1 and hist[5]["n_rows"] == 100
+    assert hist[0]["n_rows"] == 20 and hist[4]["n_rows"] == 100
+    # large files are never rewritten: with a 0-byte smallness threshold
+    # nothing qualifies
+    assert compact(spark, root, small_file_bytes=0)["compacted"] == 0
