@@ -325,3 +325,84 @@ def q186_versioned_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("version", "op_kind", "n_files", "n_rows", "total_price")
         .orderBy("version")
     )
+
+
+@query(
+    "q190_versioned_changes",
+    oracle="""
+    WITH del AS (
+      SELECT 'delete' AS change_type, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 97 = 0 GROUP BY o_orderstatus
+    ),
+    ins_upd AS (
+      SELECT 'insert' AS change_type, 'M' AS o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00) AS DOUBLE)
+               AS total_price
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ins_new AS (
+      SELECT 'insert' AS change_type, 'N' AS o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) * CAST(42.42 AS DECIMAL(18,2)) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey % 397 = 0
+    )
+    SELECT * FROM del UNION ALL SELECT * FROM ins_upd UNION ALL
+    SELECT * FROM ins_new
+    ORDER BY change_type, o_orderstatus
+    """,
+    ref=(
+        "S11-S12 generalized to snapshot CDC: row-level changes between two "
+        "manifest versions, reading ONLY the files in the manifests' "
+        "symmetric difference (sources/versioned.changes_between; the "
+        "incremental-read face of the reference's watermark interval "
+        "extraction, dbs/nikon.py:107-145)"
+    ),
+    tags=("incremental", "versioned", "cdc"),
+)
+def q190_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q184's MERGE batch, consumed as CDC: ``changes_between(v0, v1)``
+    must emit exactly the update keys' delete+insert pairs plus the new
+    keys' inserts — rewritten-but-unchanged rows (the rest of each
+    affected file) must CANCEL in the multiset diff.  The oracle derives
+    every change row from first principles on the source table; the scale
+    contract (files shared by both manifests are never read) is pinned in
+    test_versioned via inputFiles."""
+    from python_async_sample_spark.sources.versioned import (
+        changes_between,
+        create_table,
+        merge_into_versioned,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cdcq_")
+    root = f"{tmp}/orders_cdc"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 397 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.lit(42.42))
+        )
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    return (
+        changes_between(spark, root, 0, 1)
+        .groupBy("change_type", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("change_type", "o_orderstatus")
+    )

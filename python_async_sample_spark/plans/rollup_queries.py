@@ -304,3 +304,159 @@ def q113_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "conv_id", "first_touch", "last_touch", "n_touches")
         .orderBy("user_id", "conv_id")
     )
+
+
+@query(
+    "q191_k_anonymity_ladder",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT CAST(c_mktsegment AS VARCHAR) AS segment,
+             CAST(c_nationkey AS VARCHAR) AS nation,
+             CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS bal_band
+      FROM customer
+    ),
+    lvl0 AS MATERIALIZED (
+      SELECT segment, nation, bal_band, CAST(count(*) AS BIGINT) AS n
+      FROM base GROUP BY 1, 2, 3
+    ),
+    keep0 AS (
+      SELECT segment, nation, bal_band, CAST(0 AS INT) AS level, n
+      FROM lvl0 WHERE n >= 5
+    ),
+    lvl1 AS MATERIALIZED (
+      SELECT segment, nation, CAST(sum(n) AS BIGINT) AS n
+      FROM lvl0 WHERE n < 5 GROUP BY 1, 2
+    ),
+    keep1 AS (
+      SELECT segment, nation, 'ANY' AS bal_band, CAST(1 AS INT) AS level, n
+      FROM lvl1 WHERE n >= 5
+    ),
+    supp AS (
+      SELECT 'SUPPRESSED' AS segment, 'SUPPRESSED' AS nation,
+             'SUPPRESSED' AS bal_band, CAST(2 AS INT) AS level,
+             CAST(sum(n) AS BIGINT) AS n
+      FROM lvl1 WHERE n < 5 HAVING sum(n) > 0
+    )
+    SELECT * FROM keep0 UNION ALL SELECT * FROM keep1 UNION ALL
+    SELECT * FROM supp
+    ORDER BY level, segment, nation, bal_band
+    """,
+    ref=(
+        "training-data release governance (beyond reference): k-anonymity "
+        "audit with two-level local recoding (operators/anonymize.py); the "
+        "reference's error-row side-output discipline (nikon_ETL.py) is the "
+        "same divert-and-account contract suppression follows"
+    ),
+    tags=("llm-data", "governance"),
+)
+def q191_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=5 anonymity over (segment, nation, acctbal-band): full-granularity
+    combos that reach k keep level 0, failures coarsen the balance band to
+    ANY and re-test at level 1, the remainder collapses into one
+    SUPPRESSED row — the suppressed count is part of the output, so rows
+    are diverted and accounted, never silently dropped.  Two groupBy
+    passes, the second over only the level-0 failures."""
+    from python_async_sample_spark.operators.anonymize import k_anonymize_ladder
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    )
+    return k_anonymize_ladder(
+        cust, ["segment", "nation"], "bal_band", k=5
+    ).orderBy("level", "segment", "nation", "bal_band")
+
+
+@query(
+    "q192_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(date_trunc('microseconds', ts)) AS s,
+             epoch_us(date_trunc('microseconds', ts)) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR s > max(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  )
+             THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, min(s) AS island_s, max(e) AS island_e
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(island_e - island_s) AS BIGINT) AS covered_us,
+           CAST(max(island_e - island_s) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    ORDER BY user_id
+    """,
+    ref=(
+        "interval union / coverage (beyond reference): the gaps-and-islands "
+        "running-max coalesce every temporal warehouse needs; q19/q60's "
+        "sessionization is the gap<threshold special case of the same "
+        "window shape"
+    ),
+    tags=("window", "temporal"),
+)
+def q192_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each event opens a 5-minute activity interval; per user the
+    overlapping intervals coalesce into maximal islands (running-max-end
+    window, island id = prefix sum of gap flags), reported as island
+    count, total covered microseconds, longest island.  All arithmetic in
+    integer microseconds on both engines — no seconds-truncation or float
+    drift.  One user-partitioned sort, no self-join, no explosion."""
+    events = load_table(spark, sf_dir, "events")
+    s = F.unix_micros(F.col("ts"))
+    iv = events.select("user_id", "event_id", s.alias("s"), (s + 300_000_000).alias("e"))
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id", "event_id", "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0).alias("new_island"),
+    )
+    # same (s, event_id) order key as the flag window: peers under a
+    # tie-ambiguous ORDER BY would let the two engines assign tied rows to
+    # different islands
+    w_run = (
+        W.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_s"), F.max("e").alias("island_e")
+    )
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+            F.sum(F.col("island_e") - F.col("island_s")).cast("bigint").alias("covered_us"),
+            F.max(F.col("island_e") - F.col("island_s")).cast("bigint").alias("longest_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -423,3 +423,48 @@ def test_append_compact_preserves_content_and_packs_files(spark, root):
     # large files are never rewritten: with a 0-byte smallness threshold
     # nothing qualifies
     assert compact(spark, root, small_file_bytes=0)["compacted"] == 0
+
+
+def test_changes_between_prunes_shared_files_and_tags_rows(spark, sf_dir, root):
+    """CDC between snapshots: updated keys appear as delete+insert pairs,
+    untouched rows never appear, and — the scale contract — files shared
+    by both manifests are never even READ (inputFiles ⊆ the manifest
+    symmetric difference)."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        changes_between,
+        compact,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+    lo_key = int(orders.agg(F.min("o_orderkey")).first()[0])
+    updates = orders.where(F.col("o_orderkey") == lo_key).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+
+    diff = changes_between(spark, root, 0, 1)
+    rows = diff.collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["change_type"], []).append(r)
+    assert len(by_type["insert"]) == 1 and len(by_type["delete"]) == 1
+    assert by_type["insert"][0]["o_orderstatus"] == "M"
+    assert by_type["delete"][0]["o_orderkey"] == lo_key
+
+    # file pruning: only the one rewritten file + its replacement are read
+    m0, m1 = _read_manifest(root, 0), _read_manifest(root, 1)
+    sym_diff = set(m0["files"]) ^ set(m1["files"])
+    assert len(sym_diff) == 2  # 1-file merge: one out, one in
+    read_names = {p.rsplit("/", 1)[-1] for p in diff.inputFiles()}
+    assert read_names <= sym_diff and read_names
+
+    # compaction rewrites files without changing content → empty diff
+    res = compact(spark, root)
+    assert res["compacted"] > 1
+    assert changes_between(spark, root, 1, res["version"]).count() == 0
+
+    # identical versions refused
+    with pytest.raises(ValueError, match="must differ"):
+        changes_between(spark, root, 1, 1)
