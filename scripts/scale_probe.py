@@ -61,6 +61,11 @@ DRIVER_ROW_CAPS = {
     "q121_repeated_ngram_spans": 200,
     "q161_probabilistic_linkage": 200,
     "q135_geo_near_join": 200,
+    # boilerplate collects nothing; hierarchy's per-level emptiness probes
+    # are 0-row driver touches (isEmpty), its output is N rows but never
+    # collected by the probe body
+    "q188_boilerplate_removal": 200,
+    "q189_hierarchy_rollup": 200,
     "ann_lsh_topk": 6000,
     "ann_ivf_topk": 6000,
 }
@@ -190,6 +195,11 @@ def probed_paths(spark):
             "q121_repeated_ngram_spans",
             "q161_probabilistic_linkage",
             "q135_geo_near_join",
+            # round-5 additions with pair-miner / closure shapes worth the
+            # same scrutiny: the boilerplate shingle relation must stay
+            # linear in tokens, the hierarchy closure Σdepth-sized
+            "q188_boilerplate_removal",
+            "q189_hierarchy_rollup",
         )
     ]
 
