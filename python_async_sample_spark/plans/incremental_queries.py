@@ -406,3 +406,140 @@ def q190_versioned_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "o_orderstatus")
     )
+
+
+@query(
+    "q193_cdc_maintained_rollup",
+    oracle="""
+    WITH upd1 AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    ins1 AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             CAST(42.42 AS DOUBLE) AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 397 = 0
+    ),
+    merged1 AS MATERIALIZED (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM upd1
+      UNION ALL SELECT * FROM ins1
+    ),
+    upd2 AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 500.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM merged1 WHERE o_orderkey % 53 = 0
+    ),
+    merged2 AS MATERIALIZED (
+      SELECT * FROM merged1 WHERE o_orderkey % 53 <> 0
+      UNION ALL SELECT * FROM upd2
+    ),
+    r1 AS (
+      SELECT CAST(1 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM merged1 GROUP BY o_orderstatus
+    ),
+    r2 AS (
+      SELECT CAST(2 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM merged2 GROUP BY o_orderstatus
+    )
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2
+    ORDER BY version, o_orderstatus
+    """,
+    ref=(
+        "incremental view maintenance over snapshot CDC (beyond "
+        "reference): rollup(v_n) = rollup(v_{n-1}) + signed delta of "
+        "changes_between — the base table is scanned ONCE at init, every "
+        "refresh reads only the manifests' symmetric-difference files "
+        "(sources/versioned.changes_between; the algebraic form of the "
+        "reference's full MV recompute, dbs/nikon.py:188-197)"
+    ),
+    tags=("incremental", "versioned", "cdc", "rollup"),
+)
+def q193_cdc_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two successive MERGEs against a versioned orders table, with the
+    per-status rollup maintained ALGEBRAICALLY: each refresh adds the
+    signed CDC delta (insert rows +1/+price, delete rows −1/−price) to
+    the previous rollup — the 100 TB base is never rescanned after init,
+    and each delta reads only the rewritten files (q190's contract).
+    Decimal sums keep the increments exact, so the maintained rollup
+    hash-matches DuckDB recomputing both versions from first principles —
+    drift between maintained and recomputed state is impossible to hide."""
+    from python_async_sample_spark.sources.versioned import (
+        changes_between,
+        create_table,
+        merge_into_versioned,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_ivmq_")
+    root = f"{tmp}/orders_ivm"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+
+    updates1 = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+        .unionByName(
+            orders.where(F.col("o_orderkey") % 397 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10_000_000))
+            .withColumn("o_orderstatus", F.lit("N"))
+            .withColumn("o_totalprice", F.lit(42.42))
+        )
+    )
+    merge_into_versioned(spark, root, updates1, "o_orderkey")
+    updates2 = (
+        read_version(spark, root)
+        .where(F.col("o_orderkey") % 53 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(500.00)).cast("double"),
+        )
+    )
+    merge_into_versioned(spark, root, updates2, "o_orderkey")
+
+    def rollup_signed(df: DataFrame, sign_col: F.Column) -> DataFrame:
+        return df.select(
+            "o_orderstatus",
+            sign_col.alias("__w"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * sign_col.cast("decimal(3,0)"))
+            .alias("__p"),
+        )
+
+    base = rollup_signed(read_version(spark, root, 0), F.lit(1))  # the ONE base scan
+
+    def delta(v_from: int, v_to: int) -> DataFrame:
+        ch = changes_between(spark, root, v_from, v_to)
+        return rollup_signed(
+            ch, F.when(F.col("change_type") == "insert", F.lit(1)).otherwise(F.lit(-1))
+        )
+
+    def finish(parts: DataFrame, version: int) -> DataFrame:
+        return (
+            parts.groupBy("o_orderstatus")
+            .agg(
+                F.sum("__w").cast("bigint").alias("n_rows"),
+                F.sum("__p").cast("double").alias("total_price"),
+            )
+            .where(F.col("n_rows") != 0)
+            .select(
+                F.lit(version).cast("int").alias("version"),
+                "o_orderstatus", "n_rows", "total_price",
+            )
+        )
+
+    d1, d2 = delta(0, 1), delta(1, 2)
+    r1 = finish(base.unionByName(d1), 1)
+    r2 = finish(base.unionByName(d1).unionByName(d2), 2)
+    return r1.unionByName(r2).orderBy("version", "o_orderstatus")

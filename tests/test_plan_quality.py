@@ -345,3 +345,36 @@ def test_triangle_wedge_join_is_equi_join(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_shingle_join_shuffles_not_broadcasts(spark, sf_dir):
+    """q188's occurrence-vs-detected-set join keys on (source, shingle) —
+    a data-sized relation at 100 TB (the q89/q121 vocabulary rule): it
+    must ride a shuffle join with no cartesian anywhere; the reassembly
+    window is groupBy-shaped (no global window)."""
+    with Q89_NO_AUTO_BROADCAST(spark):
+        df = SPECS["q188_boilerplate_removal"].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hierarchy_levels_are_equi_joins_no_cartesian(spark, sf_dir):
+    """q189's per-level BFS joins and the closure expansion must all be
+    keyed equi-joins; a missing join key would silently cartesian the
+    frontier against the edge list."""
+    df = SPECS["q189_hierarchy_rollup"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_portable_simhash_is_one_aggregate_no_python(spark, sf_dir):
+    """q187: the 32 vote sums ride ONE hash aggregate pair (partial+final)
+    over the token explode — no Python eval anywhere in the plan, exactly
+    one exchange for the vote groupBy (plus the gate sort)."""
+    df = SPECS["q187_simhash_portable_exact"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan

@@ -468,3 +468,42 @@ def test_changes_between_prunes_shared_files_and_tags_rows(spark, sf_dir, root):
     # identical versions refused
     with pytest.raises(ValueError, match="must differ"):
         changes_between(spark, root, 1, 1)
+
+
+def test_compact_loses_cleanly_to_concurrent_writer(spark, root):
+    """compact() is an optimistic writer like any other: a merge that
+    commits between its manifest read and its commit makes it raise
+    ConcurrentWriteError (never clobber), and re-running on the new head
+    succeeds with the merged content intact."""
+    from python_async_sample_spark.sources.versioned import (
+        _collect_file_stats,
+        _commit,
+        _read_manifest,
+        _stage_files,
+        compact,
+    )
+
+    df = spark.createDataFrame([(i, "x") for i in range(50)], "k int, v string")
+    create_table(spark, root, df.where("k < 25"), n_files=3)
+    from python_async_sample_spark.sources.versioned import append_versioned
+
+    append_versioned(spark, root, df.where("k >= 25"), n_files=3)
+
+    # simulate the race: stage compact's output by hand against parent v1,
+    # let a merge win v2 first, then compact's commit for v2 must lose
+    m1 = _read_manifest(root, 1)
+    staged = _stage_files(read_version(spark, root, 1), root, 1)
+    merge_into_versioned(
+        spark, root,
+        spark.createDataFrame([(0, "MERGED")], "k int, v string"), "k",
+    )  # wins version 2
+    with pytest.raises(ConcurrentWriteError):
+        _commit(root, staged, m1["schema"], "compact:6->1", parent=1,
+                epochs=m1.get("epochs"),
+                stats=_collect_file_stats(root, staged))
+    # the loser committed nothing; re-running compacts the REAL head
+    assert read_version(spark, root).where("v = 'MERGED'").count() == 1
+    res = compact(spark, root)
+    assert res["compacted"] >= 2
+    assert read_version(spark, root).where("v = 'MERGED'").count() == 1
+    assert read_version(spark, root).count() == 50
