@@ -460,3 +460,180 @@ def q192_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_EWMA_H = 16
+_EWMA_WS = [0.75, 0.5625, 0.421875, 0.31640625, 0.2373046875, 0.177978515625, 0.13348388671875, 0.1001129150390625, 0.07508468627929688, 0.056313514709472656, 0.04223513603210449, 0.03167635202407837, 0.023757264018058777, 0.017817948013544083, 0.013363461010158062, 0.010022595757618546]  # 0.75**i, exact binary doubles for i <= 32
+
+
+@query(
+    "q194_ewma_anomaly",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, event_id, value, ts,
+             date_trunc('day', date_trunc('microseconds', ts)) AS day
+      FROM events
+    ),
+    lagged AS MATERIALIZED (
+      SELECT event_type, event_id, value,
+             lag(value, 1) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l1,
+             lag(value, 2) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l2,
+             lag(value, 3) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l3,
+             lag(value, 4) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l4,
+             lag(value, 5) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l5,
+             lag(value, 6) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l6,
+             lag(value, 7) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l7,
+             lag(value, 8) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l8,
+             lag(value, 9) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l9,
+             lag(value, 10) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l10,
+             lag(value, 11) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l11,
+             lag(value, 12) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l12,
+             lag(value, 13) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l13,
+             lag(value, 14) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l14,
+             lag(value, 15) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l15,
+             lag(value, 16) OVER (PARTITION BY event_type, day ORDER BY ts, event_id) AS l16
+      FROM ev
+    ),
+    scored AS (
+      SELECT event_type, event_id, value,
+             ((CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.75 * l1 END)
+               + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5625 * l2 END)
+               + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.421875 * l3 END)
+               + (CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.31640625 * l4 END)
+               + (CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.2373046875 * l5 END)
+               + (CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.177978515625 * l6 END)
+               + (CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.13348388671875 * l7 END)
+               + (CASE WHEN l8 IS NULL THEN 0.0 ELSE 0.1001129150390625 * l8 END)
+               + (CASE WHEN l9 IS NULL THEN 0.0 ELSE 0.07508468627929688 * l9 END)
+               + (CASE WHEN l10 IS NULL THEN 0.0 ELSE 0.056313514709472656 * l10 END)
+               + (CASE WHEN l11 IS NULL THEN 0.0 ELSE 0.04223513603210449 * l11 END)
+               + (CASE WHEN l12 IS NULL THEN 0.0 ELSE 0.03167635202407837 * l12 END)
+               + (CASE WHEN l13 IS NULL THEN 0.0 ELSE 0.023757264018058777 * l13 END)
+               + (CASE WHEN l14 IS NULL THEN 0.0 ELSE 0.017817948013544083 * l14 END)
+               + (CASE WHEN l15 IS NULL THEN 0.0 ELSE 0.013363461010158062 * l15 END)
+               + (CASE WHEN l16 IS NULL THEN 0.0 ELSE 0.010022595757618546 * l16 END)) AS num,
+             ((CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.75 END)
+               + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5625 END)
+               + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.421875 END)
+               + (CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.31640625 END)
+               + (CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.2373046875 END)
+               + (CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.177978515625 END)
+               + (CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.13348388671875 END)
+               + (CASE WHEN l8 IS NULL THEN 0.0 ELSE 0.1001129150390625 END)
+               + (CASE WHEN l9 IS NULL THEN 0.0 ELSE 0.07508468627929688 END)
+               + (CASE WHEN l10 IS NULL THEN 0.0 ELSE 0.056313514709472656 END)
+               + (CASE WHEN l11 IS NULL THEN 0.0 ELSE 0.04223513603210449 END)
+               + (CASE WHEN l12 IS NULL THEN 0.0 ELSE 0.03167635202407837 END)
+               + (CASE WHEN l13 IS NULL THEN 0.0 ELSE 0.023757264018058777 END)
+               + (CASE WHEN l14 IS NULL THEN 0.0 ELSE 0.017817948013544083 END)
+               + (CASE WHEN l15 IS NULL THEN 0.0 ELSE 0.013363461010158062 END)
+               + (CASE WHEN l16 IS NULL THEN 0.0 ELSE 0.010022595757618546 END)) AS den,
+             ((CASE WHEN l1 IS NULL THEN 0.0 ELSE 0.75 * l1 * l1 END)
+               + (CASE WHEN l2 IS NULL THEN 0.0 ELSE 0.5625 * l2 * l2 END)
+               + (CASE WHEN l3 IS NULL THEN 0.0 ELSE 0.421875 * l3 * l3 END)
+               + (CASE WHEN l4 IS NULL THEN 0.0 ELSE 0.31640625 * l4 * l4 END)
+               + (CASE WHEN l5 IS NULL THEN 0.0 ELSE 0.2373046875 * l5 * l5 END)
+               + (CASE WHEN l6 IS NULL THEN 0.0 ELSE 0.177978515625 * l6 * l6 END)
+               + (CASE WHEN l7 IS NULL THEN 0.0 ELSE 0.13348388671875 * l7 * l7 END)
+               + (CASE WHEN l8 IS NULL THEN 0.0 ELSE 0.1001129150390625 * l8 * l8 END)
+               + (CASE WHEN l9 IS NULL THEN 0.0 ELSE 0.07508468627929688 * l9 * l9 END)
+               + (CASE WHEN l10 IS NULL THEN 0.0 ELSE 0.056313514709472656 * l10 * l10 END)
+               + (CASE WHEN l11 IS NULL THEN 0.0 ELSE 0.04223513603210449 * l11 * l11 END)
+               + (CASE WHEN l12 IS NULL THEN 0.0 ELSE 0.03167635202407837 * l12 * l12 END)
+               + (CASE WHEN l13 IS NULL THEN 0.0 ELSE 0.023757264018058777 * l13 * l13 END)
+               + (CASE WHEN l14 IS NULL THEN 0.0 ELSE 0.017817948013544083 * l14 * l14 END)
+               + (CASE WHEN l15 IS NULL THEN 0.0 ELSE 0.013363461010158062 * l15 * l15 END)
+               + (CASE WHEN l16 IS NULL THEN 0.0 ELSE 0.010022595757618546 * l16 * l16 END)) AS num2
+      FROM lagged
+      WHERE l8 IS NOT NULL
+    ),
+    z AS (
+      SELECT event_type, event_id, value,
+             num / den AS ewma,
+             (num2 / den) - (num / den) * (num / den) AS var
+      FROM scored
+    )
+    SELECT event_type, event_id,
+           round(value, 6) AS value,
+           round(ewma, 6) AS ewma,
+           round((value - ewma) / sqrt(CASE WHEN var > 1e-12 THEN var ELSE 1e-12 END), 6) AS z
+    FROM z
+    WHERE (value - ewma) / sqrt(CASE WHEN var > 1e-12 THEN var ELSE 1e-12 END) > 3.0
+    ORDER BY event_type, event_id
+""",
+    ref=(
+        "bounded-window EWMA anomaly screen (beyond reference): the "
+        "monitoring staple over metric streams; the reference's nearest "
+        "shape is its EDC summary validation (eda_query.py aggregate "
+        "checks).  Cross-engine EXACT by construction: decay 0.75**i is "
+        "an exact binary double, every per-row score is a fixed-order "
+        "expression chain (no aggregates), so both engines compute "
+        "bit-identical doubles and the >3-sigma cut can never flip on "
+        "summation order"
+    ),
+    tags=("temporal", "monitoring", "window"),
+)
+def q194_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event-type, day) EWMA (decay 0.75, 16-lag horizon, warmup
+    >= 8 lags) with a 3-sigma anomaly cut on the EWMA-weighted variance.
+    Daily series are the monitoring semantics AND the scale lever: a
+    window partitioned only by event type has as many tasks as types
+    (~5 here — 200k-row single-task sorts at sf0.1, one executor doing
+    all the work at 100 TB); type x day keeps every partition
+    calendar-bounded, so parallelism grows with the data.  Scores are
+    expression-only, no Python, no second shuffle before the gate
+    orderBy.  Horizon 16
+    keeps the generated chains inside whole-stage-codegen method limits —
+    the 32-lag variant fell out of codegen and ran 2x slower at identical
+    semantics (EWMA weight below 0.75**16 ~ 1% contributes nothing
+    anyway)."""
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    )
+    # ONE F.expr per chain: composing ~500 Column objects through py4j
+    # costs seconds of DRIVER time at plan-build (measured 4s vs 0.6s of
+    # actual executor work) — the expression tree is identical either way
+    lagged = events.selectExpr("event_type", "event_id", "value", *[
+        f"lag(value, {i}) OVER (PARTITION BY event_type, day "
+        f"ORDER BY ts, event_id) AS l{i}"
+        for i in range(1, _EWMA_H + 1)
+    ]).where("l8 IS NOT NULL")
+
+    def chain(fmt):
+        return " + ".join(
+            f"(CASE WHEN l{i} IS NULL THEN 0.0 ELSE {fmt.format(i=i, w=repr(_EWMA_WS[i - 1]))} END)"
+            for i in range(1, _EWMA_H + 1)
+        )
+
+    # each chain appears ONCE, later stages reference the alias — inlining
+    # num/den into ewma/var/z multiplies the Catalyst analysis cost ~6x
+    # (measured: 6s vs 1s per fresh plan at identical runtime)
+    sums = lagged.selectExpr(
+        "event_type", "event_id", "value",
+        f"({chain('{w} * l{i}')}) AS num",
+        f"({chain('{w}')}) AS den",
+        f"({chain('{w} * l{i} * l{i}')}) AS num2",
+    )
+    # optimizer barrier: CollapseProject would inline each 16-term chain
+    # back into every downstream reference (num appears 3x in var, ewma/
+    # var 3x in z) — the collapsed projection reaches thousands of nodes
+    # and Catalyst spends ~6s PER RUN analyzing it at 0.5s of actual
+    # executor work. The checkpoint cuts the plan at the narrow 6-column
+    # relation; the materialization itself is sub-second.
+    sums = sums.localCheckpoint(eager=False)
+    scored = sums.selectExpr(
+        "event_type", "event_id", "value",
+        "num / den AS ewma",
+        "(num2 / den) - (num / den) * (num / den) AS var",
+    )
+    z = "((value - ewma) / sqrt(CASE WHEN var > 1e-12 THEN var ELSE 1e-12 END))"
+    return (
+        scored.where(F.expr(f"{z} > 3.0"))
+        .selectExpr(
+            "event_type", "event_id",
+            "round(value, 6) AS value",
+            "round(ewma, 6) AS ewma",
+            f"round({z}, 6) AS z",
+        )
+        .orderBy("event_type", "event_id")
+    )

@@ -285,3 +285,195 @@ def test_resample_ffill_matches_reference(spark, rows):
             else:
                 want[(user, b)] = (0, last)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators vs pure-Python references
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def boilerplate_corpora(draw):
+    """Small corpora with a shared template planted in a random subset —
+    adversarial at the threshold boundary and at overlapping shingles."""
+    n_docs = draw(st.integers(min_value=1, max_value=12))
+    vocab = ["a", "b", "c", "d", "e"]
+    tpl = ["t1", "t2", "t3", "t4", "t5"]
+    rows = []
+    for i in range(n_docs):
+        body_len = draw(st.integers(min_value=0, max_value=12))
+        body = [draw(st.sampled_from(vocab)) for _ in range(body_len)]
+        with_tpl = draw(st.booleans())
+        toks = (tpl + body) if with_tpl else body
+        rows.append((i, "s", " ".join(toks)))
+    return rows
+
+
+def _boilerplate_reference(rows, n=5, num=3, den=10):
+    docs = {i: text.split(" ") if text else [""] for i, _, text in rows}
+    n_docs = len(docs)
+    from collections import defaultdict
+
+    df_docs = defaultdict(set)
+    for i, toks in docs.items():
+        for p in range(len(toks) - n + 1):
+            df_docs[tuple(toks[p:p + n])].add(i)
+    boiler = {sh for sh, ds in df_docs.items() if len(ds) * den >= num * n_docs}
+    out = {}
+    for i, toks in docs.items():
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if tuple(toks[p:p + n]) in boiler:
+                covered.update(range(p, p + n))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        out[i] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@given(boilerplate_corpora())
+@settings(**_SETTINGS)
+def test_boilerplate_clean_matches_reference(spark, rows):
+    from python_async_sample_spark.operators.text import shingle_boilerplate_clean
+
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in shingle_boilerplate_clean(df).collect()
+    }
+    assert got == _boilerplate_reference(rows)
+
+
+@st.composite
+def interval_sets(draw):
+    n = draw(st.integers(min_value=1, max_value=30))
+    rows = []
+    for i in range(n):
+        user = draw(st.integers(min_value=0, max_value=2))
+        # cluster starts around the 300s span boundary, ties included
+        off = draw(
+            st.one_of(
+                st.integers(min_value=0, max_value=1200),
+                st.sampled_from([0, 299, 300, 301, 600]),
+            )
+        )
+        rows.append((i, user, off * 1_000_000))
+    return rows
+
+
+def _coalesce_reference(rows, span=300_000_000):
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for _, u, s in rows:
+        by_user[u].append((s, s + span))
+    out = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1][1] = max(islands[-1][1], e)
+            else:
+                islands.append([s, e])
+        lens = [e - s for s, e in islands]
+        out[u] = (len(islands), sum(lens), max(lens))
+    return out
+
+
+@given(interval_sets())
+@settings(**_SETTINGS)
+def test_interval_coalesce_matches_reference(spark, rows):
+    """The q192 window program (flag + prefix-sum islands) must equal the
+    obvious sequential merge on arbitrary inputs — including exact-touch
+    (s == prev_e) and tied starts."""
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(rows, "event_id int, user_id int, s long")
+    iv = df.select("user_id", "event_id", "s", (F.col("s") + 300_000_000).alias("e"))
+    w_prev = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_max = F.max("e").over(w_prev)
+    flagged = iv.select(
+        "user_id", "event_id", "s", "e",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1).otherwise(0).alias("f"),
+    )
+    w_run = (
+        W.partitionBy("user_id").orderBy("s", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    islands = flagged.select("user_id", "s", "e", F.sum("f").over(w_run).alias("i"))
+    merged = islands.groupBy("user_id", "i").agg(
+        F.min("s").alias("is_"), F.max("e").alias("ie")
+    )
+    got = {
+        r["user_id"]: (r["n"], r["cov"], r["lg"])
+        for r in merged.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ie") - F.col("is_")).alias("cov"),
+            F.max(F.col("ie") - F.col("is_")).alias("lg"),
+        ).collect()
+    }
+    assert got == _coalesce_reference(rows)
+
+
+@st.composite
+def forests(draw):
+    """Random parent assignments where parent id < own id — guaranteed
+    acyclic, arbitrary fan-out/depth, several roots."""
+    n = draw(st.integers(min_value=1, max_value=25))
+    rows = []
+    for i in range(n):
+        parent = None if (i == 0 or draw(st.booleans()) and i < 3) else draw(
+            st.integers(min_value=0, max_value=i - 1)
+        )
+        rows.append((i, parent, draw(st.integers(min_value=0, max_value=9))))
+    return rows
+
+
+def _hierarchy_reference(rows):
+    parent = {i: p for i, p, _ in rows}
+    val = {i: v for i, _, v in rows}
+    out = {}
+    for i in parent:
+        path, node = [], i
+        while node is not None:
+            path.append(node)
+            node = parent[node]
+        out[i] = (len(path) - 1, path[-1], "/".join(str(x) for x in reversed(path)))
+    sub = {}
+    for i in parent:
+        node, chain = i, []
+        while node is not None:
+            chain.append(node)
+            node = parent[node]
+        for anc in chain:
+            n, s = sub.get(anc, (0, 0))
+            sub[anc] = (n + 1, s + val[i])
+    return out, sub
+
+
+@given(forests())
+@settings(**_SETTINGS)
+def test_hierarchy_matches_reference(spark, rows):
+    from python_async_sample_spark.operators.hierarchy import (
+        flatten_hierarchy,
+        subtree_rollup,
+    )
+
+    df = spark.createDataFrame(rows, "id long, parent long, v long")
+    want_tree, want_sub = _hierarchy_reference(rows)
+    got_tree = {
+        r["id"]: (r["level"], r["root_id"], r["path"])
+        for r in flatten_hierarchy(df, "id", "parent").collect()
+    }
+    assert got_tree == want_tree
+    got_sub = {
+        r["id"]: (r["n"], r["s"])
+        for r in subtree_rollup(
+            df, "id", "parent",
+            {"n": F.count(F.lit(1)).cast("bigint"), "s": F.sum("v").cast("bigint")},
+        ).collect()
+    }
+    assert got_sub == want_sub
