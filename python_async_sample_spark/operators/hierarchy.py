@@ -43,7 +43,10 @@ def flatten_hierarchy(
         F.col("__id").cast("string").alias("path"),
     )
     out = frontier
-    for _ in range(max_depth):
+    # one extra probe iteration: a tree whose deepest level is EXACTLY
+    # max_depth is complete and must not raise — only a non-empty frontier
+    # BEYOND max_depth levels is over-deep/cyclic
+    for depth in range(max_depth + 1):
         frontier = (
             edges.join(
                 frontier.select(
@@ -61,12 +64,12 @@ def flatten_hierarchy(
         )
         if frontier.isEmpty():
             break
+        if depth == max_depth:
+            raise RuntimeError(
+                f"hierarchy deeper than max_depth={max_depth} (or cyclic) — "
+                "refusing to walk further"
+            )
         out = out.unionByName(frontier)
-    else:
-        raise RuntimeError(
-            f"hierarchy deeper than max_depth={max_depth} (or cyclic) — "
-            "refusing to walk further"
-        )
     return out.select(F.col("__id").alias(id_col), "level", "root_id", "path")
 
 
@@ -84,7 +87,9 @@ def ancestor_closure(
         "__id", F.col("__parent").alias("anc")
     )
     out = step
-    for _ in range(max_depth):
+    # same +1 probe as flatten_hierarchy: chains of EXACTLY max_depth are
+    # complete; only progress beyond that is over-deep/cyclic
+    for depth in range(max_depth + 1):
         step = (
             step.join(
                 edges.where(F.col("__parent").isNotNull()).select(
@@ -97,11 +102,11 @@ def ancestor_closure(
         )
         if step.isEmpty():
             break
+        if depth == max_depth:
+            raise RuntimeError(
+                f"ancestor chain longer than max_depth={max_depth} (or cyclic)"
+            )
         out = out.unionByName(step)
-    else:
-        raise RuntimeError(
-            f"ancestor chain longer than max_depth={max_depth} (or cyclic)"
-        )
     return out.select(F.col("__id").alias(id_col), "anc")
 
 

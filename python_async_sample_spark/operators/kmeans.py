@@ -49,11 +49,15 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: list[list[float]]) -
     Each squared distance is quantized to 9 decimals BEFORE the argmin
     (ADVICE r4): Spark's sequential array fold and DuckDB's group-by sum
     add the per-dim terms in different orders, so near-equal distances can
-    differ by ulps and flip an assignment or a rank tie-break.  Rounding
-    both engines' distances to the same grid makes the compared values
-    identical, so argmin + lowest-index tie-break agree even on
-    adversarial near-tie inputs (the oracle rounds its ``d2`` the same
-    way).  At 1e-9 the quantization is far below any meaningful cluster
+    differ by ulps and flip an assignment or a rank tie-break.  Snapping
+    both engines' distances to the same 1e-9 grid shrinks the divergence
+    window from "any ulp-adjacent pair" to "values within an ulp of a
+    grid BOUNDARY" (the rounding algorithms differ — Spark decimal
+    HALF_UP vs DuckDB float nearbyint — so boundary-straddling values
+    remain a theoretical residual; no grid eliminates it for inputs the
+    two engines sum differently).  The oracle rounds its ``d2`` to the
+    same grid in every CTE, iteration AND final assignment alike.  At
+    1e-9 the quantization is far below any meaningful cluster
     geometry."""
     dists = F.array(*[F.round(_sq_dist(vec_col, c), 9) for c in centroids])
     return df.withColumn("__d", dists).select(
@@ -214,7 +218,7 @@ def kmeans_oracle_sql(
                    row_number() OVER (PARTITION BY s.id ORDER BY s.d2, s.cluster) AS rn
             FROM (
               SELECT p.id, c.cluster,
-                     sum((p.val - c.val) * (p.val - c.val)) AS d2
+                     round(sum((p.val - c.val) * (p.val - c.val)), 9) AS d2
               FROM dims p JOIN cd{iters} c USING (dim)
               GROUP BY 1, 2
             ) s

@@ -517,7 +517,12 @@ def q193_cdc_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("__p"),
         )
 
-    base = rollup_signed(read_version(spark, root, 0), F.lit(1))  # the ONE base scan
+    # materialize base and the first delta: r1 AND r2 both consume them,
+    # and without the lineage cut the union plan re-executes the base scan
+    # and the v0->v1 diff twice — breaking the "one base scan" contract
+    base = rollup_signed(read_version(spark, root, 0), F.lit(1)).localCheckpoint(
+        eager=False
+    )  # the ONE base scan
 
     def delta(v_from: int, v_to: int) -> DataFrame:
         ch = changes_between(spark, root, v_from, v_to)
@@ -539,7 +544,7 @@ def q193_cdc_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    d1, d2 = delta(0, 1), delta(1, 2)
+    d1, d2 = delta(0, 1).localCheckpoint(eager=False), delta(1, 2)
     r1 = finish(base.unionByName(d1), 1)
     r2 = finish(base.unionByName(d1).unionByName(d2), 2)
     return r1.unionByName(r2).orderBy("version", "o_orderstatus")

@@ -117,9 +117,10 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # leftovers, q168/q169/q171, and the deliberate rows-only tail — all
 # verified every round by scripts/driver_sim.py + tests/test_oracle_parity
 # at sf0.001/sf0.01.  ROUND-6 CANDIDATES, strongest first: the round-5
-# additions q186 (compaction+history), q190 (snapshot CDC), q187
-# (portable SimHash), q188 (boilerplate removal), q189 (recursive
-# hierarchy), q191 (k-anonymity), q192 (interval coalesce), then q168,
+# additions q186 (compaction+history), q190 (snapshot CDC), q193 (CDC-
+# maintained rollup), q187 (portable SimHash), q188 (boilerplate
+# removal), q189 (recursive hierarchy), q191 (k-anonymity), q192
+# (interval coalesce), q194 (EWMA anomaly), then q168,
 # q169, q171, q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by

@@ -952,10 +952,6 @@ def q175_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from python_async_sample_spark.operators.text import shingle_boilerplate_clean
 
-_BP_HEADER = "site {s} navigation home about contact login"
-_BP_FOOTER = "footer terms privacy copyright {s} network"
-
-
 @query(
     "q188_boilerplate_removal",
     oracle="""

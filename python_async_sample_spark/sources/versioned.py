@@ -485,14 +485,20 @@ def commit_stream_epoch(
         # legacy fallback: tables whose manifests predate the ledger field
         # recorded epochs only in the ``op`` string — scan whatever
         # manifests remain (vacuum refuses to drop un-ledgered epoch
-        # manifests, so this scan stays complete for legacy tables too)
+        # manifests, so this scan stays complete for legacy tables too).
+        # Fold EVERY discovered legacy epoch into the ledger we are about
+        # to commit, not just the one being checked: that is what finally
+        # lets vacuum release the legacy manifests (its retention
+        # condition is "epoch already in the newest retained ledger")
         for v in table_versions(root):
             legacy = _read_manifest(root, v)
             if "epochs" in legacy:
                 continue  # ledgered manifests were already consulted above
-            if legacy["op"].startswith(op_prefix):
-                prior_fp = legacy["op"][len(op_prefix):]
-                break
+            legacy_op = legacy["op"]
+            if legacy_op.startswith("append-epoch:"):
+                _, eid, fp = legacy_op.split(":", 2)
+                ledger.setdefault(eid, fp)
+        prior_fp = ledger.get(key)
     if prior_fp == fingerprint:
         return None  # durably committed — genuine replay
     if prior_fp is not None:
@@ -618,8 +624,9 @@ def changes_between(
     m_to = _read_manifest(root, to_version)
     schema = T.StructType.fromJson(json.loads(m_from["schema"]))
     cols = schema.fieldNames()
-    only_from = [n for n in m_from["files"] if n not in set(m_to["files"])]
-    only_to = [n for n in m_to["files"] if n not in set(m_from["files"])]
+    from_set, to_set = set(m_from["files"]), set(m_to["files"])
+    only_from = [n for n in m_from["files"] if n not in to_set]
+    only_to = [n for n in m_to["files"] if n not in from_set]
 
     def _read(names: list[str]) -> DataFrame:
         if not names:
@@ -656,7 +663,15 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
             else:
                 import pyarrow.parquet as pq
 
-                n_rows += pq.read_metadata(f"{root}/{_DATA_DIR}/{n}").num_rows
+                try:
+                    n_rows += pq.read_metadata(
+                        f"{root}/{_DATA_DIR}/{n}").num_rows
+                except FileNotFoundError:
+                    # a manifest retained past its data files' vacuum (the
+                    # legacy-epoch bookkeeping case): the history row stays
+                    # but its row count is honestly UNKNOWN, not 0
+                    n_rows = None
+                    break
         rows.append((v, m["op"].split(":", 1)[0], len(m["files"]), n_rows))
     return spark.createDataFrame(
         rows, "version int, op_kind string, n_files int, n_rows bigint"
@@ -712,21 +727,32 @@ def vacuum(root: str, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
         if age < grace_seconds:
             skipped_young += 1  # possibly staged by an in-flight commit
             continue
-        os.remove(path)
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            continue  # concurrent vacuum won the race
         removed += 1
     dropped = kept_epoch = 0
     for v in versions:
         if v in retained:
             continue
-        m = _read_manifest(root, v)
+        try:
+            m = _read_manifest(root, v)
+        except FileNotFoundError:
+            continue  # concurrent vacuum already dropped it
         if "epochs" not in m and m["op"].startswith("append-epoch:"):
             # legacy epoch manifest: its op string is the only durable
-            # record of the epoch unless the ledger now covers it
+            # record of the epoch unless the ledger now covers it (the
+            # next commit_stream_epoch folds legacy epochs forward, which
+            # is what eventually releases these manifests)
             eid = m["op"].split(":", 2)[1]
             if eid not in newest_ledger:
                 kept_epoch += 1
                 continue
-        os.remove(_manifest_path(root, v))
+        try:
+            os.remove(_manifest_path(root, v))
+        except FileNotFoundError:
+            continue  # concurrent vacuum won the race
         dropped += 1
     # stale stage dirs from crashed writers are unreferenced by definition,
     # but young ones may belong to a LIVE writer mid-stage — same grace

@@ -63,3 +63,15 @@ def test_subtree_rollup_counts_and_sums(spark):
     assert sub[10]["n"] == 2 and sub[10]["s"] == 28
     assert sub[11]["n"] == 1 and sub[11]["s"] == 2
     assert sub[100]["n"] == 1 and sub[100]["s"] == 17
+
+
+def test_exact_max_depth_tree_completes_without_raising(spark):
+    """Review finding: a tree whose deepest level is EXACTLY max_depth is
+    complete — only a frontier BEYOND max_depth raises."""
+    chain = [(1, None, 0)] + [(i, i - 1, 0) for i in range(2, 5)]  # levels 0..3
+    got = flatten_hierarchy(_nodes(spark, chain), "id", "parent", max_depth=3)
+    assert {r["id"]: r["level"] for r in got.collect()} == {1: 0, 2: 1, 3: 2, 4: 3}
+    clo = ancestor_closure(_nodes(spark, chain), "id", "parent", max_depth=3)
+    assert clo.count() == 3 + 2 + 1  # full closure of the 4-chain
+    with pytest.raises(RuntimeError, match="max_depth"):
+        flatten_hierarchy(_nodes(spark, chain), "id", "parent", max_depth=2)

@@ -507,3 +507,50 @@ def test_compact_loses_cleanly_to_concurrent_writer(spark, root):
     assert res["compacted"] >= 2
     assert read_version(spark, root).where("v = 'MERGED'").count() == 1
     assert read_version(spark, root).count() == 50
+
+
+def test_legacy_epochs_fold_forward_and_vacuum_releases_manifests(spark, root):
+    """Review finding: the legacy-epoch retention condition must be
+    REACHABLE — the next epoch commit folds op-string epochs into the
+    carried ledger, after which vacuum drops the legacy manifest; and
+    table_history on a table whose retained legacy manifest outlived its
+    data files reports n_rows NULL instead of crashing."""
+    from python_async_sample_spark.sources.versioned import (
+        commit_stream_epoch,
+        table_history,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    create_table(spark, root, df.limit(0), n_files=1)
+    commit_stream_epoch(spark, root, df, 3, "fp-three")
+    # make it a genuinely pre-ledger table: those manifests carry neither
+    # the epochs ledger nor embedded stats
+    for v in table_versions(root):
+        p = _manifest_path(root, v)
+        m = json.load(open(p, encoding="ascii"))
+        m.pop("epochs", None)
+        m.pop("stats", None)
+        json.dump(m, open(p, "w", encoding="ascii"))
+    merge_into_versioned(spark, root, df.withColumn("v", F.lit("z")), "k")
+
+    res1 = vacuum(root, keep_last=1, grace_seconds=0)
+    assert res1["legacy_epoch_manifests_kept"] == 1
+    assert 1 in table_versions(root)
+    # the retained legacy manifest's data files were reclaimed (not in the
+    # newest manifest's live set) — history must degrade to NULL, not raise
+    hist = {r["version"]: r for r in table_history(spark, root).collect()}
+    assert hist[1]["n_rows"] is None
+    assert hist[2]["n_rows"] == 1
+
+    # a NEW epoch commit folds the legacy epoch forward...
+    commit_stream_epoch(spark, root, df, 4, "fp-four")
+    m = json.load(open(_manifest_path(root, current_version(root)), encoding="ascii"))
+    assert m["epochs"] == {"3": "fp-three", "4": "fp-four"}
+    # ...and the next vacuum releases the legacy manifest
+    res2 = vacuum(root, keep_last=1, grace_seconds=0)
+    assert res2["legacy_epoch_manifests_kept"] == 0
+    assert 1 not in table_versions(root)
+    # exactly-once still enforced from the ledger alone
+    assert commit_stream_epoch(spark, root, df, 3, "fp-three") is None
+    with pytest.raises(RuntimeError, match="different batch fingerprint"):
+        commit_stream_epoch(spark, root, df, 3, "fp-other")
