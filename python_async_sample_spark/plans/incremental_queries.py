@@ -548,3 +548,100 @@ def q193_cdc_maintained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = finish(base.unionByName(d1), 1)
     r2 = finish(base.unionByName(d1).unionByName(d2), 2)
     return r1.unionByName(r2).orderBy("version", "o_orderstatus")
+
+
+@query(
+    "q195_purged_time_travel",
+    oracle="""
+    WITH victims AS MATERIALIZED (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 211 = 0
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS MATERIALIZED (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM upd
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+      GROUP BY o_orderstatus
+    ),
+    v1 AS (
+      SELECT CAST(1 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM merged WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+      GROUP BY o_orderstatus
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1
+    ORDER BY version, o_orderstatus
+    """,
+    ref=(
+        "right-to-be-forgotten across snapshot history (beyond reference): "
+        "purge_keys rewrites every manifest's affected files atomically so "
+        "NO version — time travel included — serves the erased keys "
+        "(sources/versioned.purge_keys); the reference's delete-then-insert "
+        "idempotency window (dbs/nikon.py:117-145) erases from the present "
+        "only, which is exactly what an erasure request forbids"
+    ),
+    tags=("incremental", "versioned", "governance"),
+)
+def q195_purged_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A MERGE creates history, then ``purge_keys`` erases the victim keys
+    from BOTH snapshots in place; the output rolls up version 0 AND the
+    head after the purge, and the oracle recomputes both from first
+    principles with the victims excluded — a purge that left a row in
+    ANY version (or touched a non-victim row) hash-mismatches.  The
+    victim list is driver-sized by contract (an erasure request), and
+    each affected file rewrites once across all manifests."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+        purge_keys,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_prgq_")
+    root = f"{tmp}/orders_purge"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    victims = [
+        r[0]
+        for r in orders.where(F.col("o_orderkey") % 211 == 0)
+        .select("o_orderkey")
+        .collect()
+    ]
+    purge_keys(spark, root, "o_orderkey", victims)
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "o_orderstatus", "n_rows", "total_price",
+        )
+
+    return (
+        rollup(read_version(spark, root, 0), 0)
+        .unionByName(rollup(read_version(spark, root, 1), 1))
+        .orderBy("version", "o_orderstatus")
+    )

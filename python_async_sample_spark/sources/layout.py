@@ -181,6 +181,21 @@ def _prune_files_by_key_stats(
     return affected, rows
 
 
+def _drop_keys_anti(spark, df, key_col: str, targets: list):
+    """NULL-safe removal of target-key rows via a broadcast anti join —
+    same semantics as ``isNull() | ~isin(targets)`` (NULL never
+    equi-matches), but large literal isin lists cost seconds of plan
+    analysis per query (see versioned._drop_keys)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    vic = spark.createDataFrame(
+        [(k,) for k in targets], T.StructType([df.schema[key_col]])
+    )
+    cols = df.columns
+    return df.join(F.broadcast(vic), key_col, "left_anti").select(*cols)
+
+
 def _staged_swap(
     root: str, staged_df: DataFrame, n_files: int, originals: list[str], stage_name: str
 ) -> int:
@@ -247,10 +262,10 @@ def delete_keys(
     deleted = 0
     if affected:
         df = spark.read.parquet(*affected)
-        # NULL-safe keep predicate: ~isin() evaluates to NULL (dropped!) for
-        # NULL keys, which would silently delete every NULL-key row in an
-        # affected file — rows nobody asked to delete
-        keep = df.where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
+        # NULL-safe keep predicate: a NULL key never equi-matches, so
+        # NULL-key rows survive the anti join — rows nobody asked to
+        # delete are never dropped
+        keep = _drop_keys_anti(spark, df, key_col, targets)
         rows_after = _staged_swap(root, keep, len(affected), affected, ".delete_stage")
         deleted = rows_before - rows_after
 
@@ -335,9 +350,9 @@ def merge_into(
     # never a merge target); staged output = kept ∪ updates
     if affected:
         existing = spark.read.parquet(*affected)
-        kept = existing.where(
-            F.col(key_col).isNull() | ~F.col(key_col).isin(targets)
-        ).select(*target_schema.fieldNames())
+        kept = _drop_keys_anti(spark, existing, key_col, targets).select(
+            *target_schema.fieldNames()
+        )
         staged_df = kept.unionByName(updates)
     else:
         staged_df = updates

@@ -240,6 +240,19 @@ def _commit(
     return version
 
 
+def _drop_keys(spark: SparkSession, df: DataFrame, key_col: str, targets: list) -> DataFrame:
+    """NULL-safe removal of target-key rows via a broadcast anti join.
+    Equivalent to ``isNull() | ~isin(targets)`` (NULL never equi-matches,
+    so NULL-key rows survive both forms), but an ``isin`` with hundreds of
+    literal children costs SECONDS of driver-side plan analysis per query
+    — the anti join analyzes in milliseconds regardless of batch size."""
+    vic = spark.createDataFrame(
+        [(k,) for k in targets], T.StructType([df.schema[key_col]])
+    )
+    cols = df.columns
+    return df.join(F.broadcast(vic), key_col, "left_anti").select(*cols)
+
+
 def create_table(spark: SparkSession, root: str, df: DataFrame, n_files: int = 4) -> int:
     """Materialize ``df`` as version 0 of a new versioned table."""
     _require_local_path(root, "create_table")
@@ -365,12 +378,13 @@ def merge_into_versioned(
         # read with the MANIFEST schema: files from before an add_column
         # commit surface the evolved column as NULL, so kept ∪ updates
         # always line up even across schema versions
-        kept = (
+        kept = _drop_keys(
+            spark,
             spark.read.schema(T.StructType.fromJson(json.loads(schema_json)))
-            .parquet(*affected)
-            .where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
-            .select(*target_fields)
-        )
+            .parquet(*affected),
+            key_col,
+            targets,
+        ).select(*target_fields)
         staged_df = kept.unionByName(updates)
     else:
         staged_df = updates
@@ -415,10 +429,12 @@ def delete_keys_versioned(
     if not affected:
         return {"version": parent, "rewritten": 0, "deleted_rows": 0}
     affected_names = {os.path.basename(p) for p in affected}
-    keep = (
+    keep = _drop_keys(
+        spark,
         spark.read.schema(T.StructType.fromJson(json.loads(manifest["schema"])))
-        .parquet(*affected)
-        .where(F.col(key_col).isNull() | ~F.col(key_col).isin(targets))
+        .parquet(*affected),
+        key_col,
+        targets,
     )
     new_names = _stage_files(keep, root, len(affected))
     new_stats = _collect_file_stats(root, new_names)
@@ -676,6 +692,145 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op_kind string, n_files int, n_rows bigint"
     )
+
+
+def purge_keys(
+    spark: SparkSession, root: str, key_col: str, keys: list
+) -> dict:
+    """Erase the given keys from EVERY committed snapshot — the
+    right-to-be-forgotten verb, and deliberately the ONE operation that
+    rewrites history: ``delete_keys_versioned`` removes rows from the
+    head while time travel keeps serving them from older snapshots,
+    which is exactly what an erasure request forbids.
+
+    Mechanics per affected data file (manifest-stats pruned, same as
+    MERGE): write a purged replacement under a fresh immutable name, then
+    atomically REPLACE (``os.replace``) every manifest that referenced
+    the old file with one referencing the new name — version numbers,
+    ops, the epoch ledger and all other rows are preserved; only the
+    purged rows disappear from every version at once.  Readers see each
+    manifest either before or after its single atomic replace, and both
+    states are complete, valid snapshots (the old data file is not
+    removed here — :func:`vacuum` reclaims it once no manifest references
+    it), so a crash mid-purge leaves every version readable and the purge
+    re-runnable.  NULL keys are never purge targets (same NULL-safety as
+    the delete verbs).
+
+    Unlike every snapshot verb, purge is NOT safe against concurrent
+    writers: a writer that read its parent manifest before the replace
+    commits a child referencing the un-purged file names, resurrecting
+    the rows.  Run it in a maintenance window (the same single-writer
+    contract every history-rewriting tool carries — git filter-branch,
+    pg VACUUM FULL).  A crash mid-purge is safe: each manifest flips
+    atomically and independently, and re-running finishes the rest.
+
+    Returns per-version rows removed plus rewrite counts.  Scale shape:
+    one pruned rewrite per affected file ACROSS all retained manifests
+    (shared files rewrite once), manifest updates are metadata-only."""
+    root = root.rstrip("/")
+    _require_local_path(root, "purge_keys")
+    pin_reader_conf(spark)
+    targets = sorted(k for k in keys if k is not None)
+    versions = table_versions(root)
+    if not targets or not versions:
+        return {"files_rewritten": 0, "manifests_updated": 0, "rows_removed": {}}
+
+    manifests = {v: _read_manifest(root, v) for v in versions}
+    # union of affected files across every version (a file shared by many
+    # manifests is rewritten exactly once)
+    affected: dict[str, int] = {}  # old name -> rows before
+    for m in manifests.values():
+        pruned = _affected_from_manifest(m, key_col, targets)
+        if pruned is not None:
+            names_hit = pruned[0]
+        else:
+            paths = [f"{root}/{_DATA_DIR}/{n}" for n in m["files"]]
+            hit, _ = _prune_files_by_key_stats(paths, key_col, targets)
+            names_hit = [os.path.basename(p) for p in hit]
+        for n in names_hit:
+            affected.setdefault(n, 0)
+
+    replacement: dict[str, str | None] = {}  # old -> new (None: emptied)
+    new_stats: dict[str, dict] = {}
+    removed_per_file: dict[str, int] = {}
+
+    # victims as a broadcast anti-join relation, built ONCE: an isin()
+    # with hundreds of literal children makes every per-file plan pay
+    # seconds of driver-side analysis (measured 8s for 16 files x 711
+    # keys); the anti join analyzes in milliseconds and keeps NULL-key
+    # rows exactly like the NULL-guarded isin (NULL never equi-matches)
+    any_schema = T.StructType.fromJson(
+        json.loads(next(iter(manifests.values()))["schema"])
+    )
+    vic_df = spark.createDataFrame(
+        [(k,) for k in targets], T.StructType([any_schema[key_col]])
+    )
+
+    def _rewrite_one(old: str) -> tuple[str, str | None, dict | None, int]:
+        schema_owner = next(m for m in manifests.values() if old in m["files"])
+        schema = T.StructType.fromJson(json.loads(schema_owner["schema"]))
+        kept = (
+            spark.read.schema(schema)
+            .parquet(f"{root}/{_DATA_DIR}/{old}")
+            .join(F.broadcast(vic_df), key_col, "left_anti")
+            .select(*schema.fieldNames())
+        )
+        names = _stage_files(kept, root, 1)
+        stats = _collect_file_stats(root, names)
+        import pyarrow.parquet as pq
+
+        rows_before = pq.read_metadata(f"{root}/{_DATA_DIR}/{old}").num_rows
+        rows_after = stats[names[0]]["rows"]
+        if rows_after == 0:
+            os.remove(f"{root}/{_DATA_DIR}/{names[0]}")
+            return old, None, None, rows_before
+        return old, names[0], stats[names[0]], rows_before - rows_after
+
+    # one small Spark job per affected file; submit them CONCURRENTLY
+    # (Spark's scheduler interleaves jobs from multiple threads) — a
+    # sequential loop pays per-job latency x files, ~8x slower here
+    from concurrent.futures import ThreadPoolExecutor
+
+    if affected:
+        with ThreadPoolExecutor(max_workers=min(8, len(affected))) as pool:
+            for old, new, st, removed in pool.map(_rewrite_one, sorted(affected)):
+                replacement[old] = new
+                removed_per_file[old] = removed
+                if new is not None:
+                    new_stats[new] = st
+
+    rows_removed: dict[int, int] = {}
+    updated = 0
+    for v in versions:
+        m = manifests[v]
+        hit = [n for n in m["files"] if n in replacement]
+        rows_removed[v] = sum(removed_per_file[n] for n in hit)
+        if not hit:
+            continue
+        next_files = [
+            replacement.get(n, n) for n in m["files"]
+            if replacement.get(n, n) is not None
+        ]
+        stats = {
+            n: s for n, s in _carry_stats(m, m["files"], new_stats).items()
+            if n in set(next_files)
+        }
+        next_m = dict(
+            m, files=sorted(next_files), stats=stats,
+            purged=sorted(set(m.get("purged", [])) | {str(k) for k in targets}),
+        )
+        fd, tmp = tempfile.mkstemp(dir=f"{root}/{_MANIFEST_DIR}", suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="ascii") as fh:
+            json.dump(next_m, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, _manifest_path(root, v))  # atomic swap
+        updated += 1
+    return {
+        "files_rewritten": len([r for r in replacement.values()]),
+        "manifests_updated": updated,
+        "rows_removed": rows_removed,
+    }
 
 
 def vacuum(root: str, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:

@@ -554,3 +554,68 @@ def test_legacy_epochs_fold_forward_and_vacuum_releases_manifests(spark, root):
     assert commit_stream_epoch(spark, root, df, 3, "fp-three") is None
     with pytest.raises(RuntimeError, match="different batch fingerprint"):
         commit_stream_epoch(spark, root, df, 3, "fp-other")
+
+
+def test_purge_keys_erases_from_every_snapshot(spark, sf_dir, root):
+    """Right-to-be-forgotten: after purge, NO version serves the keys —
+    time travel included; all other rows, version numbers, ops and the
+    epoch ledger survive; vacuum reclaims the superseded files."""
+    from python_async_sample_spark.sources.versioned import (
+        commit_stream_epoch,
+        purge_keys,
+        _read_manifest,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=4)
+    commit_stream_epoch(
+        spark, root,
+        orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000),
+        0, "fp-e0",
+    )
+    updates = orders.limit(3).withColumn("o_orderstatus", F.lit("M"))
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+
+    victims = [r[0] for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(4).collect()]
+    n0 = read_version(spark, root, 0).count()
+    res = purge_keys(spark, root, "o_orderkey", victims)
+    assert res["manifests_updated"] >= 1 and res["files_rewritten"] >= 1
+
+    for v in table_versions(root):
+        snap = read_version(spark, root, v)
+        assert snap.where(F.col("o_orderkey").isin(victims)).count() == 0, v
+    assert read_version(spark, root, 0).count() == n0 - len(victims)
+    # versions/ops/ledger intact
+    assert table_versions(root) == [0, 1, 2]
+    m2 = _read_manifest(root, 2)
+    assert m2["op"].startswith("merge:") and m2["epochs"] == {"0": "fp-e0"}
+    assert set(m2["purged"]) == {str(k) for k in victims}
+    # replay of the pre-purge epoch is still recognized
+    assert commit_stream_epoch(spark, root, orders.limit(5), 0, "fp-e0") is None
+
+    # idempotent re-run: nothing left to rewrite
+    res2 = purge_keys(spark, root, "o_orderkey", victims)
+    assert res2["manifests_updated"] == 0
+    # vacuum reclaims the superseded (now-unreferenced) pre-purge files
+    vacuum(root, keep_last=len(table_versions(root)), grace_seconds=0)
+    for v in table_versions(root):
+        assert read_version(spark, root, v).where(
+            F.col("o_orderkey").isin(victims)
+        ).count() == 0
+
+
+def test_purge_keys_null_safe_and_empty_file_dropped(spark, root):
+    from python_async_sample_spark.sources.versioned import purge_keys
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "keepme")], "k int, v string"
+    )
+    create_table(spark, root, df, n_files=1)
+    from python_async_sample_spark.sources.versioned import append_versioned
+
+    append_versioned(spark, root, spark.createDataFrame([(9, "z")], "k int, v string"))
+    # purge every non-null key of the appended file: the replacement would
+    # be empty, so the manifest entry is dropped entirely
+    purge_keys(spark, root, "k", [9, None])
+    assert {r["v"] for r in read_version(spark, root).collect()} == {"a", "b", "keepme"}
+    assert read_version(spark, root, 0).count() == 3
