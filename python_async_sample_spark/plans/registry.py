@@ -119,8 +119,8 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # at sf0.001/sf0.01.  ROUND-6 CANDIDATES, strongest first: the round-5
 # additions q186 (compaction+history), q190 (snapshot CDC), q193 (CDC-
 # maintained rollup), q187 (portable SimHash), q188 (boilerplate
-# removal), q189 (recursive hierarchy), q191 (k-anonymity), q192
-# (interval coalesce), q194 (EWMA anomaly), then q168,
+# removal), q189 (recursive hierarchy), q195 (history purge), q191
+# (k-anonymity), q192 (interval coalesce), q194 (EWMA anomaly), then q168,
 # q169, q171, q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by

@@ -170,7 +170,14 @@ def _prune_files_by_key_stats(
                 if meta.row_group(rg).column(i).path_in_schema == key_col
             )
             st = col.statistics
-            if st is None or st.min is None or st.max is None:
+            if (
+                st is None or st.min is None or st.max is None
+                # NaN bounds poison range comparisons (x <= NaN is False):
+                # the file would be marked UNAFFECTED and a keyed rewrite
+                # silently skipped — treat as stats-missing (conservative)
+                or (isinstance(st.min, float) and st.min != st.min)
+                or (isinstance(st.max, float) and st.max != st.max)
+            ):
                 stats_missing = True
                 break
             lo = st.min if lo is None else min(lo, st.min)
@@ -181,19 +188,44 @@ def _prune_files_by_key_stats(
     return affected, rows
 
 
-def _drop_keys_anti(spark, df, key_col: str, targets: list):
-    """NULL-safe removal of target-key rows via a broadcast anti join —
-    same semantics as ``isNull() | ~isin(targets)`` (NULL never
-    equi-matches), but large literal isin lists cost seconds of plan
-    analysis per query (see versioned._drop_keys)."""
+def build_victims_df(spark, key_field, targets: list):
+    """The victims relation for :func:`_drop_keys_anti`, built ONCE when a
+    caller reuses it across many plans (purge rewrites N files against
+    the same keys).  Types are inferred from the Python values and CAST
+    to the target column's type, preserving ``isin``'s literal coercion
+    (int keys against a double column worked under isin; createDataFrame
+    with the column's strict schema would reject them).  NaN keys are
+    dropped: join equality treats NaN = NaN as TRUE where ``isin`` never
+    matched NaN — silently deleting NaN-key rows nobody targeted."""
+    import math
+
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    vic = spark.createDataFrame(
-        [(k,) for k in targets], T.StructType([df.schema[key_col]])
-    )
+    clean = [
+        k for k in targets
+        if k is not None and not (isinstance(k, float) and math.isnan(k))
+    ]
+    name, dtype = key_field.name, key_field.dataType
+    if not clean:  # nothing to match: schema-only empty relation
+        return spark.createDataFrame([], T.StructType([T.StructField(name, dtype)]))
+    inferred = spark.createDataFrame([(k,) for k in clean], [name])
+    return inferred.select(F.col(name).cast(dtype).alias(name))
+
+
+def _drop_keys_anti(spark, df, key_col: str, targets: list, vic_df=None):
+    """NULL-safe removal of target-key rows via a broadcast anti join —
+    same semantics as ``isNull() | ~isin(targets)`` (NULL never
+    equi-matches, NaN targets are excluded to mirror isin's NaN
+    non-matching), but large literal isin lists cost seconds of plan
+    analysis per query.  Pass ``vic_df`` (from :func:`build_victims_df`)
+    to reuse one victims relation across many plans."""
+    from pyspark.sql import functions as F
+
+    if vic_df is None:
+        vic_df = build_victims_df(spark, df.schema[key_col], targets)
     cols = df.columns
-    return df.join(F.broadcast(vic), key_col, "left_anti").select(*cols)
+    return df.join(F.broadcast(vic_df), key_col, "left_anti").select(*cols)
 
 
 def _staged_swap(

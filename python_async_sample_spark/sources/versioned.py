@@ -141,6 +141,11 @@ def _collect_file_stats(root: str, names: list[str]) -> dict:
                     or st.max is None
                     or not isinstance(st.min, (int, float, str))
                     or isinstance(st.min, bool)
+                    # a NaN bound poisons every range comparison (x <= NaN
+                    # is False), which would mark the file UNAFFECTED and
+                    # silently skip keyed rewrites — unsummarizable instead
+                    or (isinstance(st.min, float) and st.min != st.min)
+                    or (isinstance(st.max, float) and st.max != st.max)
                 ):
                     bad.add(name)
                     cols.pop(name, None)
@@ -241,16 +246,12 @@ def _commit(
 
 
 def _drop_keys(spark: SparkSession, df: DataFrame, key_col: str, targets: list) -> DataFrame:
-    """NULL-safe removal of target-key rows via a broadcast anti join.
-    Equivalent to ``isNull() | ~isin(targets)`` (NULL never equi-matches,
-    so NULL-key rows survive both forms), but an ``isin`` with hundreds of
-    literal children costs SECONDS of driver-side plan analysis per query
-    — the anti join analyzes in milliseconds regardless of batch size."""
-    vic = spark.createDataFrame(
-        [(k,) for k in targets], T.StructType([df.schema[key_col]])
-    )
-    cols = df.columns
-    return df.join(F.broadcast(vic), key_col, "left_anti").select(*cols)
+    """NULL-safe removal of target-key rows — delegates to the single
+    shared anti-join helper (``layout._drop_keys_anti``) so the NULL/NaN/
+    type-coercion semantics live in exactly one place."""
+    from python_async_sample_spark.sources.layout import _drop_keys_anti
+
+    return _drop_keys_anti(spark, df, key_col, targets)
 
 
 def create_table(spark: SparkSession, root: str, df: DataFrame, n_files: int = 4) -> int:
@@ -719,10 +720,15 @@ def purge_keys(
     Unlike every snapshot verb, purge is NOT safe against concurrent
     writers: a writer that read its parent manifest before the replace
     commits a child referencing the un-purged file names, resurrecting
-    the rows.  Run it in a maintenance window (the same single-writer
-    contract every history-rewriting tool carries — git filter-branch,
-    pg VACUUM FULL).  A crash mid-purge is safe: each manifest flips
-    atomically and independently, and re-running finishes the rest.
+    the rows.  MULTI-VERSION readers need the same window: each manifest
+    flips atomically, but a ``changes_between`` call racing the purge can
+    observe one version flipped and the other not and report the victim
+    rows as phantom inserts/deletes (single-version ``read_version``
+    always sees a complete, valid snapshot).  Run it in a maintenance
+    window (the same exclusive contract every history-rewriting tool
+    carries — git filter-branch, pg VACUUM FULL).  A crash mid-purge is
+    safe: each manifest flips atomically and independently, and
+    re-running finishes the rest.
 
     Returns per-version rows removed plus rewrite counts.  Scale shape:
     one pruned rewrite per affected file ACROSS all retained manifests
@@ -737,44 +743,72 @@ def purge_keys(
 
     manifests = {v: _read_manifest(root, v) for v in versions}
     # union of affected files across every version (a file shared by many
-    # manifests is rewritten exactly once)
-    affected: dict[str, int] = {}  # old name -> rows before
+    # manifests is rewritten exactly once).  Manifests whose schema lacks
+    # the key column (it was added by a later add_column) cannot contain
+    # victim values — their files null-fill the column — so they are
+    # unaffected by construction.  Files that no longer exist on disk
+    # (a vacuum-retained legacy epoch manifest whose data files were
+    # reclaimed) have no reader to protect and are skipped.
+    affected: set[str] = set()
     for m in manifests.values():
+        fields = {f["name"] for f in json.loads(m["schema"])["fields"]}
+        if key_col not in fields:
+            continue
         pruned = _affected_from_manifest(m, key_col, targets)
         if pruned is not None:
             names_hit = pruned[0]
         else:
-            paths = [f"{root}/{_DATA_DIR}/{n}" for n in m["files"]]
+            paths = [
+                p for n in m["files"]
+                if os.path.exists(p := f"{root}/{_DATA_DIR}/{n}")
+            ]
             hit, _ = _prune_files_by_key_stats(paths, key_col, targets)
             names_hit = [os.path.basename(p) for p in hit]
-        for n in names_hit:
-            affected.setdefault(n, 0)
+        affected.update(n for n in names_hit
+                        if os.path.exists(f"{root}/{_DATA_DIR}/{n}"))
 
     replacement: dict[str, str | None] = {}  # old -> new (None: emptied)
     new_stats: dict[str, dict] = {}
     removed_per_file: dict[str, int] = {}
 
-    # victims as a broadcast anti-join relation, built ONCE: an isin()
+    # victims as ONE broadcast anti-join relation (layout.build_victims_df
+    # carries the isin-compatible type coercion + NaN exclusion): an isin()
     # with hundreds of literal children makes every per-file plan pay
     # seconds of driver-side analysis (measured 8s for 16 files x 711
     # keys); the anti join analyzes in milliseconds and keeps NULL-key
     # rows exactly like the NULL-guarded isin (NULL never equi-matches)
-    any_schema = T.StructType.fromJson(
-        json.loads(next(iter(manifests.values()))["schema"])
-    )
-    vic_df = spark.createDataFrame(
-        [(k,) for k in targets], T.StructType([any_schema[key_col]])
+    from python_async_sample_spark.sources.layout import (
+        _drop_keys_anti,
+        build_victims_df,
     )
 
+    # the NEWEST schema carrying the key column: reading an older file
+    # with an evolved schema null-fills added columns (never the reverse
+    # KeyError), and the rewritten file stays readable by every manifest
+    key_field = None
+    for m in reversed(list(manifests.values())):
+        sch = T.StructType.fromJson(json.loads(m["schema"]))
+        if key_col in sch.fieldNames():
+            key_field = sch[key_col]
+            break
+    if key_field is None:
+        raise ValueError(f"column {key_col!r} exists in no version of {root!r}")
+    vic_df = build_victims_df(spark, key_field, targets)
+
     def _rewrite_one(old: str) -> tuple[str, str | None, dict | None, int]:
-        schema_owner = next(m for m in manifests.values() if old in m["files"])
-        schema = T.StructType.fromJson(json.loads(schema_owner["schema"]))
-        kept = (
-            spark.read.schema(schema)
-            .parquet(f"{root}/{_DATA_DIR}/{old}")
-            .join(F.broadcast(vic_df), key_col, "left_anti")
-            .select(*schema.fieldNames())
+        # newest manifest referencing the file: the most-evolved schema
+        # that can read it (older files null-fill newer columns)
+        schema_owner = next(
+            m for m in reversed(list(manifests.values())) if old in m["files"]
         )
+        schema = T.StructType.fromJson(json.loads(schema_owner["schema"]))
+        kept = _drop_keys_anti(
+            spark,
+            spark.read.schema(schema).parquet(f"{root}/{_DATA_DIR}/{old}"),
+            key_col,
+            targets,
+            vic_df=vic_df,
+        ).select(*schema.fieldNames())
         names = _stage_files(kept, root, 1)
         stats = _collect_file_stats(root, names)
         import pyarrow.parquet as pq
@@ -827,7 +861,9 @@ def purge_keys(
         os.replace(tmp, _manifest_path(root, v))  # atomic swap
         updated += 1
     return {
-        "files_rewritten": len([r for r in replacement.values()]),
+        # emptied files count as rewritten: their content was re-examined
+        # and their manifest entries dropped
+        "files_rewritten": len(replacement),
         "manifests_updated": updated,
         "rows_removed": rows_removed,
     }

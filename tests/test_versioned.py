@@ -619,3 +619,60 @@ def test_purge_keys_null_safe_and_empty_file_dropped(spark, root):
     purge_keys(spark, root, "k", [9, None])
     assert {r["v"] for r in read_version(spark, root).collect()} == {"a", "b", "keepme"}
     assert read_version(spark, root, 0).count() == 3
+
+
+def test_purge_keys_on_evolved_column_and_after_vacuum(spark, root):
+    """Review findings: purging on a column ADDED by add_column must work
+    (pre-evolution manifests/files are unaffected by construction), and a
+    vacuum-retained legacy epoch manifest whose data files were reclaimed
+    must not make the purge verb crash."""
+    from python_async_sample_spark.sources.versioned import (
+        add_column,
+        commit_stream_epoch,
+        merge_into_versioned as m_i_v,
+        purge_keys,
+    )
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    create_table(spark, root, df.limit(0), n_files=1)
+    commit_stream_epoch(spark, root, df, 0, "fp-z")        # v1
+    # make v0/v1 pre-ledger AND stats-free (legacy)
+    for v in table_versions(root):
+        p = _manifest_path(root, v)
+        m = json.load(open(p, encoding="ascii"))
+        m.pop("epochs", None)
+        m.pop("stats", None)
+        json.dump(m, open(p, "w", encoding="ascii"))
+    add_column(spark, root, "email", "string")             # v2
+    upd = spark.createDataFrame(
+        [(1, "a", "x@y.z"), (3, "c", "p@q.r")], "k int, v string, email string"
+    )
+    m_i_v(spark, root, upd, "k")                           # v3
+    vacuum(root, keep_last=1, grace_seconds=0)             # keeps legacy v1
+    assert 1 in table_versions(root)
+
+    res = purge_keys(spark, root, "email", ["x@y.z"])
+    assert res["manifests_updated"] >= 1
+    head = read_version(spark, root)
+    assert head.where(F.col("email") == "x@y.z").count() == 0
+    assert head.where(F.col("email") == "p@q.r").count() == 1
+    assert head.count() == 2  # k=2 row (NULL email) + k=3 survive
+
+
+def test_anti_join_filters_coerce_types_and_ignore_nan(spark, root):
+    """Review finding: the isin→anti-join swap must keep isin's literal
+    coercion (int keys vs double column) and must NOT treat NaN keys as
+    matching NaN rows (join equality says NaN = NaN; isin never did)."""
+    import math
+
+    from python_async_sample_spark.sources.versioned import delete_keys_versioned
+
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (float("nan"), "nan-row"), (None, "null-row")],
+        "k double, v string",
+    )
+    create_table(spark, root, df, n_files=1)
+    res = delete_keys_versioned(spark, root, "k", [1, float("nan")])  # int key + NaN
+    assert res["deleted_rows"] == 1
+    left = {r["v"] for r in read_version(spark, root).collect()}
+    assert left == {"b", "nan-row", "null-row"}
