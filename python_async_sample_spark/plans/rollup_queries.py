@@ -637,3 +637,83 @@ def q194_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q197: differentially-private release of a count histogram. The noise is
+# the BINOMIAL mechanism (sum of 64 seeded coin flips - 32, sigma = 4), not
+# Laplace: Laplace needs ln(uniform), and ln is not required to be
+# correctly rounded by IEEE 754, so its ulps can differ across engines —
+# bit_count over the portable xor-shift-multiply hash family (q180-q182)
+# stays in exact integer arithmetic and the released histogram hash-matches
+# DuckDB bit for bit. Small-count suppression (the q191 k-anonymity rule)
+# composes with the noise: a row is released only when its NOISY count
+# clears tau, so the release decision itself never reads the true count.
+# ---------------------------------------------------------------------------
+
+from python_async_sample_spark.operators.sketches import (  # noqa: E402
+    portable_hash,
+    portable_hash_sql,
+)
+
+_DP_TAU = 30
+
+_DP_ORACLE = f"""
+    WITH d AS (
+      SELECT epoch_us(date_trunc('microseconds', ts)) // 86400000000 AS day_no
+      FROM events
+    ),
+    counts AS (
+      SELECT day_no, count(*) AS n FROM d GROUP BY day_no
+    ),
+    noised AS (
+      SELECT day_no,
+             n + (bit_count({portable_hash_sql('day_no', 0)}) - 16)
+               + (bit_count({portable_hash_sql('day_no', 1)}) - 16) AS n_noisy
+      FROM counts
+    )
+    SELECT strftime(DATE '1970-01-01' + CAST(day_no AS INT), '%Y-%m-%d') AS day,
+           CAST(n_noisy AS BIGINT) AS n_noisy
+    FROM noised WHERE n_noisy >= {_DP_TAU} ORDER BY day
+"""
+
+
+@query(
+    "q197_dp_noisy_daily_counts",
+    oracle=_DP_ORACLE,
+    ref="beyond reference: differentially-private histogram release (binomial mechanism + noisy-threshold suppression) — the governance sibling of q191 k-anonymity; exactly portable because the noise is integer bit_count over the q180-q182 hash family",
+    tags=("governance", "privacy"),
+)
+def q197_dp_noisy_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts released with deterministic seeded binomial noise
+    and noisy-threshold suppression.
+
+    Scale shape: ONE map-side-combinable groupBy on the integer day key;
+    the noise and the release test are per-group expressions (the hash is
+    seeded by the group key, so the mechanism is reproducible across
+    retries/partitionings without any stored randomness). True counts
+    never leave the plan.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = (
+        ev.select(F.expr("unix_micros(ts) div 86400000000").alias("day_no"))
+        .groupBy("day_no")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    noise = (F.bit_count(portable_hash(F.col("day_no"), 0)) - F.lit(16)) + (
+        F.bit_count(portable_hash(F.col("day_no"), 1)) - F.lit(16)
+    )
+    noised = counts.select(
+        "day_no", (F.col("n") + noise.cast("long")).alias("n_noisy")
+    )
+    return (
+        noised.where(F.col("n_noisy") >= _DP_TAU)
+        .select(
+            F.date_format(
+                F.date_add(F.to_date(F.lit("1970-01-01")), F.col("day_no").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.col("n_noisy").cast("bigint").alias("n_noisy"),
+        )
+        .orderBy("day")
+    )

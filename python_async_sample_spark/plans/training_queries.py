@@ -878,3 +878,106 @@ def q156_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_chars", "sample_rank").orderBy(
         "source", "sample_rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# q196: classifier TRAINING (the missing half of q114 scoring / q146 frozen-
+# weight inference). Squared hinge keeps the trajectory transcendental-free
+# (logistic's exp differs in ulps across libm implementations), so the full
+# 10-step GD run — init, gradients, quantized updates, final metrics — is
+# value-oracled against DuckDB replaying the identical arithmetic.
+# ---------------------------------------------------------------------------
+
+_SVM_VOWELS = "replace(replace(replace(replace(replace(text,'a',''),'e',''),'i',''),'o',''),'u','')"
+
+# Per-row feature arithmetic spelled with the SAME fixed operation order as
+# the Spark side: every x_j is bit-identical across engines (integer lengths
+# -> exact doubles -> single IEEE divisions), so only cross-row gradient sums
+# diverge, which the per-iteration weight quantization absorbs.
+_SVM_FEATURE_SQL = f"""
+    SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE -1.0 END AS y,
+           1.0 AS x0,
+           (length(text) - length(replace(text, ' ', ''))) / length(text) AS x1,
+           (length(text) - length({_SVM_VOWELS})) / length(text) AS x2,
+           (length(replace(text, ' ', ''))
+              / ((length(text) - length(replace(text, ' ', ''))) + 1.0)) / 10.0 AS x3
+    FROM documents WHERE length(text) > 0
+"""
+
+_SVM_ITERS = 10
+_SVM_LR = 0.2
+
+from python_async_sample_spark.operators.linear_model import (  # noqa: E402
+    evaluate_margin_metrics,
+    squared_hinge_fit,
+    squared_hinge_oracle_sql,
+)
+
+
+@query(
+    "q196_svm_quality_train",
+    oracle=squared_hinge_oracle_sql(
+        _SVM_FEATURE_SQL, ["x0", "x1", "x2", "x3"], iters=_SVM_ITERS, lr=_SVM_LR
+    ),
+    ref="beyond reference: distributed classifier training (squared-hinge L2-SVM, quantized GD fixpoint) — completes the train half of the q114/q146 classifier family; reference analog: the per-glass parametric fit R/basic_fun.R:18-43",
+    tags=("llm-data", "ml", "training"),
+)
+def q196_svm_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a linear classifier (lang=='en' vs rest) on three text-shape
+    features with full-batch GD on the squared hinge loss; emit the final
+    weight vector plus training accuracy/loss under those weights.
+
+    Each GD step is ONE expression-only scan aggregating d+1 cells
+    (map-side combinable); the driver holds d doubles. The whole quantized
+    trajectory hash-matches DuckDB's chained-CTE replay (see
+    operators/linear_model.py). The gate corpus is synthetic (text is
+    lang-independent), so the learnable signal is the class prior — the
+    planted-separable recovery proof lives in tests/test_linear_model.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    L = F.length(t)
+    nospace = F.length(F.replace(t, F.lit(" "), F.lit("")))
+    novowel = F.length(
+        F.replace(
+            F.replace(
+                F.replace(
+                    F.replace(F.replace(t, F.lit("a"), F.lit("")), F.lit("e"), F.lit("")),
+                    F.lit("i"),
+                    F.lit(""),
+                ),
+                F.lit("o"),
+                F.lit(""),
+            ),
+            F.lit("u"),
+            F.lit(""),
+        )
+    )
+    feats = (
+        docs.where(L > 0)
+        .select(
+            F.when(F.col("lang") == "en", 1.0).otherwise(-1.0).alias("y"),
+            F.lit(1.0).alias("x0"),
+            ((L - nospace) / L).alias("x1"),
+            ((L - novowel) / L).alias("x2"),
+            ((nospace / ((L - nospace) + F.lit(1.0))) / F.lit(10.0)).alias("x3"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cols = ["x0", "x1", "x2", "x3"]
+    w, history = squared_hinge_fit(
+        feats, cols, iters=_SVM_ITERS, lr=_SVM_LR, materialize=False
+    )
+    # loud invariant: full-batch GD under the stability bound is monotone on
+    # this convex loss — a rising loss means broken arithmetic, not noise
+    for a, b in zip(history, history[1:]):
+        if b > a + 1e-9:
+            raise AssertionError(f"squared-hinge GD loss rose: {a} -> {b}")
+    wdf = spark.createDataFrame(
+        [(j, w[j]) for j in range(len(cols))], "idx int, weight double"
+    )
+    return (
+        wdf.crossJoin(evaluate_margin_metrics(feats, w, cols))
+        .select("idx", "weight", "n_rows", "accuracy", "sq_hinge_loss")
+        .orderBy("idx")
+    )
