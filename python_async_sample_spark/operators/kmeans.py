@@ -144,6 +144,24 @@ def kmeans_fit(
     return cents, history
 
 
+def kmeans_cte_parts(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+) -> list[str]:
+    """The DuckDB CTE chain replaying quantized Lloyd's, as bare CTE
+    definitions (no ``WITH``): ``pts``/``dims`` (the exploded vectors),
+    ``cd0..cd{iters}`` (centroid trajectories), ``a0..`` (per-iteration
+    assignments) and finally ``afin(id, cluster, d2)`` — the final
+    assignment with its quantized squared distance.  ``kmeans_oracle_sql``
+    appends the per-cluster report; composite oracles (SemDeDup's
+    cluster-then-prune) append their own CTEs on top of ``afin``."""
+    return _kmeans_cte_parts_impl(table, id_col, vec_col, k, iters, round_digits)
+
+
 def kmeans_oracle_sql(
     table: str,
     id_col: str,
@@ -173,8 +191,27 @@ def kmeans_oracle_sql(
     * output = per-cluster size + mean squared distance under the FINAL
       centroids, rounded to ``out_round``.
     """
+    return (
+        "WITH "
+        + ",\n".join(_kmeans_cte_parts_impl(table, id_col, vec_col, k, iters, round_digits))
+        + f"""
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(avg(d2), {out_round}) AS avg_sq_dist
+        FROM afin GROUP BY cluster ORDER BY cluster"""
+    )
+
+
+def _kmeans_cte_parts_impl(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int,
+) -> list[str]:
     parts = [
-        f"WITH pts AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
+        f"pts AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
         # 0-based dims to match posexplode
         "dimspine AS (SELECT unnest(generate_series(1, (SELECT max(len(v)) FROM pts))) AS i)",
         "dims AS (SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine WHERE i <= len(v))",
@@ -225,14 +262,7 @@ def kmeans_oracle_sql(
           ) WHERE rn = 1
         )"""
     )
-    return (
-        ",\n".join(parts)
-        + f"""
-        SELECT CAST(cluster AS INT) AS cluster,
-               CAST(count(*) AS BIGINT) AS n_points,
-               round(avg(d2), {out_round}) AS avg_sq_dist
-        FROM afin GROUP BY cluster ORDER BY cluster"""
-    )
+    return parts
 
 
 def kmeans_predict(

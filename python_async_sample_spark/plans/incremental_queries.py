@@ -645,3 +645,225 @@ def q195_purged_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup(read_version(spark, root, 1), 1))
         .orderBy("version", "o_orderstatus")
     )
+
+
+@query(
+    "q198_evolved_time_travel",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    appended AS MATERIALIZED (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'store' END AS o_channel
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, CAST(4 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS n_channel_null,
+             CAST(NULL AS BIGINT) AS n_web,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM base
+    ),
+    v1 AS (
+      -- metadata-only evolution: same rows, the new column surfaces as NULL
+      SELECT CAST(1 AS INT) AS version, CAST(5 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_channel_null,
+             CAST(0 AS BIGINT) AS n_web,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM base
+    ),
+    v2 AS (
+      SELECT CAST(2 AS INT) AS version, CAST(5 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN o_channel IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_channel_null,
+             CAST(sum(CASE WHEN o_channel = 'web' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_web,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM (
+        SELECT o_orderkey, price, CAST(NULL AS VARCHAR) AS o_channel FROM base
+        UNION ALL
+        SELECT o_orderkey, price, o_channel FROM appended
+      )
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ORDER BY version
+    """,
+    ref=(
+        "schema evolution + time travel (beyond reference; "
+        "sources/versioned.add_column is a metadata-only commit — the "
+        "Iceberg null-fill contract: pre-evolution files surface the new "
+        "column as NULL, pre-evolution VERSIONS don't have it at all; the "
+        "reference's fixed Oracle DDL (dbs/nikon.py table blocks) would "
+        "need a full-table ALTER)"
+    ),
+    tags=("incremental", "versioned", "scale"),
+)
+def q198_evolved_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Create → ALTER ADD COLUMN (metadata-only, zero rewrites) → append
+    rows CARRYING the evolved column, then roll up all three snapshots:
+    v0's schema genuinely lacks the column (4 cols, stats NULL), v1 reads
+    the SAME pre-evolution files null-filling it (the evolution cost O(1)
+    metadata, not a rewrite), v2 mixes null-filled old files with valued
+    new ones.  The oracle recomputes every version from first principles —
+    a reader that rewrote files, leaked the column into v0, or dropped the
+    null-fill hash-mismatches."""
+    from python_async_sample_spark.sources.versioned import (
+        add_column,
+        append_versioned,
+        create_table,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_evo_")
+    root = f"{tmp}/orders_evolved"
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    create_table(spark, root, base.orderBy("o_orderkey"), n_files=4)
+    add_column(spark, root, "o_channel", "string")
+    appended = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("web"))
+        .otherwise(F.lit("store"))
+        .alias("o_channel"),
+    )
+    append_versioned(spark, root, appended, n_files=2)
+
+    def rollup(version: int) -> DataFrame:
+        df = read_version(spark, root, version)
+        has_channel = "o_channel" in df.columns
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.sum(F.when(F.col("o_channel").isNull(), 1).otherwise(0)).cast("bigint")
+                if has_channel
+                else F.lit(None).cast("bigint")
+            ).alias("n_channel_null"),
+            (
+                F.sum(F.when(F.col("o_channel") == "web", 1).otherwise(0)).cast("bigint")
+                if has_channel
+                else F.lit(None).cast("bigint")
+            ).alias("n_web"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            F.lit(len(df.columns)).cast("int").alias("n_cols"),
+            "n_rows",
+            "n_channel_null",
+            "n_web",
+            "total_price",
+        )
+
+    return (
+        rollup(0).unionByName(rollup(1)).unionByName(rollup(2)).orderBy("version")
+    )
+
+
+@query(
+    "q201_stats_pruned_range_scan",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+    ),
+    bounds AS (
+      SELECT CAST(min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) // 4 AS BIGINT) AS lo,
+             CAST(min(o_orderkey) + (max(o_orderkey) - min(o_orderkey)) * 3 // 8 AS BIGINT) AS hi
+      FROM t
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM t, bounds
+    WHERE o_orderkey BETWEEN lo AND hi
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    ref=(
+        "manifest-stats file pruning on the READ path (beyond reference; "
+        "versioned.read_keyed_range plans a keyed range scan from the "
+        "manifest's embedded per-file [min,max] — the Iceberg scan-planning "
+        "core: a one-eighth key range over a key-sorted 8-file table reads "
+        "~1 file, not 8, and an in-plan guard fails the query if pruning "
+        "didn't drop anything it should have)"
+    ),
+    tags=("incremental", "versioned", "scale"),
+)
+def q201_stats_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sorted versioned table, then a BETWEEN scan over one-eighth of
+    the key range planned entirely off the manifest: file-level pruning
+    from embedded stats (zero footer reads), residual filter + parquet
+    row-group pushdown making it exact.  The oracle is the plain SQL the
+    pruning must be invisible to; the pruning itself is asserted hard —
+    the query poisons if the planner read more than half the files (on a
+    key-sorted layout the eighth-range must prune), and correctness never
+    depends on it (a pruned-too-much bug is caught by the value hash)."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        prune_files_for_range,
+        read_keyed_range,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_prune_")
+    root = f"{tmp}/orders_sorted"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    mn, mx = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    lo = mn + (mx - mn) // 4
+    hi = mn + (mx - mn) * 3 // 8
+    # layout_col gives disjoint key ranges per file — the layout
+    # stats pruning is designed for (a time/key-ordered ingest at 100 TB)
+    create_table(spark, root, orders, n_files=8, layout_col="o_orderkey")
+    picked, total = prune_files_for_range(root, "o_orderkey", lo, hi)
+    scan = read_keyed_range(spark, root, "o_orderkey", lo, hi)
+    out = (
+        scan.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    # the scale contract, enforced in-plan: a planner that stopped pruning
+    # (stats dropped, ranges widened, fallback gone conservative) fails
+    # loudly instead of silently reading the whole table forever
+    violation = (
+        spark.range(1)
+        .select(
+            F.lit(len(picked)).alias("picked"), F.lit(total).alias("total")
+        )
+        .where(F.col("picked") * 2 > F.col("total"))
+        .limit(1)
+    )
+    from python_async_sample_spark.plans.similarity_queries import (
+        _union_poison_guard,
+    )
+
+    return _union_poison_guard(
+        out,
+        violation,
+        "manifest-stats pruning read more than half the files of a "
+        "key-sorted table for a one-eighth key range",
+    ).orderBy("o_orderstatus")

@@ -529,3 +529,183 @@ def q187_simhash_portable_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sig = term if sig is None else sig + term
     return votes.select("doc_id", sig.alias("simhash32")).orderBy("doc_id")
+
+
+# --- q199: mergeable equi-width histogram quantile sketch ------------------
+#
+# The quantile sketch every engine actually ships (t-digest, KLL, GK) is
+# float- and merge-order-dependent — unverifiable across engines.  An
+# equi-width histogram over a FIXED integer domain is the one quantile
+# sketch whose build, merge, and estimate are ALL exact integer arithmetic:
+# the per-partition histograms are the partial aggregates of a single
+# groupBy (the shuffle merge IS the sketch merge — cell-wise add, associative
+# and commutative by construction), and the rank→bin→interpolation estimate
+# uses only int64 ops both engines replay bit-for-bit.  q91's t-digest-style
+# approx_percentile stays the production path; this certifies the sketch
+# ALGEBRA the same way q180/q181 certify CMS/HLL.
+
+_HQ_W = 1600  # bin width in cents
+_HQ_B = 64  # bins: domain [0, 102400) cents = $0..$1024, data tops at ~$561
+_HQ_PCTS = (50, 95, 99)
+
+
+def _hq_bin_sql(cents: str) -> str:
+    return f"least({_HQ_B - 1}, greatest(0, CAST({cents} // {_HQ_W} AS BIGINT)))"
+
+
+_HQ_ORACLE = f"""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    hist AS (
+      SELECT event_type, {_hq_bin_sql('cents')} AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM ev GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+      FROM hist
+    ),
+    totals AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1
+    ),
+    ranks AS (
+      SELECT event_type, n, p.pct,
+             CAST((p.pct * n + 99) // 100 AS BIGINT) AS r
+      FROM totals, (SELECT unnest([{", ".join(str(p) for p in _HQ_PCTS)}]) AS pct) p
+    ),
+    pick AS (
+      SELECT event_type, pct, n, r, bin, cnt, cum,
+             row_number() OVER (PARTITION BY event_type, pct ORDER BY bin) AS rn
+      FROM ranks JOIN cum USING (event_type)
+      WHERE cum >= r
+    ),
+    est AS (
+      SELECT event_type, CAST(pct AS INT) AS pct, n,
+             bin * {_HQ_W} + CAST((r - (cum - cnt)) * {_HQ_W} // cnt AS BIGINT)
+               AS est_cents
+      FROM pick WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT event_type, cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rk
+      FROM ev
+    ),
+    exact AS (
+      SELECT r.event_type, CAST(r.pct AS INT) AS pct, x.cents AS exact_cents
+      FROM ranks r JOIN ranked x
+        ON x.event_type = r.event_type AND x.rk = r.r
+    )
+    SELECT e.event_type, e.pct, e.n,
+           round(e.est_cents / 100.0, 2) AS est_value,
+           round(x.exact_cents / 100.0, 2) AS exact_value
+    FROM est e JOIN exact x USING (event_type, pct)
+    ORDER BY e.event_type, e.pct
+"""
+
+
+@query(
+    "q199_histogram_quantile_sketch",
+    oracle=_HQ_ORACLE,
+    ref=(
+        "mergeable histogram quantile sketch, cross-engine hash-matched "
+        "(beyond reference; the value-oracled twin of q91's approx_percentile "
+        "— build cells, merge law, and rank-interpolation estimate all exact "
+        "int64 arithmetic)"
+    ),
+    tags=("sketch", "stats", "scale"),
+)
+def q199_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 per event type from a 64-bin equi-width histogram over
+    integer cents: ONE map-side-combinable groupBy builds the sketch (its
+    partial aggregates ARE the per-partition histograms; the shuffle merge
+    is the cell-wise sketch merge), then rank = ceil(q*n) locates a bin via
+    a cumulative window over 64 rows per key and linear interpolation
+    inside the bin stays in integer division.  DuckDB recomputes every
+    cell, every rank, and both the estimate and the exact rank-r value —
+    and the sketch contract (the estimate lands within one bin width of
+    the exact quantile) rides in-plan as a union-poison guard."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    bin_col = F.least(
+        F.lit(_HQ_B - 1),
+        F.greatest(F.lit(0), F.expr(f"cents div {_HQ_W}")),
+    ).cast("long")
+    hist = (
+        ev.select("event_type", bin_col.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(W.partitionBy("event_type").orderBy("bin")),
+    )
+    totals = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ranks = totals.select(
+        "event_type",
+        "n",
+        F.explode(F.array(*[F.lit(p) for p in _HQ_PCTS])).alias("pct"),
+    ).withColumn("r", F.expr("(pct * n + 99) div 100").cast("long"))
+    pick = (
+        ranks.join(cum, "event_type")
+        .where(F.col("cum") >= F.col("r"))
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("event_type", "pct").orderBy("bin")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    est = pick.select(
+        "event_type",
+        F.col("pct").cast("int").alias("pct"),
+        "n",
+        (
+            F.col("bin") * _HQ_W
+            + F.expr(f"((r - (cum - cnt)) * {_HQ_W}) div cnt")
+        ).cast("long").alias("est_cents"),
+    )
+    ranked = ev.withColumn(
+        "rk", F.row_number().over(W.partitionBy("event_type").orderBy("cents"))
+    )
+    exact = ranks.join(
+        ranked,
+        (ranked["event_type"] == ranks["event_type"]) & (ranked["rk"] == ranks["r"]),
+    ).select(
+        ranks["event_type"],
+        F.col("pct").cast("int").alias("pct"),
+        F.col("cents").alias("exact_cents"),
+    )
+    out = (
+        est.join(exact, ["event_type", "pct"])
+        .select(
+            "event_type",
+            "pct",
+            "n",
+            F.round(F.col("est_cents") / 100.0, 2).alias("est_value"),
+            F.round(F.col("exact_cents") / 100.0, 2).alias("exact_value"),
+            "est_cents",
+            "exact_cents",
+        )
+    )
+    violation = out.where(
+        F.abs(F.col("est_cents") - F.col("exact_cents")) > F.lit(_HQ_W)
+    ).limit(1)
+    return (
+        _union_poison_guard(
+            out,
+            violation,
+            "histogram quantile estimate more than one bin width from the "
+            "exact quantile — impossible while the exact value is in-domain",
+        )
+        .select("event_type", "pct", "n", "est_value", "exact_value")
+        .orderBy("event_type", "pct")
+    )

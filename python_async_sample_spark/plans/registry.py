@@ -120,8 +120,12 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # additions q186 (compaction+history), q190 (snapshot CDC), q193 (CDC-
 # maintained rollup), q187 (portable SimHash), q188 (boilerplate
 # removal), q189 (recursive hierarchy), q195 (history purge), q191
-# (k-anonymity), q192 (interval coalesce), q194 (EWMA anomaly), then q168,
-# q169, q171, q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
+# (k-anonymity), q192 (interval coalesce), q194 (EWMA anomaly), q196
+# (SVM training), q197 (DP release), q198 (schema evolution), q199
+# (histogram quantile sketch), q200 (SemDeDup), q201 (stats-pruned range
+# scan — its guard makes file pruning itself driver-checked), then q168,
+# q169, q171,
+# q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's

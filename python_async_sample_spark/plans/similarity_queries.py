@@ -586,3 +586,96 @@ def q178_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, var_ratio double"
     ).orderBy("component")
+
+
+def _semdedup_oracle() -> str:
+    from python_async_sample_spark.operators.kmeans import kmeans_cte_parts
+
+    km = ",\n".join(kmeans_cte_parts("embeddings", "vec_id", "embedding", k=8, iters=2))
+    return f"""
+    WITH RECURSIVE {km},
+    emb2 AS MATERIALIZED (
+      SELECT a.id AS vec_id, a.cluster, a.d2, p.v
+      FROM afin a JOIN pts p USING (id)
+    ),
+    prs AS MATERIALIZED (
+      SELECT x.vec_id AS da, y.vec_id AS db
+      FROM emb2 x JOIN emb2 y
+        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+      WHERE list_cosine_similarity(x.v, y.v) >= 0.45
+    ),
+    edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+    reach(n, r) AS (
+      SELECT vec_id, vec_id FROM emb2
+      UNION
+      SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+    ),
+    comp AS (SELECT n AS vec_id, min(r) AS dup_group FROM reach GROUP BY n),
+    ranked AS (
+      SELECT e.vec_id, e.cluster, c.dup_group,
+             row_number() OVER (PARTITION BY c.dup_group
+                                ORDER BY e.d2 DESC, e.vec_id) AS rn
+      FROM emb2 e JOIN comp c USING (vec_id)
+    )
+    SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           CAST(dup_group AS BIGINT) AS dup_group, (rn = 1) AS is_kept
+    FROM ranked ORDER BY vec_id
+    """
+
+
+@query(
+    "q200_semdedup_prune",
+    oracle=_semdedup_oracle(),
+    ref=(
+        "SemDeDup cluster-then-prune semantic dedup (beyond reference; "
+        "Abbas et al. 2023 re-expressed Spark-first: k-means restricts the "
+        "pair search to within-cluster — O(N^2/k) candidate work instead of "
+        "q78's global GEMM — and each near-dup group keeps its most "
+        "centroid-distant member, the paper's keep-the-edge-point rule)"
+    ),
+    tags=("llm-data", "dedup", "similarity", "scale"),
+)
+def q200_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup the SemDeDup way: quantized Lloyd's k-means (k=8,
+    2 iterations — the oracle replays the full trajectory) buckets the
+    corpus, cosine pairs are mined ONLY within a cluster (an equi-join on
+    the cluster label — at 100 TB the k-means restriction is what turns an
+    intractable corpus x corpus GEMM into k independent block problems),
+    near-dup groups resolve by min-label propagation, and each group keeps
+    the member FARTHEST from its centroid (sq_dist already on the shared
+    1e-9 grid, ties to the lowest id) — the paper's rule for preserving
+    cluster-edge diversity while dropping redundant near-center copies.
+    Every stage is hash-matched: assignments, pair set, group labels, and
+    the keep flag itself."""
+    from python_async_sample_spark.operators.cluster import dedup_clusters
+    from python_async_sample_spark.operators.kmeans import kmeans_fit, kmeans_predict
+    from python_async_sample_spark.operators.similarity import cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2, round_digits=6)
+    assigned = kmeans_predict(emb, "vec_id", "embedding", cents)
+    with_cluster = emb.join(assigned, "vec_id").localCheckpoint(eager=False)
+    pairs = cosine_pairs(
+        with_cluster, "vec_id", "embedding", threshold=0.45, block_col="cluster"
+    ).select("d1", "d2")
+    groups = dedup_clusters(with_cluster, pairs, "vec_id").select(
+        "vec_id", F.col("cluster_id").alias("dup_group")
+    )
+    from pyspark.sql.window import Window as W
+
+    ranked = (
+        with_cluster.select("vec_id", "cluster", "sq_dist")
+        .join(groups, "vec_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("dup_group").orderBy(F.col("sq_dist").desc(), "vec_id")
+            ),
+        )
+    )
+    return ranked.select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("dup_group").cast("bigint").alias("dup_group"),
+        (F.col("rn") == 1).alias("is_kept"),
+    ).orderBy("vec_id")

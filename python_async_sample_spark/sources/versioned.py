@@ -93,14 +93,28 @@ def _read_manifest(root: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _stage_files(df: DataFrame, root: str, n_files: int) -> list[str]:
+def _stage_files(
+    df: DataFrame, root: str, n_files: int, layout_col: str | None = None
+) -> list[str]:
     """Write ``df`` as ``n_files`` immutable data files and return their
     data-dir-relative names.  Files are moved under ``data/`` with fresh
     uuid names BEFORE any manifest references them, so a crash here leaves
     only unreferenced orphans — invisible to every reader, reclaimed by
-    :func:`vacuum`."""
+    :func:`vacuum`.
+
+    ``layout_col`` clusters the write: range-partitioned and sorted within
+    each file on that column, so the per-file [min, max] stats embedded in
+    the manifest become DISJOINT ranges and keyed scans/merges prune to a
+    handful of files (the plain ``repartition`` default gives every file
+    the full key range — correct, but stats-pruning can then never drop
+    anything)."""
     stage = f"{root}/.stage-{uuid.uuid4().hex}"
-    df.repartition(max(1, n_files)).write.mode("overwrite").parquet(stage)
+    shaped = (
+        df.repartitionByRange(max(1, n_files), layout_col).sortWithinPartitions(layout_col)
+        if layout_col
+        else df.repartition(max(1, n_files))
+    )
+    shaped.write.mode("overwrite").parquet(stage)
     os.makedirs(f"{root}/{_DATA_DIR}", exist_ok=True)
     names = []
     for f in sorted(glob.glob(f"{stage}/part-*.parquet")):
@@ -134,27 +148,35 @@ def _collect_file_stats(root: str, names: list[str]) -> dict:
                 name = c.path_in_schema
                 if name in bad or "." in name:  # nested: skip
                     continue
-                st = c.statistics
+                try:
+                    st = c.statistics
+                    lo, hi = (None, None) if st is None else (st.min, st.max)
+                except Exception:
+                    # pyarrow RAISES (ArrowNotImplementedError) for types it
+                    # can't summarize (e.g. DECIMAL min/max) rather than
+                    # returning None — same contract as missing stats:
+                    # unsummarizable, the column range is treated as
+                    # conservatively affected
+                    lo, hi = None, None
                 if (
-                    st is None
-                    or st.min is None
-                    or st.max is None
-                    or not isinstance(st.min, (int, float, str))
-                    or isinstance(st.min, bool)
+                    lo is None
+                    or hi is None
+                    or not isinstance(lo, (int, float, str))
+                    or isinstance(lo, bool)
                     # a NaN bound poisons every range comparison (x <= NaN
                     # is False), which would mark the file UNAFFECTED and
                     # silently skip keyed rewrites — unsummarizable instead
-                    or (isinstance(st.min, float) and st.min != st.min)
-                    or (isinstance(st.max, float) and st.max != st.max)
+                    or (isinstance(lo, float) and lo != lo)
+                    or (isinstance(hi, float) and hi != hi)
                 ):
                     bad.add(name)
                     cols.pop(name, None)
                     continue
                 if name in cols:
-                    cols[name][0] = min(cols[name][0], st.min)
-                    cols[name][1] = max(cols[name][1], st.max)
+                    cols[name][0] = min(cols[name][0], lo)
+                    cols[name][1] = max(cols[name][1], hi)
                 else:
-                    cols[name] = [st.min, st.max]
+                    cols[name] = [lo, hi]
         out[n] = {"rows": meta.num_rows, "cols": cols}
     return out
 
@@ -254,14 +276,23 @@ def _drop_keys(spark: SparkSession, df: DataFrame, key_col: str, targets: list) 
     return _drop_keys_anti(spark, df, key_col, targets)
 
 
-def create_table(spark: SparkSession, root: str, df: DataFrame, n_files: int = 4) -> int:
-    """Materialize ``df`` as version 0 of a new versioned table."""
+def create_table(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    n_files: int = 4,
+    layout_col: str | None = None,
+) -> int:
+    """Materialize ``df`` as version 0 of a new versioned table.
+    ``layout_col`` writes the files key-clustered (disjoint per-file
+    ranges) so manifest-stats pruning has something to prune — see
+    :func:`_stage_files`."""
     _require_local_path(root, "create_table")
     root = root.rstrip("/")
     if table_versions(root):
         raise FileExistsError(f"versioned table already exists at {root!r}")
     os.makedirs(root, exist_ok=True)
-    files = _stage_files(df, root, n_files)
+    files = _stage_files(df, root, n_files, layout_col=layout_col)
     return _commit(
         root, files, df.schema.json(), "create", parent=None,
         stats=_collect_file_stats(root, files),
@@ -288,6 +319,61 @@ def read_version(
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(
         *[f"{root}/{_DATA_DIR}/{name}" for name in manifest["files"]]
+    )
+
+
+def prune_files_for_range(
+    root: str, key_col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """Scan planning off the manifest alone: the data files whose recorded
+    ``[min, max]`` for ``key_col`` overlaps ``[lo, hi]``, plus the total
+    file count — ZERO footer or data reads.  This is the read-side twin of
+    the keyed MERGE/DELETE pruning (:func:`_affected_from_manifest`), and
+    the reason manifests embed per-file column stats at all: at 100 TB a
+    keyed range scan that plans from one small JSON touches a handful of
+    files instead of opening a million footers over the network.
+
+    Sound, not just fast: any file missing a recorded range for
+    ``key_col`` (legacy manifest, unsummarizable column type, all-NULL
+    column) is INCLUDED — a skipped maybe-match would silently drop rows.
+    Empty files (rows == 0) are skipped; they contain no keys."""
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    stats = manifest.get("stats") or {}
+    picked = []
+    for n in manifest["files"]:
+        ent = stats.get(n)
+        if ent is not None and ent["rows"] == 0:
+            continue
+        rng = ent["cols"].get(key_col) if ent else None
+        if rng is None or (rng[0] <= hi and lo <= rng[1]):
+            picked.append(n)
+    return picked, len(manifest["files"])
+
+
+def read_keyed_range(
+    spark: SparkSession, root: str, key_col: str, lo, hi, version: int | None = None
+) -> DataFrame:
+    """``SELECT * WHERE key BETWEEN lo AND hi`` planned from the manifest:
+    file-level pruning via :func:`prune_files_for_range`, then the residual
+    BETWEEN filter on the surviving files (pruning admits a superset — the
+    filter, plus parquet row-group pushdown inside each file, makes the
+    result exact).  NULL keys never match, matching SQL BETWEEN."""
+    pin_reader_conf(spark)
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    picked, _total = prune_files_for_range(root, key_col, lo, hi, version)
+    if not picked:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*[f"{root}/{_DATA_DIR}/{name}" for name in picked])
+        .where(F.col(key_col).between(F.lit(lo), F.lit(hi)))
     )
 
 

@@ -378,3 +378,24 @@ def test_portable_simhash_is_one_aggregate_no_python(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_pairs_are_cluster_equi_joins(spark, sf_dir):
+    """q200's pair mining must key on the k-means cluster label — the
+    whole point of SemDeDup's cluster-first design; a cartesian or
+    nested-loop anywhere would be the corpus x corpus blowup the
+    clustering exists to prevent."""
+    df = SPECS["q200_semdedup_prune"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_histogram_sketch_is_partial_aggregate_no_python(spark, sf_dir):
+    """q199's sketch build must be a partial+final hash aggregate (the
+    partials ARE the per-partition histograms — the merge law) with no
+    Python eval; the rank windows run over 64-row-per-key relations."""
+    df = SPECS["q199_histogram_quantile_sketch"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -676,3 +676,75 @@ def test_anti_join_filters_coerce_types_and_ignore_nan(spark, root):
     assert res["deleted_rows"] == 1
     left = {r["v"] for r in read_version(spark, root).collect()}
     assert left == {"b", "nan-row", "null-row"}
+
+
+def test_decimal_columns_commit_without_stats(spark, root):
+    """Regression: pyarrow RAISES (not returns-None) extracting DECIMAL
+    min/max from a footer; the stats collector must degrade to
+    "unsummarizable" — commit succeeds, the decimal column carries no
+    range, and keyed verbs on OTHER columns still prune off the manifest."""
+    import json as _json
+
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        delete_keys_versioned,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    ).withColumn("price", F.col("k").cast("decimal(18,2)"))
+    create_table(spark, root, df, n_files=1)
+    m = _read_manifest(root, 0)
+    stats = m["stats"] if isinstance(m["stats"], dict) else _json.loads(m["stats"])
+    (file_stats,) = stats.values()
+    assert "price" not in file_stats["cols"]  # unsummarizable, omitted
+    assert file_stats["cols"]["k"] == [1, 3]  # other columns keep ranges
+    res = delete_keys_versioned(spark, root, "k", [2])
+    assert res["deleted_rows"] == 1
+    assert read_version(spark, root).count() == 2
+
+
+def test_read_keyed_range_prunes_and_stays_exact(spark, root):
+    """prune_files_for_range drops files whose [min,max] misses the range;
+    read_keyed_range stays EXACT (residual filter) and NULL keys never
+    match (SQL BETWEEN semantics)."""
+    from python_async_sample_spark.sources.versioned import (
+        prune_files_for_range,
+        read_keyed_range,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(1, 101)] + [(None, "null-row")],
+        "k bigint, v string",
+    )
+    create_table(spark, root, df, n_files=8, layout_col="k")
+    picked, total = prune_files_for_range(root, "k", 20, 30)
+    assert total == 8
+    assert 1 <= len(picked) <= 3  # an 11-wide range over ~13-wide files
+    got = read_keyed_range(spark, root, "k", 20, 30)
+    assert sorted(r["k"] for r in got.collect()) == list(range(20, 31))
+    # degenerate range below all keys: zero files, empty frame, same schema
+    none_picked, _ = prune_files_for_range(root, "k", -10, -5)
+    assert none_picked == []
+    empty = read_keyed_range(spark, root, "k", -10, -5)
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_read_keyed_range_falls_back_without_stats(spark, root):
+    """A column with no recorded range (here: strings of one value per
+    file are summarizable, so use a DECIMAL key — unsummarizable by
+    pyarrow) must be read conservatively: every file picked, result still
+    exact via the residual filter."""
+    from python_async_sample_spark.sources.versioned import (
+        prune_files_for_range,
+        read_keyed_range,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(1, 41)], "i bigint"
+    ).select(F.col("i").cast("decimal(10,2)").alias("k"), F.col("i").alias("v"))
+    create_table(spark, root, df, n_files=4, layout_col="v")
+    picked, total = prune_files_for_range(root, "k", 5, 10)
+    assert len(picked) == total == 4  # no stats -> conservatively affected
+    got = read_keyed_range(spark, root, "k", 5, 10)
+    assert sorted(r["v"] for r in got.collect()) == list(range(5, 11))
