@@ -324,3 +324,47 @@ def hll_portable_sql(table: str, expr: str, m: int = 128) -> str:
                  END, 2) AS est
     FROM agg
     """
+
+
+def hll_portable_registers_grouped(
+    df: DataFrame, group_col: str, key_col: str, m: int = 128
+) -> DataFrame:
+    """Per-group portable HLL register relations in ONE groupBy:
+    (group, reg, max_rho), m-bounded rows per group.  Merging groups is
+    ``groupBy(reg).max(max_rho)`` — the HLL merge law — and because the
+    union of the groups' key sets is the whole table, the merged relation
+    must equal the direct global build REGISTER FOR REGISTER (q203 pins
+    that equality in-plan and against DuckDB)."""
+    assert m & (m - 1) == 0 and 2 <= m <= 65536, "m must be a power of two"
+    budget = 32 - m.bit_length() + 1
+    h = portable_hash(F.col(key_col), 0)
+    w = F.floor(h / m).cast("long")
+    rho = F.when(w == 0, F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            (h % m).cast("int").alias("reg"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_portable_estimate_grouped(registers: DataFrame, m: int = 128) -> DataFrame:
+    """(grp, v_zero, est) from a grouped register relation — the same
+    alpha/small-range formula as :func:`hll_portable_estimate`, one row
+    per group."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    agg = registers.groupBy("grp").agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))).alias("present_sum"),
+    )
+    e_raw = F.lit(alpha) * m * m / (F.col("present_sum") + F.col("v_zero"))
+    est = F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+    return agg.select("grp", "v_zero", F.round(est, 2).alias("est"))

@@ -867,3 +867,96 @@ def q201_stats_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "manifest-stats pruning read more than half the files of a "
         "key-sorted table for a one-eighth key range",
     ).orderBy("o_orderstatus")
+
+
+@query(
+    "q202_zorder_box_scan",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(day(ts) AS BIGINT) AS d,
+             event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    bounds AS (
+      SELECT CAST(min(user_id) + (max(user_id) - min(user_id)) // 2 AS BIGINT) AS lo_u,
+             CAST(min(user_id) + (max(user_id) - min(user_id)) * 5 // 8 AS BIGINT) AS hi_u
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM ev, bounds
+    WHERE user_id BETWEEN lo_u AND hi_u AND d BETWEEN 8 AND 14
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    ref=(
+        "OPTIMIZE ZORDER as a snapshot commit + 2-D box pruning (beyond "
+        "reference; versioned.rewrite_layout clusters files along q108's "
+        "Morton curve so prune_files_for_box drops files on BOTH columns "
+        "of a box predicate — single-column clustering can prune only its "
+        "lead column; the pruning ratio is enforced in-plan)"
+    ),
+    tags=("incremental", "versioned", "scale"),
+)
+def q202_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events land round-robin (v0: every file spans the full key space),
+    then ``rewrite_layout`` Z-orders the table by (user_id, day) as ONE
+    snapshot commit — and a box predicate covering ~1/8 of users x ~1/4 of
+    days is planned from the manifest: ``prune_files_for_box`` keeps only
+    files whose stats rectangle intersects the box, the residual filter
+    makes it exact, and the oracle is the plain SQL the whole layout
+    machinery must be invisible to.  The scale contract rides in-plan:
+    pruning on the Z-ordered head must drop at least half the files
+    (on the unclustered v0 it provably can drop none — that contrast is
+    asserted in tests), or the query poisons."""
+    from python_async_sample_spark.plans.similarity_queries import (
+        _union_poison_guard,
+    )
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        prune_files_for_box,
+        read_box,
+        rewrite_layout,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_zord_")
+    root = f"{tmp}/events_z"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.dayofmonth("ts").cast("long").alias("d"),
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    mn, mx = ev.agg(F.min("user_id"), F.max("user_id")).first()
+    lo_u = mn + (mx - mn) // 2
+    hi_u = mn + (mx - mn) * 5 // 8
+    create_table(spark, root, ev, n_files=16)  # v0: unclustered
+    rewrite_layout(spark, root, "user_id", "d", n_files=16)  # v1: Z-ordered
+    box = {"user_id": (lo_u, hi_u), "d": (8, 14)}
+    picked, total = prune_files_for_box(root, box)
+    out = (
+        read_box(spark, root, box)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+    )
+    violation = (
+        spark.range(1)
+        .select(F.lit(len(picked)).alias("picked"), F.lit(total).alias("total"))
+        .where(F.col("picked") * 2 > F.col("total"))
+        .limit(1)
+    )
+    return _union_poison_guard(
+        out,
+        violation,
+        "Z-order box pruning kept more than half the files for a "
+        "1/8 x 1/4 box predicate",
+    ).orderBy("event_type")

@@ -458,3 +458,131 @@ def q90_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_EXPECT_ORACLE = """
+    WITH corrupted AS MATERIALIZED (
+      SELECT
+        o_orderkey,
+        CASE WHEN o_orderkey % 501 = 0 THEN NULL
+             WHEN o_orderkey % 521 = 0 THEN o_custkey + 10000000
+             ELSE o_custkey END AS o_custkey,
+        CASE WHEN o_orderkey % 501 <> 0 AND o_orderkey % 521 <> 0
+              AND o_orderkey % 503 = 0 THEN -1.0
+             ELSE CAST(o_totalprice AS DOUBLE) END AS o_totalprice,
+        CASE WHEN o_orderkey % 501 <> 0 AND o_orderkey % 521 <> 0
+              AND o_orderkey % 503 <> 0 AND o_orderkey % 509 = 0 THEN 'Z'
+             ELSE o_orderstatus END AS o_orderstatus
+      FROM orders
+    ),
+    t AS MATERIALIZED (
+      SELECT * FROM corrupted
+      UNION ALL SELECT * FROM corrupted WHERE o_orderkey % 499 = 0
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM t),
+    preds AS (
+      SELECT 'not_null(o_custkey)' AS rule, 'not_null' AS kind,
+             (SELECT n_rows FROM n) AS n_checked,
+             CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM t
+      UNION ALL
+      SELECT 'in_range(o_totalprice)', 'in_range', (SELECT n_rows FROM n),
+             CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                            AND o_totalprice NOT BETWEEN 0 AND 1000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM t
+      UNION ALL
+      SELECT 'accepted_values(o_orderstatus)', 'accepted_values',
+             (SELECT n_rows FROM n),
+             CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O','F','P')
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM t
+      UNION ALL
+      SELECT 'in_range(o_orderkey)', 'in_range', (SELECT n_rows FROM n),
+             CAST(sum(CASE WHEN o_orderkey IS NOT NULL
+                            AND o_orderkey NOT BETWEEN 0 AND 100000000
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM t
+    ),
+    uniq AS (
+      SELECT 'unique(o_orderkey)' AS rule, 'unique' AS kind,
+             CAST(coalesce(sum(c), 0) AS BIGINT) AS n_checked,
+             CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_violations
+      FROM (SELECT count(*) AS c FROM t GROUP BY o_orderkey)
+    ),
+    fk AS (
+      SELECT 'foreign_key(o_custkey)' AS rule, 'foreign_key' AS kind,
+             (SELECT CAST(count(*) AS BIGINT) FROM t WHERE o_custkey IS NOT NULL)
+               AS n_checked,
+             (SELECT CAST(count(*) AS BIGINT) FROM t
+              WHERE o_custkey IS NOT NULL
+                AND o_custkey NOT IN (SELECT c_custkey FROM customer))
+               AS n_violations
+    )
+    SELECT rule, kind, n_checked, n_violations, (n_violations = 0) AS passed
+    FROM (SELECT * FROM preds UNION ALL SELECT * FROM uniq UNION ALL SELECT * FROM fk)
+    ORDER BY rule
+"""
+
+
+@query(
+    "q204_data_expectations",
+    oracle=_EXPECT_ORACLE,
+    ref=(
+        "declarative table-level data-quality expectations (beyond "
+        "reference; the Deequ/dbt-test staple — operators/expectations.py "
+        "generalizes the reference's hard-coded -1..-4 row flags "
+        "(nikon_ETL.py) to a declared rule set with one report row per "
+        "rule and a must-pass publish gate)"
+    ),
+    tags=("pipeline", "quality", "scale"),
+)
+def q204_data_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five constraint kinds over a deliberately corrupted orders batch —
+    NULL keys, FK orphans, out-of-range prices, unaccepted statuses,
+    duplicated keys, each planted on its own modular slice so the oracle
+    recomputes every violation count exactly.  All predicate rules share
+    ONE aggregate scan (conditional sums, map-side combinable); unique
+    adds one groupBy, the FK one anti-join against the broadcastable
+    customer keys.  The must-pass gate rides in-plan on a rule the batch
+    satisfies — the publish-blocking shape, exercised on its clean path
+    (the firing path is pinned in tests/test_expectations.py)."""
+    from python_async_sample_spark.operators import expectations as E
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    k = F.col("o_orderkey")
+    corrupted = orders.select(
+        "o_orderkey",
+        F.when(k % 501 == 0, F.lit(None).cast("long"))
+        .when(k % 521 == 0, F.col("o_custkey") + 10_000_000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(
+            (k % 501 != 0) & (k % 521 != 0) & (k % 503 == 0), F.lit(-1.0)
+        )
+        .otherwise(F.col("o_totalprice").cast("double"))
+        .alias("o_totalprice"),
+        F.when(
+            (k % 501 != 0) & (k % 521 != 0) & (k % 503 != 0) & (k % 509 == 0),
+            F.lit("Z"),
+        )
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    batch = corrupted.unionByName(
+        corrupted.where(k % 499 == 0)
+    ).localCheckpoint(eager=False)
+    rules = [
+        E.not_null("o_custkey"),
+        E.in_range("o_totalprice", 0, 1_000_000),
+        E.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        E.in_range("o_orderkey", 0, 100_000_000),  # the must-pass rule
+        E.unique(["o_orderkey"]),
+        E.foreign_key("o_custkey", customer, "c_custkey"),
+    ]
+    report = E.run_expectations(batch, rules)
+    return E.fail_on(report, ["in_range(o_orderkey)"]).orderBy("rule")

@@ -709,3 +709,141 @@ def q199_histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFram
         .select("event_type", "pct", "n", "est_value", "exact_value")
         .orderBy("event_type", "pct")
     )
+
+
+# --- q203: the HLL MERGE LAW, value-oracled ---------------------------------
+#
+# q181 certifies one global build; what a 100 TB deployment actually does is
+# build per-partition/per-day sketches and MERGE them (that is the entire
+# point of a sketch).  The law — per-register max of per-group registers ==
+# registers of the union — is exact algebra, so with the portable hash the
+# whole story is value-oracled: per-group registers, per-group estimates,
+# the merged estimate, AND the in-plan assertion that the merged relation is
+# register-for-register identical to a direct global build.
+
+def _hll_merge_oracle() -> str:
+    from python_async_sample_spark.operators.sketches import portable_hash_sql
+
+    m = _HLL_M
+    budget = 32 - m.bit_length() + 1
+    alpha = f"(0.7213 / (1 + 1.079 / {m}))"
+    h = portable_hash_sql("user_id", 0)
+    est = (
+        f"round(CASE WHEN {alpha} * {m} * {m} / (present_sum + v_zero) <= 2.5 * {m} "
+        f"AND v_zero > 0 THEN {m} * ln({m} * 1.0 / v_zero) "
+        f"ELSE {alpha} * {m} * {m} / (present_sum + v_zero) END, 2)"
+    )
+    return f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type, {h} AS h FROM events
+    ),
+    regs AS (
+      SELECT event_type, h % {m} AS reg,
+             max(CASE WHEN h // {m} = 0 THEN {budget + 1}
+                      ELSE {budget + 1} - length(printf('%b', h // {m}))
+                 END) AS max_rho
+      FROM hashes GROUP BY 1, 2
+    ),
+    per_group AS (
+      SELECT event_type,
+             CAST({m} - count(*) AS BIGINT) AS v_zero,
+             sum(power(2.0, -max_rho)) AS present_sum
+      FROM regs GROUP BY 1
+    ),
+    per_group_out AS (
+      SELECT p.event_type, {est} AS est,
+             CAST(x.n AS BIGINT) AS exact_distinct
+      FROM per_group p JOIN (
+        SELECT event_type, count(DISTINCT user_id) AS n FROM events GROUP BY 1
+      ) x USING (event_type)
+    ),
+    merged AS (
+      SELECT reg, max(max_rho) AS max_rho FROM regs GROUP BY reg
+    ),
+    merged_agg AS (
+      SELECT CAST({m} - count(*) AS BIGINT) AS v_zero,
+             sum(power(2.0, -max_rho)) AS present_sum
+      FROM merged
+    ),
+    merged_out AS (
+      SELECT 'ALL' AS event_type, {est} AS est,
+             (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS exact_distinct
+      FROM merged_agg
+    )
+    SELECT * FROM per_group_out UNION ALL SELECT * FROM merged_out
+    ORDER BY event_type
+    """
+
+
+@query(
+    "q203_hll_merge_law",
+    oracle=_hll_merge_oracle(),
+    ref=(
+        "HLL sketch MERGE, cross-engine hash-matched (beyond reference; "
+        "q181 certifies one build — this certifies what sketches exist FOR: "
+        "per-group registers merged by per-register max, with the merged "
+        "relation pinned register-for-register equal to a direct global "
+        "build, in-plan and against DuckDB)"
+    ),
+    tags=("sketch", "scale"),
+)
+def q203_hll_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type HLL sketches built in ONE groupBy, merged by
+    per-register max into the global sketch — the mergeability that lets
+    a 100 TB pipeline sketch each partition/day independently and combine
+    at the end.  Output: each group's estimate + exact distinct, plus the
+    merged 'ALL' row.  Two guards ride in-plan: the merged registers must
+    equal a DIRECT global build register-for-register (full-outer
+    mismatch relation poisons), and every estimate must sit inside the
+    35% contract band of its exact count."""
+    from python_async_sample_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_estimate_grouped,
+        hll_portable_registers,
+        hll_portable_registers_grouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    grouped = hll_portable_registers_grouped(
+        ev, "event_type", "user_id", m=_HLL_M
+    ).localCheckpoint(eager=False)
+    per_group = hll_portable_estimate_grouped(grouped, m=_HLL_M)
+    exact_per = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    per_out = per_group.join(exact_per, "grp").select(
+        F.col("grp").alias("event_type"), "est", "exact_distinct"
+    )
+
+    merged = grouped.groupBy("reg").agg(F.max("max_rho").alias("max_rho"))
+    merged_est = hll_portable_estimate(merged, m=_HLL_M)
+    exact_all = ev.agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    all_out = merged_est.crossJoin(F.broadcast(exact_all)).select(
+        F.lit("ALL").alias("event_type"), "est", "exact_distinct"
+    )
+    out = per_out.unionByName(all_out)
+
+    # guard 1: merge law — merged registers == direct global build
+    direct = hll_portable_registers(ev, "user_id", m=_HLL_M)
+    mismatch = (
+        merged.withColumnRenamed("max_rho", "merged_rho")
+        .join(direct.withColumnRenamed("max_rho", "direct_rho"), "reg", "full_outer")
+        .where(
+            F.col("merged_rho").isNull()
+            | F.col("direct_rho").isNull()
+            | (F.col("merged_rho") != F.col("direct_rho"))
+        )
+        .limit(1)
+    )
+    out = _union_poison_guard(
+        out, mismatch, "HLL merge law violated: merged registers differ from direct build"
+    )
+    # guard 2: every estimate inside the 35% band of its exact count
+    off_band = out.where(
+        (F.col("est") / F.col("exact_distinct") - 1.0).isNull()
+        | (F.abs(F.col("est") / F.col("exact_distinct") - 1.0) > 0.35)
+    ).limit(1)
+    return _union_poison_guard(
+        out, off_band, "portable HLL estimate outside the 35% contract band"
+    ).orderBy("event_type")

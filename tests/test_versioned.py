@@ -748,3 +748,33 @@ def test_read_keyed_range_falls_back_without_stats(spark, root):
     assert len(picked) == total == 4  # no stats -> conservatively affected
     got = read_keyed_range(spark, root, "k", 5, 10)
     assert sorted(r["v"] for r in got.collect()) == list(range(5, 11))
+
+
+def test_rewrite_layout_enables_box_pruning(spark, root):
+    """Z-ordering as a snapshot commit: v0 (round-robin) prunes NOTHING for
+    a box predicate; the rewrite_layout head prunes most files; rows are
+    preserved exactly and old versions stay time-travelable."""
+    from python_async_sample_spark.sources.versioned import (
+        prune_files_for_box,
+        read_box,
+        rewrite_layout,
+    )
+
+    df = spark.range(4096).select(
+        F.col("id"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    create_table(spark, root, df, n_files=16)
+    box = {"x": (8, 15), "y": (16, 31)}
+    v0_picked, total = prune_files_for_box(root, box, version=0)
+    assert len(v0_picked) == total == 16  # every file spans the key space
+    v1 = rewrite_layout(spark, root, "x", "y", n_files=16)
+    assert v1 == 1
+    picked, total = prune_files_for_box(root, box)
+    assert len(picked) < total // 2, (len(picked), total)
+    got = read_box(spark, root, box)
+    expect = df.where(F.col("x").between(8, 15) & F.col("y").between(16, 31))
+    assert got.count() == expect.count() == 8 * 16  # one id per (x, y) pair
+    assert read_version(spark, root, 0).count() == 4096  # time travel intact
+    assert read_version(spark, root, 1).count() == 4096  # rows preserved
