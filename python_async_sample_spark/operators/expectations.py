@@ -33,8 +33,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Rule:
+    # eq=False: the dataclass-generated __eq__ would compare the Column /
+    # DataFrame fields with ==, which in Spark builds an expression (and
+    # truth-testing it raises) — identity comparison is the sane semantic
+
     name: str
     kind: str  # not_null | in_range | accepted_values | unique | foreign_key
     predicate: Column | None = None  # row-level violation predicate (agg rules)
@@ -93,6 +97,8 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
     passed).  All predicate rules share ONE aggregate scan; each unique
     rule adds one groupBy; each FK rule one anti-join — nothing is
     table-sized on the driver, and the report is len(rules) rows."""
+    if not rules:
+        raise ValueError("run_expectations requires at least one rule")
     reports: list[DataFrame] = []
 
     pred_rules = [r for r in rules if r.predicate is not None]

@@ -368,3 +368,37 @@ def hll_portable_estimate_grouped(registers: DataFrame, m: int = 128) -> DataFra
         F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
     ).otherwise(e_raw)
     return agg.select("grp", "v_zero", F.round(est, 2).alias("est"))
+
+
+def cms_build_portable_grouped_from_counts(
+    counts: DataFrame,
+    group_col: str,
+    key_col: str,
+    cnt_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Per-group CMS cell relations (grp, row, col, cnt) in ONE groupBy.
+    Merging groups is ``groupBy(row, col).sum(cnt)`` — the CMS merge law
+    (cells are sums, so the merge is cell-wise addition) — and because the
+    groups partition the table, the merged relation must equal a direct
+    global build CELL FOR CELL (q205 pins that equality in-plan and
+    against DuckDB)."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    (portable_hash(F.col(key_col), i) % width).cast("int").alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+    )
+    return (
+        counts.select(
+            F.col(group_col).alias("grp"), F.col(cnt_col).alias("__c"), rows.alias("rc")
+        )
+        .groupBy("grp", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
+        .agg(F.sum("__c").cast("bigint").alias("cnt"))
+    )

@@ -847,3 +847,137 @@ def q203_hll_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _union_poison_guard(
         out, off_band, "portable HLL estimate outside the 35% contract band"
     ).orderBy("event_type")
+
+
+# --- q205: the CMS MERGE LAW, value-oracled ---------------------------------
+#
+# q203's additive sibling: CMS cells are SUMS, so merging per-group sketches
+# is cell-wise addition, and (because the groups partition the stream) the
+# merged sketch must equal a direct global build cell for cell.  q180
+# certifies one build + estimate; this certifies the merge a 100 TB
+# deployment actually runs — sketch per partition/day, add at the end —
+# with the merged-vs-direct equality pinned in-plan AND by DuckDB.
+
+_CMSM_ORACLE = f"""
+    WITH per_key AS MATERIALIZED (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    gcells AS (
+      SELECT event_type, r, col, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+        {"    UNION ALL ".join(
+            f"SELECT event_type, {i} AS r, {cms_cell_sql('user_id', i, _CMS_WIDTH)} AS col, cnt FROM per_key "
+            for i in range(_CMS_DEPTH)
+        )}
+      ) GROUP BY 1, 2, 3
+    ),
+    merged AS MATERIALIZED (
+      SELECT r, col, CAST(sum(cnt) AS BIGINT) AS cnt FROM gcells GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT user_id, CAST(sum(cnt) AS BIGINT) AS true_count,
+             CAST(row_number() OVER (ORDER BY sum(cnt) DESC, user_id) AS INT) AS rank
+      FROM per_key GROUP BY user_id
+      QUALIFY rank <= 10
+    ),
+    probes AS (
+      {_cms_probe_sql('user_id')}
+    ),
+    est AS (
+      SELECT p.user_id, CAST(min(coalesce(m.cnt, 0)) AS BIGINT) AS est_count
+      FROM probes p LEFT JOIN merged m USING (r, col)
+      GROUP BY p.user_id
+    )
+    SELECT t.rank, t.user_id, t.true_count, e.est_count,
+           (SELECT CAST(count(DISTINCT event_type) AS BIGINT) FROM events)
+             AS n_sketches_merged
+    FROM top t JOIN est e USING (user_id)
+    ORDER BY rank
+"""
+
+
+@query(
+    "q205_cms_merge_law",
+    oracle=_CMSM_ORACLE,
+    ref=(
+        "CMS sketch MERGE, cross-engine hash-matched (beyond reference; "
+        "q180 certifies one build — this certifies cell-wise ADDITION of "
+        "per-group sketches, pinned cell-for-cell equal to a direct global "
+        "build in-plan and against DuckDB)"
+    ),
+    tags=("sketch", "scale"),
+)
+def q205_cms_merge_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CMS sketches built in ONE groupBy over per-key
+    counts, merged by cell-wise sum into the global sketch; the top-10
+    heavy hitters are then estimated FROM THE MERGED SKETCH.  Guards
+    in-plan: merged cells must equal a direct global build cell-for-cell
+    (full-outer mismatch poison — the merge law), and no estimate may
+    undershoot its true count (CMS never underestimates)."""
+    from pyspark.sql.window import Window as W
+
+    from python_async_sample_spark.operators.sketches import (
+        cms_build_portable_from_counts,
+        cms_build_portable_grouped_from_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    per_key = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    grouped = cms_build_portable_grouped_from_counts(
+        per_key, "event_type", "user_id", "cnt", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    merged = grouped.groupBy("row", "col").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    global_counts = per_key.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("true_count")
+    ).localCheckpoint(eager=False)
+    top = (
+        global_counts.orderBy(F.col("true_count").desc(), "user_id")
+        .limit(10)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.col("true_count").desc(), "user_id"))
+            .cast("int")
+            .alias("rank"),
+            "user_id",
+            "true_count",
+        )
+    )
+    est = cms_estimate_portable(
+        top.select("user_id"), merged, "user_id", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    n_sketches = ev.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_sketches_merged")
+    )
+    out = (
+        top.join(est, "user_id")
+        .crossJoin(F.broadcast(n_sketches))
+        .select("rank", "user_id", "true_count", "est_count", "n_sketches_merged")
+    )
+    # guard 1: merge law — merged cells == direct global build cells
+    direct = cms_build_portable_from_counts(
+        global_counts, "user_id", "true_count", depth=_CMS_DEPTH, width=_CMS_WIDTH
+    )
+    mismatch = (
+        merged.withColumnRenamed("cnt", "m_cnt")
+        .join(direct.withColumnRenamed("cnt", "d_cnt"), ["row", "col"], "full_outer")
+        .where(
+            F.col("m_cnt").isNull()
+            | F.col("d_cnt").isNull()
+            | (F.col("m_cnt") != F.col("d_cnt"))
+        )
+        .limit(1)
+    )
+    out = _union_poison_guard(
+        out, mismatch, "CMS merge law violated: merged cells differ from direct build"
+    )
+    # guard 2: CMS never underestimates
+    under = out.where(F.col("est_count") < F.col("true_count")).limit(1)
+    return _union_poison_guard(
+        out, under, "portable CMS underestimated a key count — impossible by construction"
+    ).orderBy("rank")

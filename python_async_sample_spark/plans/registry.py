@@ -125,7 +125,8 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # (histogram quantile sketch), q200 (SemDeDup), q201 (stats-pruned range
 # scan — its guard makes file pruning itself driver-checked), q202
 # (Z-order box pruning), q203 (HLL merge law), q204 (data
-# expectations + publish gate), then q168,
+# expectations + publish gate), q205 (CMS merge law), q206 (Neyman
+# allocation), then q168,
 # q169, q171,
 # q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #

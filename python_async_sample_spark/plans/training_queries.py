@@ -981,3 +981,173 @@ def q196_svm_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("idx", "weight", "n_rows", "accuracy", "sq_hinge_loss")
         .orderBy("idx")
     )
+
+
+# --- q206: Neyman allocation (variance-proportional stratified sampling) ----
+#
+# q69/q118 sample at per-stratum RATES; survey sampling allocates an exact
+# integer BUDGET: n_s proportional to N_s * S_s (big, high-variance strata
+# get more), resolved to whole rows by the largest-remainder method.  Exact
+# cross-engine replay needs care with the variance: var ∝ n*Σx² − (Σx)² in
+# EXACT integer cents (Σx² fits int64; the squares ride DECIMAL/HUGEINT),
+# and sqrt is IEEE-correctly-rounded on both engines, so floor(N_s * sd)
+# gives identical integer scores — after which the whole allocation is
+# integer arithmetic and the per-stratum pick is an md5-rank window.
+
+_NEYMAN_N = 1000
+
+
+@query(
+    "q206_neyman_allocation",
+    oracle=f"""
+    WITH ev AS MATERIALIZED (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(cents) AS HUGEINT) AS s1,
+             CAST(sum(cents * cents) AS HUGEINT) AS s2
+      FROM ev GROUP BY 1 HAVING count(*) > 1
+    ),
+    scores AS (
+      SELECT event_type, n_rows,
+             CAST(floor(n_rows * sqrt(
+               CAST(n_rows * s2 - s1 * s1 AS DOUBLE)
+               / (n_rows * (n_rows - 1.0)))) AS BIGINT) AS iscore
+      FROM stats
+    ),
+    tot AS (SELECT CAST(sum(iscore) AS BIGINT) AS z FROM scores),
+    alloc0 AS (
+      SELECT s.event_type, s.n_rows, s.iscore,
+             CAST({_NEYMAN_N} * s.iscore // t.z AS BIGINT) AS base,
+             CAST({_NEYMAN_N} * s.iscore % t.z AS BIGINT) AS rem
+      FROM scores s, tot t
+    ),
+    alloc AS (
+      SELECT event_type, n_rows, iscore,
+             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, event_type)
+                         <= {_NEYMAN_N} - (SELECT sum(base) FROM alloc0)
+                         THEN 1 ELSE 0 END AS n_alloc
+      FROM alloc0
+    ),
+    ranked AS (
+      SELECT e.event_type, e.cents,
+             row_number() OVER (PARTITION BY e.event_type
+                                ORDER BY md5('ney' || CAST(e.event_id AS VARCHAR)),
+                                         e.event_id) AS rk
+      FROM ev e
+    ),
+    sample AS (
+      SELECT r.event_type, r.cents
+      FROM ranked r JOIN alloc a USING (event_type)
+      WHERE r.rk <= a.n_alloc
+    )
+    SELECT a.event_type, a.n_rows, a.iscore, CAST(a.n_alloc AS BIGINT) AS n_alloc,
+           CAST(count(s.cents) AS BIGINT) AS n_sampled,
+           round(sum(s.cents) / (100.0 * count(s.cents)), 4) AS sample_mean
+    FROM alloc a LEFT JOIN sample s USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    ORDER BY a.event_type
+    """,
+    ref=(
+        "Neyman allocation stratified sampling (beyond reference; exact "
+        "integer largest-remainder allocation n_s ∝ N_s*S_s — the survey-"
+        "sampling complement of q69's rate-based strata and q118's "
+        "temperature rates; even the VARIANCE ride is cross-engine exact)"
+    ),
+    tags=("llm-data", "training", "sampling", "stats"),
+)
+def q206_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a fixed budget of 1000 sample rows across event-type strata
+    proportional to N_s * S_s (Neyman: minimize the estimator variance),
+    resolve fractional seats by largest remainder (ties to the first
+    stratum name), then draw each stratum's quota by md5 rank — every
+    stage deterministic and integer-exact, so DuckDB replays allocation
+    AND draw bit-for-bit.  One aggregate scan for the moments (Σx, Σx² in
+    exact cents), a 5-row allocation window, one rank window for the draw."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    stats = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents")).cast("decimal(38,0)").alias("s2"),
+        )
+        .where(F.col("n_rows") > 1)
+    )
+    var_num = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("s2")
+        - F.col("s1") * F.col("s1")
+    ).cast("double")
+    sd = F.sqrt(var_num / (F.col("n_rows") * (F.col("n_rows") - F.lit(1.0))))
+    scores = stats.select(
+        "event_type",
+        "n_rows",
+        F.floor(F.col("n_rows") * sd).cast("bigint").alias("iscore"),
+    )
+    tot = scores.agg(F.sum("iscore").cast("bigint").alias("z"))
+    alloc0 = scores.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_rows",
+        "iscore",
+        F.expr(f"({_NEYMAN_N} * iscore) div z").cast("bigint").alias("base"),
+        (F.lit(_NEYMAN_N) * F.col("iscore") % F.col("z")).cast("bigint").alias("rem"),
+    )
+    short = alloc0.agg(
+        (F.lit(_NEYMAN_N) - F.sum("base")).cast("bigint").alias("short")
+    )
+    alloc = (
+        alloc0.crossJoin(F.broadcast(short))
+        .withColumn(
+            "seat", F.row_number().over(W.orderBy(F.col("rem").desc(), "event_type"))
+        )
+        .select(
+            "event_type",
+            "n_rows",
+            "iscore",
+            (
+                F.col("base")
+                + F.when(F.col("seat") <= F.col("short"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranked = ev.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("event_type").orderBy(
+                F.md5(F.concat(F.lit("ney"), F.col("event_id").cast("string"))),
+                "event_id",
+            )
+        ),
+    )
+    sample = ranked.join(alloc.select("event_type", "n_alloc"), "event_type").where(
+        F.col("rk") <= F.col("n_alloc")
+    )
+    agg = sample.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.round(F.sum("cents") / (100.0 * F.count(F.lit(1))), 4).alias("sample_mean"),
+    )
+    return (
+        alloc.join(agg, "event_type", "left")
+        .select(
+            "event_type",
+            "n_rows",
+            "iscore",
+            "n_alloc",
+            F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+            "sample_mean",
+        )
+        .orderBy("event_type")
+    )

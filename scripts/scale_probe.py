@@ -68,10 +68,9 @@ DRIVER_ROW_CAPS = {
     "q189_hierarchy_rollup": 200,
     "ann_lsh_topk": 6000,
     "ann_ivf_topk": 6000,
-    # k-means driver state is k·d cells per iteration and k ∝ N by the
-    # SemDeDup operator contract (see probed_paths), so the cap scales to
-    # the TOP factor's k (80 clusters × 64 dims × 2 iters + init + argmax)
-    "semdedup_prune": 25000,
+    # the LSH coarse quantizer collects nothing (one mapInPandas GEMM);
+    # components' emptiness probes are 0-row driver touches
+    "semdedup_prune": 200,
 }
 
 
@@ -223,26 +222,35 @@ def probed_paths(spark):
         lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k))))
 
     def _semdedup(sf_dir):
-        # SemDeDup's scale contract is k ∝ N (the paper's regime): constant
-        # expected cluster size, so within-cluster candidate pairs grow
-        # LINEARLY with the corpus.  The registered q200 pins k=8 for oracle
-        # determinism at gate scales; the probe scales k with the corpus the
-        # way a deployment would — a fixed k here would honestly show the
-        # quadratic N²/k blowup the contract exists to prevent.
+        # SemDeDup's scale contract is constant expected block size (the
+        # paper scales its cluster count with N), so within-block candidate
+        # pairs grow LINEARLY with the corpus.  Crucially the COARSE
+        # QUANTIZER must also be sub-quadratic: flat Lloyd's with k ∝ N
+        # costs O(N·k·d) per assignment pass = quadratic in N (measured
+        # 30× time at 10× corpus before this path switched), so the probe
+        # blocks with the random-hyperplane quantizer instead — one linear
+        # GEMM pass, planes ∝ log(N) holding expected bucket size ≈ 1250.
+        # The registered q200 keeps k-means (k=16) as the oracle face; this
+        # is its deployment-scale shape.
+        import math
+
         from python_async_sample_spark.operators.cluster import dedup_clusters
-        from python_async_sample_spark.operators.kmeans import kmeans_fit, kmeans_predict
-        from python_async_sample_spark.operators.similarity import cosine_pairs
+        from python_async_sample_spark.operators.similarity import (
+            cosine_pairs,
+            hyperplane_buckets,
+        )
 
         emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
-        k = max(8, n // 1250)  # ≈ 1250 vectors per cluster at every scale
-        cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=k, iters=2, round_digits=6)
-        assigned = kmeans_predict(emb, "vec_id", "embedding", cents)
-        with_cluster = emb.join(assigned, "vec_id").localCheckpoint(eager=False)
+        planes = max(3, math.ceil(math.log2(max(2, n // 1250))))
+        buckets = hyperplane_buckets(
+            emb, "vec_id", "embedding", n_planes=planes, dim=64
+        ).select("vec_id", "bucket")
+        blocked = emb.join(buckets, "vec_id").localCheckpoint(eager=False)
         pairs = cosine_pairs(
-            with_cluster, "vec_id", "embedding", threshold=0.45, block_col="cluster"
+            blocked, "vec_id", "embedding", threshold=0.45, block_col="bucket"
         ).select("d1", "d2")
-        return dedup_clusters(with_cluster, pairs, "vec_id")
+        return dedup_clusters(blocked, pairs, "vec_id")
 
     paths.append(("semdedup_prune", _semdedup))
     return paths
@@ -263,8 +271,13 @@ def main() -> int:
     # warm the codegen/session once on the smallest scale
     for name, fn in paths:
         fn(dirs[SCALES[0]]).write.format("noop").mode("overwrite").save()
-    for factor in SCALES:
-        for name, fn in paths:
+    # PATH-major: each path's three scale measurements run back-to-back so
+    # they share comparable session state (codegen cache, driver heap).
+    # Factor-major measured one path's ×10 right after ANOTHER path's ×3
+    # plans had bloated the JVM — q121's ×10 read 6× slower than the same
+    # query on a quiet session, flagging a phantom superlinearity.
+    for name, fn in paths:
+        for factor in SCALES:
             with CollectMeter() as meter:
                 t0 = time.time()
                 df = fn(dirs[factor])
