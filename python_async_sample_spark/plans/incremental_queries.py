@@ -960,3 +960,142 @@ def q202_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Z-order box pruning kept more than half the files for a "
         "1/8 x 1/4 box predicate",
     ).orderBy("event_type")
+
+
+@query(
+    "q207_catalog_atomic_pair",
+    oracle="""
+    WITH hdr0 AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus FROM orders
+    ),
+    det0 AS MATERIALIZED (
+      -- the synthetic lineitem repeats (orderkey, linenumber) pairs, so the
+      -- detail table pre-aggregates to make its merge key genuinely unique
+      SELECT l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS price
+      FROM lineitem GROUP BY 1, 2
+    ),
+    hdr1 AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'M' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM hdr0
+    ),
+    det1 AS MATERIALIZED (
+      SELECT l_orderkey,
+             CASE WHEN l_orderkey % 97 = 0 THEN qty + 5 ELSE qty END AS qty,
+             price
+      FROM det0
+    ),
+    r0 AS (
+      SELECT CAST(0 AS INT) AS catalog_version, h.o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_detail,
+             CAST(sum(d.qty) AS DOUBLE) AS sum_qty,
+             CAST(sum(d.price) AS DOUBLE) AS revenue
+      FROM hdr0 h JOIN det0 d ON d.l_orderkey = h.o_orderkey
+      GROUP BY 2
+    ),
+    r1 AS (
+      SELECT CAST(1 AS INT) AS catalog_version, h.o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_detail,
+             CAST(sum(d.qty) AS DOUBLE) AS sum_qty,
+             CAST(sum(d.price) AS DOUBLE) AS revenue
+      FROM hdr1 h JOIN det1 d ON d.l_orderkey = h.o_orderkey
+      GROUP BY 2
+    )
+    SELECT * FROM r0 UNION ALL SELECT * FROM r1
+    ORDER BY catalog_version, o_orderstatus
+    """,
+    ref=(
+        "S9 at snapshot semantics: atomic multi-table commit via the "
+        "catalog (sources/catalog.py) — the reference writes header+detail "
+        "in one DB transaction (nikon_ETL.py); here each table commits its "
+        "own version and ONE catalog link flips both pins, so no reader "
+        "ever joins the new header against the old detail; catalog time "
+        "travel reproduces the exact cross-table state of every commit"
+    ),
+    tags=("incremental", "versioned", "sink", "scale"),
+)
+def q207_catalog_atomic_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header (orders) and detail (lineitem) as versioned tables under one
+    catalog: a coordinated batch MERGEs both (status flip in the header,
+    +5 quantity on the same orders' detail rows), tables commit first,
+    then one catalog commit flips both pins.  The output joins
+    header↔detail THROUGH each catalog snapshot (v0 = both old, v1 = both
+    new) and the oracle recomputes both consistent states — a torn pin
+    set (new header with old detail) produces numbers neither CTE pair
+    can, so it hash-mismatches by construction.  Decimal sums keep the
+    rollup exact; the crash window (tables committed, catalog not yet) is
+    pinned in tests/test_catalog.py."""
+    from python_async_sample_spark.sources.catalog import (
+        catalog_commit,
+        catalog_create,
+        catalog_read,
+    )
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cat_")
+    hdr_root, det_root, cat_root = f"{tmp}/header", f"{tmp}/detail", f"{tmp}/cat"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    # the synthetic lineitem repeats (orderkey, linenumber) pairs — the
+    # detail table pre-aggregates so its merge key is genuinely unique
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("price"),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("l_key"),
+            "qty",
+            "price",
+        )
+    )
+    create_table(spark, hdr_root, orders, n_files=4)
+    create_table(spark, det_root, lineitem, n_files=4)
+    catalog_create(cat_root, {"header": hdr_root, "detail": det_root})
+
+    hdr_batch = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+    det_batch = lineitem.where(F.col("l_orderkey") % 97 == 0).withColumn(
+        "qty", F.col("qty") + F.lit(5).cast("decimal(18,2)")
+    )
+    h1 = merge_into_versioned(spark, hdr_root, hdr_batch, "o_orderkey")["version"]
+    d1 = merge_into_versioned(spark, det_root, det_batch, "l_key")["version"]
+    catalog_commit(cat_root, {"header": h1, "detail": d1})
+
+    def rollup(cat_version: int) -> DataFrame:
+        h = catalog_read(spark, cat_root, "header", cat_version)
+        d = catalog_read(spark, cat_root, "detail", cat_version)
+        return (
+            h.join(d, h["o_orderkey"] == d["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_detail"),
+                F.sum("qty").cast("double").alias("sum_qty"),
+                F.sum("price").cast("double").alias("revenue"),
+            )
+            .select(
+                F.lit(cat_version).cast("int").alias("catalog_version"),
+                "o_orderstatus",
+                "n_detail",
+                "sum_qty",
+                "revenue",
+            )
+        )
+
+    return rollup(0).unionByName(rollup(1)).orderBy("catalog_version", "o_orderstatus")

@@ -492,6 +492,21 @@ def _parse_ddl_type(ddl_type: str) -> T.DataType:
     return T.StructType.fromDDL(f"__c {ddl_type}")["__c"].dataType
 
 
+def _conform_to_schema(df: DataFrame, schema_json: str) -> DataFrame:
+    """Select + CAST a write batch to the manifest schema.  Writers must
+    stage files the PINNED schema can read back: Spark widens arithmetic
+    results silently (decimal(18,2) + literal → decimal(19,2)), and a
+    staged file whose physical type drifted from the manifest corrupts
+    every future read of that snapshot (parquet decimal ≤18 digits is
+    INT64; 19 becomes FIXED_LEN_BYTE_ARRAY — the reader throws).  Casts
+    run under the session's ANSI setting, so a genuinely overflowing
+    value fails the WRITE loudly instead of poisoning the table."""
+    schema = T.StructType.fromJson(json.loads(schema_json))
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
 def merge_into_versioned(
     spark: SparkSession, root: str, updates: DataFrame, key_col: str
 ) -> dict:
@@ -516,7 +531,7 @@ def merge_into_versioned(
     target_fields = [
         f["name"] for f in json.loads(schema_json)["fields"]
     ]
-    updates = updates.select(*target_fields)
+    updates = _conform_to_schema(updates, schema_json)
 
     # ANSI MERGE cardinality + NULL-key rejection (same contract as the
     # in-place verb: two updates per key has no deterministic winner, and
@@ -699,9 +714,9 @@ def commit_stream_epoch(
             "— this is a fresh checkpoint reusing epoch ids against an old "
             "table, not a replay; refusing to guess which batch is real"
         )
-    new_names = _stage_files(batch_df.select(*[
-        f["name"] for f in json.loads(manifest["schema"])["fields"]
-    ]), root, n_files)
+    new_names = _stage_files(
+        _conform_to_schema(batch_df, manifest["schema"]), root, n_files
+    )
     ledger[key] = fingerprint
     return _commit(
         root, manifest["files"] + new_names, manifest["schema"], op, parent,
@@ -720,8 +735,9 @@ def append_versioned(
     _require_local_path(root, "append_versioned")
     parent = current_version(root)
     manifest = _read_manifest(root, parent)
-    cols = [f["name"] for f in json.loads(manifest["schema"])["fields"]]
-    new_names = _stage_files(df.select(*cols), root, n_files)
+    new_names = _stage_files(
+        _conform_to_schema(df, manifest["schema"]), root, n_files
+    )
     return _commit(
         root, manifest["files"] + new_names, manifest["schema"], "append", parent,
         epochs=manifest.get("epochs"),

@@ -1,0 +1,125 @@
+"""Atomic multi-table catalog: consistent pins, crash window, races,
+multi-table time travel, dangling-pin refusal."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_async_sample_spark.sources.catalog import (
+    catalog_commit,
+    catalog_create,
+    catalog_current,
+    catalog_read,
+    catalog_versions,
+)
+from python_async_sample_spark.sources.versioned import (
+    ConcurrentWriteError,
+    create_table,
+    merge_into_versioned,
+)
+
+
+@pytest.fixture
+def roots():
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cat_")
+    yield f"{tmp}/hdr", f"{tmp}/det", f"{tmp}/cat"
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _pair(spark, roots):
+    hdr_root, det_root, cat_root = roots
+    hdr = spark.createDataFrame([(1, "O"), (2, "O")], "k bigint, status string")
+    det = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 30.0)], "k bigint, amount double"
+    )
+    create_table(spark, hdr_root, hdr, n_files=1)
+    create_table(spark, det_root, det, n_files=1)
+    catalog_create(cat_root, {"header": hdr_root, "detail": det_root})
+    return hdr_root, det_root, cat_root
+
+
+def test_crash_between_table_and_catalog_commit_serves_old_pair(spark, roots):
+    """Tables committed, catalog NOT yet flipped: every catalog read still
+    sees the old consistent pair; the flip completes the batch later."""
+    hdr_root, det_root, cat_root = _pair(spark, roots)
+    h1 = merge_into_versioned(
+        spark, hdr_root,
+        spark.createDataFrame([(1, "M")], "k bigint, status string"), "k",
+    )["version"]
+    d1 = merge_into_versioned(
+        spark, det_root,
+        spark.createDataFrame([(1, 99.0)], "k bigint, amount double"), "k",
+    )["version"]
+    # crash here: both table heads moved, catalog still v0
+    assert catalog_read(spark, cat_root, "header").where("status = 'M'").count() == 0
+    assert catalog_read(spark, cat_root, "detail").where("amount = 99.0").count() == 0
+    # recovery: re-running the writer just flips the catalog
+    catalog_commit(cat_root, {"header": h1, "detail": d1})
+    assert catalog_read(spark, cat_root, "header").where("status = 'M'").count() == 1
+    assert catalog_read(spark, cat_root, "detail").where("amount = 99.0").count() == 1
+    # multi-table time travel: catalog v0 still serves the original pair
+    assert catalog_read(spark, cat_root, "header", 0).where("status = 'M'").count() == 0
+
+
+def test_catalog_commit_races_lose_cleanly(spark, roots):
+    hdr_root, det_root, cat_root = _pair(spark, roots)
+    from python_async_sample_spark.sources import catalog as C
+
+    m = C._read_cat(cat_root, 0)
+    C._link_cat(cat_root, {"version": 1, "parent": 0, "pins": m["pins"]}, 1)
+    # a second committer that also read v0 must lose
+    with pytest.raises(ConcurrentWriteError):
+        C._link_cat(cat_root, {"version": 1, "parent": 0, "pins": m["pins"]}, 1)
+    assert catalog_versions(cat_root) == [0, 1]
+
+
+def test_catalog_refuses_dangling_and_unknown_pins(spark, roots):
+    hdr_root, det_root, cat_root = _pair(spark, roots)
+    with pytest.raises(ValueError, match="table head is v0"):
+        catalog_commit(cat_root, {"header": 5})
+    with pytest.raises(KeyError):
+        catalog_commit(cat_root, {"nope": 0})
+    assert catalog_current(cat_root) == 0  # nothing committed
+
+
+def test_decimal_widening_batch_cannot_corrupt_table(spark, roots):
+    """Regression: Spark silently widens decimal arithmetic
+    (decimal(18,2) + literal → decimal(19,2)); a staged file written at
+    the wider type is unreadable under the manifest's pinned schema
+    (INT64 vs FIXED_LEN_BYTE_ARRAY). The write verbs must conform batches
+    to the manifest schema, so the merged table reads back cleanly."""
+    hdr_root, det_root, cat_root = roots
+    df = spark.createDataFrame([(1, "10.00"), (2, "20.00")], "k bigint, v string")
+    df = df.select("k", F.col("v").cast("decimal(18,2)").alias("v"))
+    create_table(spark, hdr_root, df, n_files=1)
+    widened = df.where("k = 1").withColumn(
+        "v", F.col("v") + F.lit(5).cast("decimal(18,2)")  # decimal(19,2)!
+    )
+    merge_into_versioned(spark, hdr_root, widened, "k")
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        read_version,
+    )
+
+    append_versioned(spark, hdr_root, widened.withColumn("k", F.lit(3)))
+    got = read_version(spark, hdr_root)
+    assert got.count() == 3  # readable — no physical-type drift
+    assert got.schema["v"].dataType.simpleString() == "decimal(18,2)"
+
+
+def test_pinned_versions_reports_vacuum_keep_set(spark, roots):
+    hdr_root, det_root, cat_root = _pair(spark, roots)
+    from python_async_sample_spark.sources.catalog import pinned_versions
+
+    h1 = merge_into_versioned(
+        spark, hdr_root,
+        spark.createDataFrame([(1, "M")], "k bigint, status string"), "k",
+    )["version"]
+    catalog_commit(cat_root, {"header": h1})
+    # catalog v0 pins header v0; catalog v1 pins header v1 — both retained
+    assert pinned_versions(cat_root, "header") == {0, 1}
+    assert pinned_versions(cat_root, "detail") == {0}

@@ -778,3 +778,58 @@ def test_rewrite_layout_enables_box_pruning(spark, root):
     assert got.count() == expect.count() == 8 * 16  # one id per (x, y) pair
     assert read_version(spark, root, 0).count() == 4096  # time travel intact
     assert read_version(spark, root, 1).count() == 4096  # rows preserved
+
+
+def test_rewrite_layout_carries_ledger_and_loses_races(spark, root):
+    """rewrite_layout is an optimistic writer: it preserves rows, carries
+    the epoch ledger forward (a replayed stream epoch must still be
+    detected AFTER a Z-order rewrite), and loses cleanly to a concurrent
+    commit."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        commit_stream_epoch,
+        rewrite_layout,
+    )
+
+    df = spark.createDataFrame(
+        [(i, i % 16, i // 16, float(i)) for i in range(256)],
+        "k bigint, x bigint, y bigint, v double",
+    )
+    create_table(spark, root, df, n_files=4)
+    batch = spark.createDataFrame(
+        [(1000, 0, 0, 1.0)], "k bigint, x bigint, y bigint, v double"
+    )
+    commit_stream_epoch(spark, root, batch, 7, "fp-seven")        # v1
+    rewrite_layout(spark, root, "x", "y", n_files=8)              # v2
+    assert read_version(spark, root).count() == 257               # rows kept
+    assert "7" in _read_manifest(root, 2)["epochs"]               # ledger carried
+    # a replayed epoch after the rewrite is still skipped
+    commit_stream_epoch(spark, root, batch, 7, "fp-seven")
+    assert read_version(spark, root).count() == 257
+
+    # race: another writer takes the next version between read and commit
+    from python_async_sample_spark.sources import versioned as V
+
+    real_read = V._read_manifest
+    raced = {"done": False}
+
+    def hijack(r, version):
+        m = real_read(r, version)
+        if not raced["done"] and r == root and m["version"] == V.current_version(root):
+            raced["done"] = True
+            append_row = spark.createDataFrame(
+                [(2000, 1, 1, 2.0)], "k bigint, x bigint, y bigint, v double"
+            )
+            from python_async_sample_spark.sources.versioned import append_versioned
+
+            append_versioned(spark, root, append_row)
+        return m
+
+    V._read_manifest = hijack
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            rewrite_layout(spark, root, "x", "y", n_files=8)
+    finally:
+        V._read_manifest = real_read
+    # loser committed nothing; the interloping append is the head
+    assert read_version(spark, root).count() == 258
