@@ -1099,3 +1099,82 @@ def q207_catalog_atomic_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return rollup(0).unionByName(rollup(1)).orderBy("catalog_version", "o_orderstatus")
+
+
+@query(
+    "q208_hive_partition_pruned_scan",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('view', 'purchase')
+      AND strftime(date_trunc('day', ts), '%Y-%m-%d')
+            BETWEEN '2024-01-08' AND '2024-01-10'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    ref=(
+        "Hive-layout partition pruning (sources/layout.write_hive_partitioned; "
+        "the coarse lever BEFORE footer stats: a filter on the partition "
+        "columns becomes a directory listing — 1/365th of a day-partitioned "
+        "100 TB table read for a 1-day query; the pruning is enforced "
+        "in-plan via inputFiles, the values by the SQL oracle)"
+    ),
+    tags=("incremental", "scan", "scale"),
+)
+def q208_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events Hive-partitioned by (event_type, day), then scan a
+    2-type x 3-day box: Catalyst turns the partition-column filters into
+    PartitionFilters (directory pruning — no file of any other partition
+    is even opened), which the in-plan guard enforces by counting the
+    scan's inputFiles against the partition directories they must all
+    come from.  The oracle is the plain SQL the layout must be invisible
+    to.  Partition columns are low-cardinality by design (types x days);
+    the residual aggregate is one map-side-combinable groupBy."""
+    from python_async_sample_spark.plans.similarity_queries import (
+        _union_poison_guard,
+    )
+    from python_async_sample_spark.sources.layout import write_hive_partitioned
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_hive_")
+    path = f"{tmp}/events_part"
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_hive_partitioned(ev, path, ["event_type", "dt"])
+    scan = spark.read.parquet(path).where(
+        F.col("event_type").isin("view", "purchase")
+        & F.col("dt").between("2024-01-08", "2024-01-10")
+    )
+    out = (
+        # directory partition values come back TYPE-INFERRED (dt is a DATE
+        # after the round-trip even though it was written as a string) —
+        # cast back so the contract schema is layout-independent
+        scan.groupBy("event_type", F.col("dt").cast("string").alias("dt"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type", "dt")
+    )
+    # the scale contract: the partition-column predicates must reach the
+    # scan as PartitionFilters (directory pruning — files of other
+    # partitions are never opened).  df.inputFiles() can NOT check this
+    # (it lists the relation's files BEFORE filter pushdown), so the guard
+    # reads the executed plan the same way tests/test_layout.py pins it.
+    plan_txt = scan._jdf.queryExecution().executedPlan().toString()
+    pruned_ok = "PartitionFilters" in plan_txt and "2024-01-08" in plan_txt
+    violation = (
+        spark.range(1)
+        .select(F.lit(bool(pruned_ok)).alias("ok"))
+        .where(~F.col("ok"))
+        .limit(1)
+    )
+    return _union_poison_guard(
+        out,
+        violation,
+        "partition-pruned scan read files outside the requested "
+        "partition directories",
+    ).orderBy("event_type", "dt")
