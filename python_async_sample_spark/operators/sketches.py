@@ -402,3 +402,16 @@ def cms_build_portable_grouped_from_counts(
         .groupBy("grp", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.sum("__c").cast("bigint").alias("cnt"))
     )
+
+
+def portable_hash_py(key: int, i: int) -> int:
+    """Pure-Python twin of :func:`portable_hash` — bit-identical by
+    construction (same pmod/xor/shift/multiply sequence in exact integer
+    arithmetic).  Used where the DRIVER must evaluate the hash, e.g.
+    probing the manifest-embedded per-file Bloom filters during scan
+    planning (versioned.prune_files_for_points); parity with the Spark
+    and DuckDB twins is pinned in tests/test_sketches.py."""
+    x = ((key % _PH_M32) + _PH_GAMMA * (i + 1)) % _PH_M32
+    for _ in range(2):
+        x = ((x ^ (x >> 16)) * _PH_MULT) % _PH_M32
+    return x ^ (x >> 16)

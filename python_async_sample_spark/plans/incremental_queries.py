@@ -1178,3 +1178,89 @@ def q208_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFra
         "partition-pruned scan read files outside the requested "
         "partition directories",
     ).orderBy("event_type", "dt")
+
+
+@query(
+    "q209_bloom_point_lookup",
+    oracle="""
+    SELECT CAST((o_orderkey * 2654435761) % 4294967296 AS BIGINT) AS tracking_id,
+           o_orderkey, o_orderstatus,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+      ORDER BY o_orderkey LIMIT 10
+    )
+    ORDER BY tracking_id
+    """,
+    ref=(
+        "manifest-embedded per-file Bloom filters (versioned.add_file_blooms "
+        "/ prune_files_for_points; beyond reference — the Iceberg/Parquet "
+        "column-bloom story: point lookups on a SCATTERED column, where "
+        "min/max ranges cover everything and prune nothing, skip to the "
+        "handful of files whose bloom might contain a key; the skipping "
+        "ratio is enforced in-plan)"
+    ),
+    tags=("incremental", "versioned", "scan", "scale"),
+)
+def q209_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders carry a scattered unique tracking id (Knuth-hash of the
+    order key) and the table is clustered by ORDER KEY — so every file's
+    [min, max] on tracking_id spans the whole domain and range pruning is
+    useless.  ``add_file_blooms`` embeds a per-file bloom over the column
+    in the manifest (metadata-only commit), and the point lookups for
+    ~0.1% of tracking ids are then planned on the driver from manifest
+    bits alone.  In-plan guards: blooms must skip at least half the files
+    (each needle lives in exactly ONE file; false positives are the only
+    slack), and the residual IN filter keeps the values exact — the
+    oracle recomputes the lookup from first principles."""
+    from python_async_sample_spark.plans.similarity_queries import (
+        _union_poison_guard,
+    )
+    from python_async_sample_spark.sources.versioned import (
+        add_file_blooms,
+        create_table,
+        prune_files_for_points,
+        read_keyed_points,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_blm_")
+    root = f"{tmp}/orders_tracked"
+    orders = load_table(spark, sf_dir, "orders").select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296))
+        .cast("bigint")
+        .alias("tracking_id"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    # 64 files so the skipping ratio is visible (10 needles can touch at
+    # most 10 of 64); m sized to ~14 bits/key per file at sf0.1
+    create_table(spark, root, orders, n_files=64, layout_col="o_orderkey")
+    add_file_blooms(spark, root, "tracking_id", m_bits=1 << 15)
+    needles = [
+        r["tracking_id"]
+        for r in orders.where(F.col("o_orderkey") % 97 == 0)
+        .orderBy("o_orderkey")
+        .limit(10)
+        .collect()
+    ]
+    picked, total = prune_files_for_points(root, "tracking_id", needles)
+    out = read_keyed_points(spark, root, "tracking_id", needles).select(
+        "tracking_id",
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("price").cast("double").alias("o_totalprice"),
+    )
+    violation = (
+        spark.range(1)
+        .select(F.lit(len(picked)).alias("picked"), F.lit(total).alias("total"))
+        .where(F.col("picked") * 2 > F.col("total"))
+        .limit(1)
+    )
+    return _union_poison_guard(
+        out,
+        violation,
+        "manifest blooms skipped fewer than half the files for "
+        "10 needle-in-haystack point lookups over 64 files",
+    ).orderBy("tracking_id")

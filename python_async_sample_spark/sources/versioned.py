@@ -465,6 +465,138 @@ def read_keyed_range(
     )
 
 
+def add_file_blooms(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    m_bits: int = 1 << 17,
+    k: int = 3,
+) -> int:
+    """Embed a per-file Bloom filter over ``col`` in the manifest — point-
+    lookup file skipping for columns the clustered layout does NOT order
+    (min/max ranges on a scattered column cover everything and prune
+    nothing; Parquet/Iceberg attach column blooms for exactly this case).
+    One distributed pass builds every file's filter (explode k portable
+    hashes, bit_or per (file, word)); the driver collects at most
+    ``n_files * m_bits/64`` words into the new manifest — metadata-sized,
+    independent of row count.  Uses the PORTABLE hash so the driver-side
+    probe (:func:`prune_files_for_points`) replays bits exactly.
+
+    Commits a metadata-only snapshot (same files, same schema).  NULL
+    values set no bits — point lookups never match NULL anyway."""
+    from python_async_sample_spark.operators.bloom import _bit_positions
+    from python_async_sample_spark.operators.sketches import portable_hash
+
+    root = root.rstrip("/")
+    _require_local_path(root, "add_file_blooms")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if col not in schema.fieldNames():
+        raise ValueError(f"column {col!r} not in table schema")
+    paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+    if paths:
+        rows = (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .where(F.col(col).isNotNull())
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("__f"),
+                F.explode(
+                    _bit_positions(
+                        F.col(col).cast("long"), k, m_bits, hash_fn=portable_hash
+                    )
+                ).alias("b"),
+            )
+            .groupBy("__f", F.col("b.word").alias("word"))
+            .agg(F.bit_or("b.mask").alias("mask"))
+            .collect()
+        )
+    else:
+        rows = []
+    by_file: dict[str, dict[str, int]] = {}
+    for r in rows:
+        by_file.setdefault(r["__f"], {})[str(r["word"])] = r["mask"]
+    stats = {n: dict(ent) for n, ent in (manifest.get("stats") or {}).items()}
+    for n in manifest["files"]:
+        ent = stats.setdefault(n, {"rows": None, "cols": {}})
+        blooms = dict(ent.get("blooms") or {})
+        blooms[col] = {"m": m_bits, "k": k, "words": by_file.get(n, {})}
+        ent["blooms"] = blooms
+    return _commit(
+        root, manifest["files"], manifest["schema"], f"bloom:{col}", parent,
+        epochs=manifest.get("epochs"), stats=stats,
+    )
+
+
+def prune_files_for_points(
+    root: str, col: str, keys: list, version: int | None = None
+) -> tuple[list[str], int]:
+    """The data files whose manifest-embedded Bloom filter for ``col``
+    might contain ANY of the point-lookup ``keys`` — planned entirely on
+    the driver from the manifest (zero file/footer reads), probing with
+    the Python twin of the portable hash.  Sound by the Bloom contract:
+    no false negatives (a file truly containing a key always survives);
+    false positives only widen the read set and the caller's residual
+    filter removes them.  Files without a bloom for ``col`` are included
+    conservatively; empty files are skipped."""
+    from python_async_sample_spark.operators.sketches import portable_hash_py
+
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    stats = manifest.get("stats") or {}
+    picked = []
+    for n in manifest["files"]:
+        ent = stats.get(n)
+        if ent is not None and ent.get("rows") == 0:
+            continue
+        bloom = (ent or {}).get("blooms", {}).get(col)
+        if bloom is None:
+            picked.append(n)  # no evidence — conservatively affected
+            continue
+        m, kk, words = bloom["m"], bloom["k"], bloom["words"]
+        hit = False
+        for key in keys:
+            ok = True
+            for i in range(kk):
+                pos = portable_hash_py(int(key), i) % m
+                w = words.get(str(pos // 64))
+                if w is None or not ((w >> (pos % 64)) & 1):
+                    ok = False
+                    break
+            if ok:
+                hit = True
+                break
+        if hit:
+            picked.append(n)
+    return picked, len(manifest["files"])
+
+
+def read_keyed_points(
+    spark: SparkSession, root: str, col: str, keys: list, version: int | None = None
+) -> DataFrame:
+    """``SELECT * WHERE col IN (keys)`` planned from the manifest blooms:
+    file skipping via :func:`prune_files_for_points`, then the residual
+    IN filter (broadcastable-key-list semi-filter) makes it exact."""
+    pin_reader_conf(spark)
+    root = root.rstrip("/")
+    manifest = _read_manifest(
+        root, current_version(root) if version is None else version
+    )
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    picked, _total = prune_files_for_points(root, col, keys, version)
+    if not picked:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*[f"{root}/{_DATA_DIR}/{name}" for name in picked])
+        .where(F.col(col).isin([int(k) for k in keys]))
+    )
+
+
 def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
     """Schema evolution as a metadata-only snapshot commit: the new
     (nullable) column joins the manifest schema, NO data file rewrites.
@@ -1059,9 +1191,19 @@ def purge_keys(
     }
 
 
-def vacuum(root: str, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
+def vacuum(
+    root: str,
+    keep_last: int = 2,
+    grace_seconds: float = 600.0,
+    keep_versions: set[int] | frozenset[int] | None = None,
+) -> dict:
     """Remove data files unreachable from the ``keep_last`` most recent
     manifests, and the older manifests themselves.
+
+    ``keep_versions`` pins EXTRA versions beyond the recency window — the
+    coordination hook for the multi-table catalog: pass
+    ``catalog.pinned_versions(cat_root, name)`` so no retained catalog
+    snapshot ever dangles (see catalog.py's retention note).
 
     Safe to run (and crash) at any time, INCLUDING concurrently with
     writers, because of two guards:
@@ -1091,7 +1233,10 @@ def vacuum(root: str, keep_last: int = 2, grace_seconds: float = 600.0) -> dict:
     versions = table_versions(root)
     if not versions:
         return {"data_files_removed": 0, "manifests_removed": 0}
-    retained = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    recent = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    retained = sorted(
+        set(recent) | {v for v in (keep_versions or ()) if v in set(versions)}
+    )
     live: set[str] = set()
     for v in retained:
         live.update(_read_manifest(root, v)["files"])

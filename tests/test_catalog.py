@@ -123,3 +123,36 @@ def test_pinned_versions_reports_vacuum_keep_set(spark, roots):
     # catalog v0 pins header v0; catalog v1 pins header v1 — both retained
     assert pinned_versions(cat_root, "header") == {0, 1}
     assert pinned_versions(cat_root, "detail") == {0}
+
+
+def test_vacuum_honors_catalog_pins(spark, roots):
+    """versioned.vacuum(keep_versions=pinned_versions(...)) must keep a
+    version an old catalog snapshot still pins — multi-table time travel
+    survives table-level retention; without the keep-set the same vacuum
+    would drop it (the failure mode the retention note documents)."""
+    from python_async_sample_spark.sources.catalog import pinned_versions
+    from python_async_sample_spark.sources.versioned import (
+        read_version,
+        table_versions,
+        vacuum,
+    )
+
+    hdr_root, det_root, cat_root = _pair(spark, roots)
+    for s in ("A", "B"):
+        v = merge_into_versioned(
+            spark, hdr_root,
+            spark.createDataFrame([(1, s)], "k bigint, status string"), "k",
+        )["version"]
+        catalog_commit(cat_root, {"header": v})
+    # catalog pins header v0, v1, v2; plain keep_last=1 would keep only v2
+    pins = pinned_versions(cat_root, "header")
+    assert pins == {0, 1, 2}
+    res = vacuum(hdr_root, keep_last=1, grace_seconds=0, keep_versions=pins)
+    assert table_versions(hdr_root) == [0, 1, 2]  # all pinned → all kept
+    # every catalog snapshot still resolves
+    for cv in (0, 1, 2):
+        assert catalog_read(spark, cat_root, "header", cv).count() == 2
+    # drop the oldest catalog snapshot's pin and vacuum again: v0 goes
+    res = vacuum(hdr_root, keep_last=1, grace_seconds=0, keep_versions={1, 2})
+    assert table_versions(hdr_root) == [1, 2]
+    assert read_version(spark, hdr_root, 2).count() == 2

@@ -287,3 +287,24 @@ def test_cms_build_from_counts_equals_raw_stream_build(spark):
     counts = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
     pre = cms_build_portable_from_counts(counts, "k", "n", depth=4, width=64)
     assert raw.exceptAll(pre).count() == 0 and pre.exceptAll(raw).count() == 0
+
+
+def test_portable_hash_py_matches_spark(spark):
+    """The driver-side Python twin must be bit-identical to the Spark
+    expression tree for negative, zero, small, and int64-extreme keys."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.sketches import (
+        portable_hash,
+        portable_hash_py,
+    )
+
+    keys = [0, 1, -1, 97, -(2**63), 2**63 - 1, 2**31, -(2**31) - 7]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    for i in (0, 1, 2):
+        got = {
+            r["k"]: r["h"]
+            for r in df.select("k", portable_hash(F.col("k"), i).alias("h")).collect()
+        }
+        for k in keys:
+            assert got[k] == portable_hash_py(k, i), (k, i)

@@ -833,3 +833,35 @@ def test_rewrite_layout_carries_ledger_and_loses_races(spark, root):
         V._read_manifest = real_read
     # loser committed nothing; the interloping append is the head
     assert read_version(spark, root).count() == 258
+
+
+def test_file_blooms_skip_scattered_point_lookups(spark, root):
+    """Needle-in-haystack: a unique scattered key lives in exactly one
+    file; manifest blooms must skip (almost) all others while range stats
+    on the same column could skip none — and a key absent from the table
+    must prune EVERY file (no-false-negative is the bloom's only promise;
+    here we also pin the useful direction)."""
+    from python_async_sample_spark.sources.versioned import (
+        add_file_blooms,
+        prune_files_for_points,
+        prune_files_for_range,
+        read_keyed_points,
+    )
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 4294967296).cast("long").alias("tid"),
+    )
+    create_table(spark, root, df, n_files=8, layout_col="k")
+    add_file_blooms(spark, root, "tid")
+    needle = (1234 * 2654435761) % 4294967296
+    # range stats on tid are useless by construction
+    r_picked, total = prune_files_for_range(root, "tid", needle, needle)
+    assert len(r_picked) == total == 8
+    b_picked, _ = prune_files_for_points(root, "tid", [needle])
+    assert len(b_picked) <= 2  # one true file + fp slack
+    got = read_keyed_points(spark, root, "tid", [needle]).collect()
+    assert [r["k"] for r in got] == [1234]
+    absent, _ = prune_files_for_points(root, "tid", [7])  # 7 is no Knuth hash here
+    assert absent == [] or len(absent) <= 1  # fp slack only
+    assert read_keyed_points(spark, root, "tid", [7]).count() == 0
