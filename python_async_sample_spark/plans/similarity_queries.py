@@ -591,7 +591,7 @@ def q178_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _semdedup_oracle() -> str:
     from python_async_sample_spark.operators.kmeans import kmeans_cte_parts
 
-    km = ",\n".join(kmeans_cte_parts("embeddings", "vec_id", "embedding", k=16, iters=2))
+    km = ",\n".join(kmeans_cte_parts("embeddings", "vec_id", "embedding", k=8, iters=2))
     return f"""
     WITH RECURSIVE {km},
     emb2 AS MATERIALIZED (
@@ -636,7 +636,7 @@ def _semdedup_oracle() -> str:
     tags=("llm-data", "dedup", "similarity", "scale"),
 )
 def q200_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic dedup the SemDeDup way: quantized Lloyd's k-means (k=16,
+    """Semantic dedup the SemDeDup way: quantized Lloyd's k-means (k=8,
     2 iterations — the oracle replays the full trajectory) buckets the
     corpus, cosine pairs are mined ONLY within a cluster (an equi-join on
     the cluster label — at 100 TB the k-means restriction is what turns an
@@ -659,7 +659,7 @@ def q200_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_async_sample_spark.operators.similarity import cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=16, iters=2, round_digits=6)
+    cents, _hist = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=2, round_digits=6)
     assigned = kmeans_predict(emb, "vec_id", "embedding", cents)
     with_cluster = emb.join(assigned, "vec_id").localCheckpoint(eager=False)
     pairs = cosine_pairs(

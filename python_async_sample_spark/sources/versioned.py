@@ -219,6 +219,9 @@ def _affected_from_manifest(
     return affected, rows
 
 
+_CARRY_CHECKS = object()  # sentinel: inherit the parent manifest's checks
+
+
 def _commit(
     root: str,
     files: list[str],
@@ -227,6 +230,7 @@ def _commit(
     parent: int | None,
     epochs: dict[str, str] | None = None,
     stats: dict | None = None,
+    checks=_CARRY_CHECKS,
 ) -> int:
     """Atomically publish the next manifest.  The JSON is fully written to
     a temp file first; ``os.link`` then both creates the final name
@@ -239,6 +243,13 @@ def _commit(
     detection survives :func:`vacuum` dropping the ancestor manifests that
     originally recorded each epoch."""
     version = 0 if parent is None else parent + 1
+    if checks is _CARRY_CHECKS:
+        # CHECK constraints persist across every verb unless explicitly
+        # replaced (set_check_constraints) — same carry contract as the
+        # epoch ledger, resolved here so no call site can forget it
+        checks = (
+            _read_manifest(root, parent).get("checks", []) if parent is not None else []
+        )
     mdir = f"{root}/{_MANIFEST_DIR}"
     os.makedirs(mdir, exist_ok=True)
     manifest = {
@@ -249,6 +260,7 @@ def _commit(
         "schema": schema_json,
         "epochs": dict(epochs or {}),
         "stats": dict(stats or {}),
+        "checks": list(checks or []),
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -624,6 +636,66 @@ def _parse_ddl_type(ddl_type: str) -> T.DataType:
     return T.StructType.fromDDL(f"__c {ddl_type}")["__c"].dataType
 
 
+def set_check_constraints(spark: SparkSession, root: str, checks: list[dict]) -> int:
+    """Declare Delta-style CHECK constraints on the table — enforced at
+    every subsequent write (merge / append / stream epoch), so a bad batch
+    fails ITS OWN commit loudly instead of poisoning the table for every
+    reader.  A metadata-only commit; existing data is NOT retro-validated
+    (validate first with ``operators.expectations`` if the table must
+    already conform).
+
+    Each check is a JSON-able dict: ``{"name": ..., "expr": <SQL boolean
+    over the row>}`` — e.g. ``{"name": "price_nonneg", "expr":
+    "o_totalprice >= 0"}``.  Rows where the expression is FALSE violate;
+    NULL (SQL unknown) does not — declare an IS NOT NULL check separately,
+    exactly like SQL CHECK semantics."""
+    root = root.rstrip("/")
+    _require_local_path(root, "set_check_constraints")
+    for c in checks:
+        if not isinstance(c.get("name"), str) or not isinstance(c.get("expr"), str):
+            raise ValueError(f"check needs string name and expr: {c!r}")
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    return _commit(
+        root, manifest["files"], manifest["schema"],
+        f"constrain:{','.join(c['name'] for c in checks)}", parent,
+        epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, manifest["files"], {}),
+        checks=checks,
+    )
+
+
+class CheckConstraintViolation(ValueError):
+    """A write batch violated a declared CHECK constraint."""
+
+
+def _enforce_checks(df: DataFrame, manifest: dict, verb: str) -> None:
+    """ONE aggregate scan over the batch counting violations of every
+    declared check; raises :class:`CheckConstraintViolation` naming the
+    failing checks and their row counts.  Violation = expression FALSE
+    (NULL passes — SQL CHECK semantics)."""
+    checks = manifest.get("checks") or []
+    if not checks:
+        return
+    agg = df.agg(
+        *[
+            F.sum(
+                F.when(F.expr(c["expr"]).eqNullSafe(F.lit(False)), 1).otherwise(0)
+            ).alias(f"__c{i}")
+            for i, c in enumerate(checks)
+        ]
+    ).first()
+    bad = [
+        f"{c['name']} ({agg[f'__c{i}']} rows)"
+        for i, c in enumerate(checks)
+        if (agg[f"__c{i}"] or 0) > 0
+    ]
+    if bad:
+        raise CheckConstraintViolation(
+            f"{verb}: batch violates CHECK constraints: {', '.join(bad)}"
+        )
+
+
 def _conform_to_schema(df: DataFrame, schema_json: str) -> DataFrame:
     """Select + CAST a write batch to the manifest schema.  Writers must
     stage files the PINNED schema can read back: Spark widens arithmetic
@@ -664,6 +736,7 @@ def merge_into_versioned(
         f["name"] for f in json.loads(schema_json)["fields"]
     ]
     updates = _conform_to_schema(updates, schema_json)
+    _enforce_checks(updates, manifest, "merge_into_versioned")
 
     # ANSI MERGE cardinality + NULL-key rejection (same contract as the
     # in-place verb: two updates per key has no deterministic winner, and
@@ -846,9 +919,9 @@ def commit_stream_epoch(
             "— this is a fresh checkpoint reusing epoch ids against an old "
             "table, not a replay; refusing to guess which batch is real"
         )
-    new_names = _stage_files(
-        _conform_to_schema(batch_df, manifest["schema"]), root, n_files
-    )
+    epoch_batch = _conform_to_schema(batch_df, manifest["schema"])
+    _enforce_checks(epoch_batch, manifest, "commit_stream_epoch")
+    new_names = _stage_files(epoch_batch, root, n_files)
     ledger[key] = fingerprint
     return _commit(
         root, manifest["files"] + new_names, manifest["schema"], op, parent,
@@ -867,9 +940,9 @@ def append_versioned(
     _require_local_path(root, "append_versioned")
     parent = current_version(root)
     manifest = _read_manifest(root, parent)
-    new_names = _stage_files(
-        _conform_to_schema(df, manifest["schema"]), root, n_files
-    )
+    batch = _conform_to_schema(df, manifest["schema"])
+    _enforce_checks(batch, manifest, "append_versioned")
+    new_names = _stage_files(batch, root, n_files)
     return _commit(
         root, manifest["files"] + new_names, manifest["schema"], "append", parent,
         epochs=manifest.get("epochs"),

@@ -865,3 +865,49 @@ def test_file_blooms_skip_scattered_point_lookups(spark, root):
     absent, _ = prune_files_for_points(root, "tid", [7])  # 7 is no Knuth hash here
     assert absent == [] or len(absent) <= 1  # fp slack only
     assert read_keyed_points(spark, root, "tid", [7]).count() == 0
+
+
+def test_check_constraints_enforced_and_carried(spark, root):
+    """Delta-style CHECKs: a violating MERGE/append/epoch batch fails ITS
+    commit (nothing lands), NULL passes (SQL CHECK semantics), and the
+    declared checks survive unrelated verbs (carry contract, like the
+    epoch ledger)."""
+    from python_async_sample_spark.sources.versioned import (
+        CheckConstraintViolation,
+        _read_manifest,
+        append_versioned,
+        commit_stream_epoch,
+        compact,
+        set_check_constraints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, 20.0, "F")], "k bigint, price double, status string"
+    )
+    create_table(spark, root, df, n_files=1)
+    set_check_constraints(spark, root, [
+        {"name": "price_nonneg", "expr": "price >= 0"},
+        {"name": "status_known", "expr": "status IN ('O', 'F', 'P')"},
+    ])
+    good = spark.createDataFrame([(3, 30.0, "P")], "k bigint, price double, status string")
+    bad = spark.createDataFrame([(4, -1.0, "O")], "k bigint, price double, status string")
+    nullish = spark.createDataFrame(
+        [(5, None, None)], "k bigint, price double, status string"
+    )
+    merge_into_versioned(spark, root, good, "k")
+    with pytest.raises(CheckConstraintViolation, match="price_nonneg"):
+        merge_into_versioned(spark, root, bad, "k")
+    with pytest.raises(CheckConstraintViolation, match="price_nonneg"):
+        append_versioned(spark, root, bad)
+    with pytest.raises(CheckConstraintViolation, match="price_nonneg"):
+        commit_stream_epoch(spark, root, bad, 0, "fp-bad")
+    append_versioned(spark, root, nullish)  # NULL is not a violation
+    got = read_version(spark, root)
+    assert got.count() == 4 and got.where("price < 0").count() == 0
+    # checks carried across an unrelated verb
+    compact(spark, root, small_file_bytes=1 << 30)
+    assert [c["name"] for c in _read_manifest(root, current_version(root))["checks"]] == [
+        "price_nonneg", "status_known",
+    ]
+    with pytest.raises(CheckConstraintViolation):
+        append_versioned(spark, root, bad)
