@@ -148,17 +148,22 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
                 )
             )
         elif r.kind == "foreign_key":
+            # ONE pass over the fact side: left join against the distinct
+            # dimension keys, count rows and unmatched rows in the same
+            # aggregate (a separate anti-join would scan the fact twice)
             fk = df.select(F.col(r.fk_col).alias("__fk")).where(
                 F.col("__fk").isNotNull()
             )
-            dim_keys = r.dim.select(F.col(r.dim_col).alias("__fk")).distinct()
-            orphans = fk.join(dim_keys, "__fk", "left_anti")
-            rep = fk.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_checked")
-            ).crossJoin(
-                orphans.agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_violations")
-                )
+            dim_keys = (
+                r.dim.select(F.col(r.dim_col).alias("__fk"))
+                .distinct()
+                .withColumn("__hit", F.lit(1))
+            )
+            rep = fk.join(dim_keys, "__fk", "left").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_checked"),
+                F.coalesce(F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0)), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations"),
             )
             reports.append(
                 rep.select(
@@ -178,14 +183,28 @@ def run_expectations(df: DataFrame, rules: list[Rule]) -> DataFrame:
 def fail_on(report: DataFrame, must_pass: list[str]) -> DataFrame:
     """Poison the report's plan when any must-pass rule has violations —
     the publish gate.  Rides the union-poison shape (fires under count/
-    collect/hash alike; see plans.similarity_queries._union_poison_guard)."""
+    collect/hash alike; see plans.similarity_queries._union_poison_guard).
+
+    A must-pass name that matches NO report rule also poisons: a typo'd
+    or renamed rule would otherwise silently disable the gate forever —
+    the worst failure mode a publish gate can have."""
     from python_async_sample_spark.plans.similarity_queries import (
         _union_poison_guard,
     )
 
+    names = sorted(set(must_pass))
+    matched = report.where(F.col("rule").isin(names)).agg(
+        F.countDistinct("rule").alias("__m")
+    )
+    missing = matched.where(F.col("__m") < len(names)).limit(1)
+    report = _union_poison_guard(
+        report,
+        missing,
+        f"fail_on: some must-pass rule names match no report rule: {names}",
+    )
     violation = report.where(
-        F.col("rule").isin(must_pass) & (F.col("n_violations") > 0)
+        F.col("rule").isin(names) & (F.col("n_violations") > 0)
     ).limit(1)
     return _union_poison_guard(
-        report, violation, f"data expectation failed among must-pass rules {must_pass}"
+        report, violation, f"data expectation failed among must-pass rules {names}"
     )

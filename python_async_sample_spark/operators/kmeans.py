@@ -159,57 +159,6 @@ def kmeans_cte_parts(
     assignment with its quantized squared distance.  ``kmeans_oracle_sql``
     appends the per-cluster report; composite oracles (SemDeDup's
     cluster-then-prune) append their own CTEs on top of ``afin``."""
-    return _kmeans_cte_parts_impl(table, id_col, vec_col, k, iters, round_digits)
-
-
-def kmeans_oracle_sql(
-    table: str,
-    id_col: str,
-    vec_col: str,
-    k: int,
-    iters: int,
-    round_digits: int = 6,
-    out_round: int = 4,
-) -> str:
-    """Chained-CTE DuckDB replay of quantized Lloyd's k-means — certifies
-    the ALGORITHM (init, assignment argmin with lowest-id tie-break, mean
-    update with empty-cluster carry-over, final predict) against an
-    independent engine, the same oracle style as ``pagerank_oracle_sql``.
-
-    Exact mirrors of :func:`kmeans_fit` semantics:
-
-    * init = the k rows with smallest ``md5(CAST(id AS VARCHAR))`` (hex
-      md5 compares identically on both engines), centroids UNROUNDED;
-    * assignment = argmin of squared distance QUANTIZED to 9 decimals on
-      both engines (summation orders differ, so raw doubles can disagree
-      by ulps on near-ties — see :func:`assign_clusters`), ties to the
-      lowest cluster index (Spark's ``array_position(array_min)`` takes
-      the first hit);
-    * update = per-(cluster, dim) mean rounded to ``round_digits``
-      (quantized Lloyd's — see :func:`kmeans_fit`), empty clusters keep
-      their previous coordinate via the LEFT JOIN coalesce;
-    * output = per-cluster size + mean squared distance under the FINAL
-      centroids, rounded to ``out_round``.
-    """
-    return (
-        "WITH "
-        + ",\n".join(_kmeans_cte_parts_impl(table, id_col, vec_col, k, iters, round_digits))
-        + f"""
-        SELECT CAST(cluster AS INT) AS cluster,
-               CAST(count(*) AS BIGINT) AS n_points,
-               round(avg(d2), {out_round}) AS avg_sq_dist
-        FROM afin GROUP BY cluster ORDER BY cluster"""
-    )
-
-
-def _kmeans_cte_parts_impl(
-    table: str,
-    id_col: str,
-    vec_col: str,
-    k: int,
-    iters: int,
-    round_digits: int,
-) -> list[str]:
     parts = [
         f"pts AS (SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table})",
         # 0-based dims to match posexplode
@@ -263,6 +212,48 @@ def _kmeans_cte_parts_impl(
         )"""
     )
     return parts
+
+
+def kmeans_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int,
+    round_digits: int = 6,
+    out_round: int = 4,
+) -> str:
+    """Chained-CTE DuckDB replay of quantized Lloyd's k-means — certifies
+    the ALGORITHM (init, assignment argmin with lowest-id tie-break, mean
+    update with empty-cluster carry-over, final predict) against an
+    independent engine, the same oracle style as ``pagerank_oracle_sql``.
+
+    Exact mirrors of :func:`kmeans_fit` semantics:
+
+    * init = the k rows with smallest ``md5(CAST(id AS VARCHAR))`` (hex
+      md5 compares identically on both engines), centroids UNROUNDED;
+    * assignment = argmin of squared distance QUANTIZED to 9 decimals on
+      both engines (summation orders differ, so raw doubles can disagree
+      by ulps on near-ties — see :func:`assign_clusters`), ties to the
+      lowest cluster index (Spark's ``array_position(array_min)`` takes
+      the first hit);
+    * update = per-(cluster, dim) mean rounded to ``round_digits``
+      (quantized Lloyd's — see :func:`kmeans_fit`), empty clusters keep
+      their previous coordinate via the LEFT JOIN coalesce;
+    * output = per-cluster size + mean squared distance under the FINAL
+      centroids, rounded to ``out_round``.
+    """
+    return (
+        "WITH "
+        + ",\n".join(kmeans_cte_parts(table, id_col, vec_col, k, iters, round_digits))
+        + f"""
+        SELECT CAST(cluster AS INT) AS cluster,
+               CAST(count(*) AS BIGINT) AS n_points,
+               round(avg(d2), {out_round}) AS avg_sq_dist
+        FROM afin GROUP BY cluster ORDER BY cluster"""
+    )
+
+
 
 
 def kmeans_predict(

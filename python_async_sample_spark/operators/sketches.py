@@ -163,13 +163,11 @@ def portable_hash_sql(expr: str, i: int) -> str:
     return f"xor({x}, ({x}) >> 16)"
 
 
-def cms_build_portable(
-    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
-) -> DataFrame:
-    """:func:`cms_build` with the portable hash family — same explode +
-    bounded groupBy shape, same cell-sum mergeability, but every cell value
-    is reproducible in SQL (see ``cms_cell_sql``)."""
-    rows = F.explode(
+def _cms_cells(key_col: str, depth: int, width: int):
+    """The exploded (row, col) cell coordinates of a key — the ONE place
+    the CMS coordinate arithmetic lives (build, build-from-counts, and the
+    grouped variant all share it, so a change cannot silently fork)."""
+    return F.explode(
         F.array(
             *[
                 F.struct(
@@ -180,8 +178,16 @@ def cms_build_portable(
             ]
         )
     )
+
+
+def cms_build_portable(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """:func:`cms_build` with the portable hash family — same explode +
+    bounded groupBy shape, same cell-sum mergeability, but every cell value
+    is reproducible in SQL (see ``cms_cell_sql``)."""
     return (
-        df.select(rows.alias("rc"))
+        df.select(_cms_cells(key_col, depth, width).alias("rc"))
         .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
@@ -196,23 +202,11 @@ def cms_build_portable_from_counts(
     values are IDENTICAL to :func:`cms_build_portable` on the raw stream
     (a cell is a sum of per-key counts either way).  The pre-aggregation
     is the win when the caller already needs per-key counts (q180 shares
-    one groupBy between the sketch and the heavy-hitter ranking)."""
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    (portable_hash(F.col(key_col), i) % width).cast("int").alias("col"),
-                )
-                for i in range(depth)
-            ]
-        )
-    )
-    return (
-        counts.select(F.col(cnt_col).alias("__n"), rows.alias("rc"))
-        .groupBy(F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
-        .agg(F.sum("__n").cast("bigint").alias("cnt"))
-    )
+    one groupBy between the sketch and the heavy-hitter ranking).
+    Delegates to the grouped builder with a constant group."""
+    return cms_build_portable_grouped_from_counts(
+        counts.withColumn("__g", F.lit(0)), "__g", key_col, cnt_col, depth, width
+    ).drop("grp")
 
 
 def cms_estimate_portable(
@@ -248,6 +242,19 @@ def cms_cell_sql(expr: str, i: int, width: int) -> str:
     return f"({portable_hash_sql(expr, i)} % {width})"
 
 
+def _hll_reg_rho(key_col: str, m: int):
+    """(reg, rho) expressions for one key under the portable hash — the
+    ONE place the register-index / leading-zero arithmetic lives (the
+    grouped and ungrouped register builders share it)."""
+    budget = 32 - m.bit_length() + 1  # bits of h above the register index
+    h = portable_hash(F.col(key_col), 0)
+    w = F.floor(h / m).cast("long")
+    rho = F.when(w == 0, F.lit(budget + 1)).otherwise(
+        F.lit(budget + 1) - F.length(F.conv(w.cast("string"), 10, 2))
+    )
+    return (h % m).cast("int").alias("reg"), rho.cast("int").alias("rho")
+
+
 def hll_portable_registers(df: DataFrame, key_col: str, m: int = 128) -> DataFrame:
     """Portable-hash HyperLogLog register relation (reg, max_rho).
 
@@ -258,18 +265,9 @@ def hll_portable_registers(df: DataFrame, key_col: str, m: int = 128) -> DataFra
     ``printf('%b')`` — both return '0' for 0, handled by the w=0 branch).
     The relation is m-bounded and merges by per-register MAX — the HLL
     merge law, pinned in tests/test_sketches.py."""
-    assert m & (m - 1) == 0 and 2 <= m <= 65536, "m must be a power of two"
-    budget = 32 - m.bit_length() + 1  # bits of h above the register index
-    h = portable_hash(F.col(key_col), 0)
-    w = F.floor(h / m).cast("long")
-    rho = F.when(w == 0, F.lit(budget + 1)).otherwise(
-        F.lit(budget + 1) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
-    return (
-        df.select((h % m).cast("int").alias("reg"), rho.cast("int").alias("rho"))
-        .groupBy("reg")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return hll_portable_registers_grouped(
+        df.withColumn("__g", F.lit(0)), "__g", key_col, m
+    ).drop("grp")
 
 
 def hll_portable_estimate(registers: DataFrame, m: int = 128) -> DataFrame:
@@ -280,18 +278,11 @@ def hll_portable_estimate(registers: DataFrame, m: int = 128) -> DataFrame:
     contributing 2^0); if E_raw <= 2.5m and V > 0, E = m * ln(m/V).  Every
     term is cross-engine exact (powers of two sum exactly in a 53-bit
     mantissa; the alpha literal is spelled identically in the SQL twin) —
-    only ln() rides libm, so estimates are rounded to 2 decimals."""
-    alpha = 0.7213 / (1 + 1.079 / m)
-    agg = registers.agg(
-        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
-        (F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))).alias("present_sum"),
-    )
-    e_raw = F.lit(alpha) * m * m / (F.col("present_sum") + F.col("v_zero"))
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
-    return agg.select("v_zero", F.round(est, 2).alias("est"))
+    only ln() rides libm, so estimates are rounded to 2 decimals.
+    Delegates to the grouped estimator with a constant group."""
+    return hll_portable_estimate_grouped(
+        registers.withColumn("grp", F.lit(0)), m
+    ).drop("grp")
 
 
 def hll_portable_sql(table: str, expr: str, m: int = 128) -> str:
@@ -336,18 +327,9 @@ def hll_portable_registers_grouped(
     must equal the direct global build REGISTER FOR REGISTER (q203 pins
     that equality in-plan and against DuckDB)."""
     assert m & (m - 1) == 0 and 2 <= m <= 65536, "m must be a power of two"
-    budget = 32 - m.bit_length() + 1
-    h = portable_hash(F.col(key_col), 0)
-    w = F.floor(h / m).cast("long")
-    rho = F.when(w == 0, F.lit(budget + 1)).otherwise(
-        F.lit(budget + 1) - F.length(F.conv(w.cast("string"), 10, 2))
-    )
+    reg, rho = _hll_reg_rho(key_col, m)
     return (
-        df.select(
-            F.col(group_col).alias("grp"),
-            (h % m).cast("int").alias("reg"),
-            rho.cast("int").alias("rho"),
-        )
+        df.select(F.col(group_col).alias("grp"), reg, rho)
         .groupBy("grp", "reg")
         .agg(F.max("rho").alias("max_rho"))
     )
@@ -384,20 +366,11 @@ def cms_build_portable_grouped_from_counts(
     groups partition the table, the merged relation must equal a direct
     global build CELL FOR CELL (q205 pins that equality in-plan and
     against DuckDB)."""
-    rows = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("row"),
-                    (portable_hash(F.col(key_col), i) % width).cast("int").alias("col"),
-                )
-                for i in range(depth)
-            ]
-        )
-    )
     return (
         counts.select(
-            F.col(group_col).alias("grp"), F.col(cnt_col).alias("__c"), rows.alias("rc")
+            F.col(group_col).alias("grp"),
+            F.col(cnt_col).alias("__c"),
+            _cms_cells(key_col, depth, width).alias("rc"),
         )
         .groupBy("grp", F.col("rc.row").alias("row"), F.col("rc.col").alias("col"))
         .agg(F.sum("__c").cast("bigint").alias("cnt"))

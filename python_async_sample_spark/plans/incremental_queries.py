@@ -818,7 +818,7 @@ def q201_stats_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_async_sample_spark.sources.versioned import (
         create_table,
         prune_files_for_range,
-        read_keyed_range,
+        read_box,
     )
 
     tmp = tempfile.mkdtemp(prefix="spark_graft_prune_")
@@ -833,7 +833,9 @@ def q201_stats_pruned_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stats pruning is designed for (a time/key-ordered ingest at 100 TB)
     create_table(spark, root, orders, n_files=8, layout_col="o_orderkey")
     picked, total = prune_files_for_range(root, "o_orderkey", lo, hi)
-    scan = read_keyed_range(spark, root, "o_orderkey", lo, hi)
+    scan = read_box(
+        spark, root, {"o_orderkey": (lo, hi)}, picked=picked
+    )  # reuse the guard's plan — no second manifest prune
     out = (
         scan.groupBy("o_orderstatus")
         .agg(
@@ -940,7 +942,7 @@ def q202_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     box = {"user_id": (lo_u, hi_u), "d": (8, 14)}
     picked, total = prune_files_for_box(root, box)
     out = (
-        read_box(spark, root, box)
+        read_box(spark, root, box, picked=picked)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -1162,10 +1164,18 @@ def q208_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFra
     # the scale contract: the partition-column predicates must reach the
     # scan as PartitionFilters (directory pruning — files of other
     # partitions are never opened).  df.inputFiles() can NOT check this
-    # (it lists the relation's files BEFORE filter pushdown), so the guard
-    # reads the executed plan the same way tests/test_layout.py pins it.
+    # (it lists the relation's files BEFORE filter pushdown), and merely
+    # grepping the whole plan is TAUTOLOGICAL ('PartitionFilters: []'
+    # prints on every file scan and the date literal appears in ordinary
+    # Filter/PushedFilters too) — so the guard requires the literal INSIDE
+    # the PartitionFilters bracket itself.
     plan_txt = scan._jdf.queryExecution().executedPlan().toString()
-    pruned_ok = "PartitionFilters" in plan_txt and "2024-01-08" in plan_txt
+    pruned_ok = False
+    marker = "PartitionFilters: ["
+    start = plan_txt.find(marker)
+    if start >= 0:
+        section = plan_txt[start + len(marker): plan_txt.find("]", start)]
+        pruned_ok = "2024-01-08" in section and "dt" in section
     violation = (
         spark.range(1)
         .select(F.lit(bool(pruned_ok)).alias("ok"))
@@ -1246,7 +1256,9 @@ def q209_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     picked, total = prune_files_for_points(root, "tracking_id", needles)
-    out = read_keyed_points(spark, root, "tracking_id", needles).select(
+    out = read_keyed_points(
+        spark, root, "tracking_id", needles, picked=picked
+    ).select(
         "tracking_id",
         "o_orderkey",
         "o_orderstatus",
@@ -1264,3 +1276,100 @@ def q209_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "manifest blooms skipped fewer than half the files for "
         "10 needle-in-haystack point lookups over 64 files",
     ).orderBy("tracking_id")
+
+
+@query(
+    "q210_constrained_ingest",
+    oracle="""
+    WITH good AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    appended AS (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+           CAST(1 AS BIGINT) AS n_rejected_batches
+    FROM (SELECT * FROM good UNION ALL SELECT * FROM appended)
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    ref=(
+        "write-time CHECK constraints as the publish gate "
+        "(versioned.set_check_constraints; the write-side counterpart of "
+        "q204's read-side expectations — the reference's -1..-4 row flags "
+        "quarantine rows AFTER ingest, a CHECK refuses the batch BEFORE "
+        "it can poison readers)"
+    ),
+    tags=("incremental", "versioned", "quality"),
+)
+def q210_constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A constrained orders table accepts two clean batches and REFUSES a
+    poisoned one (negative prices + an unknown status): the violating
+    append raises CheckConstraintViolation and commits NOTHING — the final
+    rollup must equal exactly the two clean batches, which is what the
+    oracle recomputes.  A constraint system that let the bad batch
+    through, or rolled back more than the bad batch, hash-mismatches.
+    The rejected-batch count rides the output as a checked column."""
+    from python_async_sample_spark.sources.versioned import (
+        CheckConstraintViolation,
+        append_versioned,
+        create_table,
+        read_version,
+        set_check_constraints,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_chk_")
+    root = f"{tmp}/orders_checked"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    create_table(spark, root, orders.where(F.col("o_orderkey") % 3 == 0), n_files=4)
+    set_check_constraints(spark, root, [
+        {"name": "price_nonneg", "expr": "price >= 0"},
+        {"name": "status_known", "expr": "o_orderstatus IN ('O', 'F', 'P')"},
+    ])
+    poisoned = (
+        orders.where(F.col("o_orderkey") % 3 == 2)
+        .withColumn(
+            "price",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(-1).cast("decimal(18,2)"))
+            .otherwise(F.col("price")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("Z")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+    )
+    n_rejected = 0
+    try:
+        append_versioned(spark, root, poisoned, n_files=2)
+    except CheckConstraintViolation:
+        n_rejected += 1
+    append_versioned(
+        spark, root, orders.where(F.col("o_orderkey") % 3 == 1), n_files=2
+    )
+    return (
+        read_version(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            "n_rows",
+            "total_price",
+            F.lit(n_rejected).cast("bigint").alias("n_rejected_batches"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -43,6 +43,7 @@ from python_async_sample_spark.sources.versioned import (
     ConcurrentWriteError,
     current_version,
     read_version,
+    table_versions,
 )
 
 _CAT_DIR = "_catalog"
@@ -125,12 +126,15 @@ def catalog_commit(root: str, updates: dict[str, int]) -> int:
     for name, version in updates.items():
         if name not in pins:
             raise KeyError(f"table {name!r} is not in the catalog")
-        # refuse to pin a version the table has not committed — a dangling
-        # pin would make every catalog_read of this snapshot fail later
-        committed = current_version(pins[name]["root"])
-        if version > committed:
+        # refuse to pin a version the table does not currently have — a
+        # dangling pin (never committed, OR already vacuumed, OR negative)
+        # would make every catalog_read of this snapshot fail forever
+        committed = table_versions(pins[name]["root"])
+        if version not in committed:
+            head = committed[-1] if committed else None
             raise ValueError(
-                f"cannot pin {name!r} at v{version}: table head is v{committed}"
+                f"cannot pin {name!r} at v{version}: table versions are "
+                f"{committed} (head v{head}) — never committed or vacuumed"
             )
         pins[name]["version"] = version
     return _link_cat(

@@ -374,19 +374,30 @@ def prune_files_for_box(
 
 
 def read_box(
-    spark: SparkSession, root: str, preds: dict, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    preds: dict,
+    version: int | None = None,
+    picked: list[str] | None = None,
 ) -> DataFrame:
     """Conjunctive BETWEEN scan planned from the manifest: file pruning via
     :func:`prune_files_for_box`, then the residual filters on the surviving
     files (pruning admits a superset; the filter plus parquet row-group
-    pushdown make it exact).  NULL keys never match, matching SQL BETWEEN."""
+    pushdown make it exact).  NULL keys never match, matching SQL BETWEEN.
+
+    The version is resolved ONCE and pins both the schema and the prune —
+    resolving twice would let a concurrent commit land in between and
+    produce a mixed-snapshot read that exists in no committed version.
+    ``picked`` short-circuits the prune when the caller already planned
+    the file set (e.g. for a pruning-ratio guard) — it must come from
+    :func:`prune_files_for_box` at the SAME version."""
     pin_reader_conf(spark)
     root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
+    version = current_version(root) if version is None else version
+    manifest = _read_manifest(root, version)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    picked, _total = prune_files_for_box(root, preds, version)
+    if picked is None:
+        picked, _total = prune_files_for_box(root, preds, version)
     if not picked:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(
@@ -456,25 +467,10 @@ def prune_files_for_range(
 def read_keyed_range(
     spark: SparkSession, root: str, key_col: str, lo, hi, version: int | None = None
 ) -> DataFrame:
-    """``SELECT * WHERE key BETWEEN lo AND hi`` planned from the manifest:
-    file-level pruning via :func:`prune_files_for_range`, then the residual
-    BETWEEN filter on the surviving files (pruning admits a superset — the
-    filter, plus parquet row-group pushdown inside each file, makes the
-    result exact).  NULL keys never match, matching SQL BETWEEN."""
-    pin_reader_conf(spark)
-    root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
-    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    picked, _total = prune_files_for_range(root, key_col, lo, hi, version)
-    if not picked:
-        return spark.createDataFrame([], schema)
-    return (
-        spark.read.schema(schema)
-        .parquet(*[f"{root}/{_DATA_DIR}/{name}" for name in picked])
-        .where(F.col(key_col).between(F.lit(lo), F.lit(hi)))
-    )
+    """``SELECT * WHERE key BETWEEN lo AND hi`` planned from the manifest —
+    the one-column face of :func:`read_box` (delegates; same single-
+    version-resolution snapshot guarantee)."""
+    return read_box(spark, root, {key_col: (lo, hi)}, version)
 
 
 def add_file_blooms(
@@ -531,8 +527,14 @@ def add_file_blooms(
     for r in rows:
         by_file.setdefault(r["__f"], {})[str(r["word"])] = r["mask"]
     stats = {n: dict(ent) for n, ent in (manifest.get("stats") or {}).items()}
+    # legacy manifests (no embedded stats) get REAL footer stats for the
+    # files we touch — a fabricated {"rows": None} placeholder would crash
+    # every consumer that sums row counts (table_history)
+    missing = [n for n in manifest["files"] if n not in stats]
+    if missing:
+        stats.update(_collect_file_stats(root, missing))
     for n in manifest["files"]:
-        ent = stats.setdefault(n, {"rows": None, "cols": {}})
+        ent = stats[n]
         blooms = dict(ent.get("blooms") or {})
         blooms[col] = {"m": m_bits, "k": k, "words": by_file.get(n, {})}
         ent["blooms"] = blooms
@@ -588,18 +590,25 @@ def prune_files_for_points(
 
 
 def read_keyed_points(
-    spark: SparkSession, root: str, col: str, keys: list, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    col: str,
+    keys: list,
+    version: int | None = None,
+    picked: list[str] | None = None,
 ) -> DataFrame:
     """``SELECT * WHERE col IN (keys)`` planned from the manifest blooms:
     file skipping via :func:`prune_files_for_points`, then the residual
-    IN filter (broadcastable-key-list semi-filter) makes it exact."""
+    IN filter (broadcastable-key-list semi-filter) makes it exact.  The
+    version is resolved ONCE for schema and prune alike (same snapshot-
+    isolation reasoning as :func:`read_box`)."""
     pin_reader_conf(spark)
     root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
+    version = current_version(root) if version is None else version
+    manifest = _read_manifest(root, version)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
-    picked, _total = prune_files_for_points(root, col, keys, version)
+    if picked is None:
+        picked, _total = prune_files_for_points(root, col, keys, version)
     if not picked:
         return spark.createDataFrame([], schema)
     return (

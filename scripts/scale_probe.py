@@ -230,7 +230,7 @@ def probed_paths(spark):
         # 30× time at 10× corpus before this path switched), so the probe
         # blocks with the random-hyperplane quantizer instead — one linear
         # GEMM pass, planes ∝ log(N) holding expected bucket size ≈ 1250.
-        # The registered q200 keeps k-means (k=16) as the oracle face; this
+        # The registered q200 keeps k-means (k=8) as the oracle face; this
         # is its deployment-scale shape.
         import math
 

@@ -79,8 +79,10 @@ def test_catalog_commit_races_lose_cleanly(spark, roots):
 
 def test_catalog_refuses_dangling_and_unknown_pins(spark, roots):
     hdr_root, det_root, cat_root = _pair(spark, roots)
-    with pytest.raises(ValueError, match="table head is v0"):
+    with pytest.raises(ValueError, match="never committed or vacuumed"):
         catalog_commit(cat_root, {"header": 5})
+    with pytest.raises(ValueError, match="never committed or vacuumed"):
+        catalog_commit(cat_root, {"header": -1})
     with pytest.raises(KeyError):
         catalog_commit(cat_root, {"nope": 0})
     assert catalog_current(cat_root) == 0  # nothing committed

@@ -68,3 +68,13 @@ def test_fail_on_fires_and_passes(spark):
     bad = E.fail_on(report, ["not_null(k)"])
     with pytest.raises(Exception, match="data expectation failed"):
         bad.count()
+
+
+def test_fail_on_rejects_unknown_rule_names(spark):
+    """A typo'd must-pass name must poison the gate, not silently disable
+    it (review finding: isin over zero matching rows passed everything)."""
+    df = spark.createDataFrame([(1,)], "k bigint")
+    report = E.run_expectations(df, [E.not_null("k")])
+    bad = E.fail_on(report, ["not_null(K)"])  # wrong case
+    with pytest.raises(Exception, match="match no report rule"):
+        bad.count()
