@@ -128,7 +128,8 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # expectations + publish gate), q205 (CMS merge law), q206 (Neyman
 # allocation), q207 (atomic multi-table catalog), q208 (Hive partition
 # pruning), q209 (manifest bloom point lookups), q210 (CHECK-constraint
-# gate), then q168,
+# gate — also covers set_check_constraints' carry/refusal semantics),
+# then q168,
 # q169, q171,
 # q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
 #
