@@ -40,6 +40,7 @@ def main() -> None:
         "q29_summary_mv_recompute",
         "q60_stream_sessionization",
         "q61_wide_tool_table",
+        "q211_watermark_cascade",
     }
     timings: dict[str, float] = {}
     for name in sorted(specs):

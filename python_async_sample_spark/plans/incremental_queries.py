@@ -1373,3 +1373,153 @@ def q210_constrained_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q211_watermark_cascade",
+    oracle="""
+    WITH corrected AS (
+      SELECT event_id, user_id, event_type, ts,
+             round(value * (CASE event_type
+                    WHEN 'click'    THEN 1.10
+                    WHEN 'view'     THEN 0.95
+                    WHEN 'purchase' THEN 1.25
+                    WHEN 'signup'   THEN 1.00
+                    ELSE 0.50 END) + 0.25, 6) AS corrected
+      FROM events
+      WHERE date_trunc('microseconds', ts) > TIMESTAMP '2024-01-24 00:00:00'
+    )
+    SELECT event_id, user_id, event_type, corrected,
+           CASE WHEN corrected >= 300 THEN 'OOS'
+                WHEN corrected >= 150 THEN 'WARN'
+                ELSE 'OK' END AS grade,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt
+    FROM corrected
+    ORDER BY event_id
+    """,
+    ref="I7 (EDC_Import -> ROT_Transform -> AVM_Process cascade, nikon_ETL.py:627-632) + I1-I6 end-to-end (VERDICT r5 item 7)",
+    tags=("incremental", "cascade"),
+)
+def q211_watermark_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full three-stage watermark cascade, run twice with a POISONED
+    first delivery and a mid-run rewind — the driver-checked face of I7
+    that the per-stage tests can't provide.
+
+    Phase 1 delivers the source capped at 2024-01-28 with the last day's
+    values corrupted (x100) — a bad upstream batch that EDC_Import,
+    ROT_Transform (per-type affine correction) and AVM_Process (grade
+    thresholds on the corrected value) all ingest and propagate through
+    their chained watermark-bounded windows. Phase 2 rewinds all three
+    watermarks one day (the operator's late-data fix, reference
+    nikon_ETL.py:344's rewind path) and re-runs the cascade over the
+    clean, uncapped source.
+
+    The oracle recomputes the final AVM state from first principles over
+    the clean events table, so green requires every stage to have
+    RE-PROCESSED the rewound day: a cascade that advances a downstream
+    watermark without re-extracting (ordering bug), or bounds a window by
+    the wrong upstream, keeps x100 values in some stage's target and
+    hash-mismatches. Chunked 1-day catch-up, half-open (lo, hi] windows,
+    delete-then-insert idempotence and watermark-after-write ordering are
+    all on the hot path in both phases.
+
+    Scale shape: identical to q17 — each window is one distributed
+    overwrite-window job; driver state is three watermark rows; no
+    collect touches event data.
+    """
+    mid = datetime.fromisoformat("2024-01-28 00:00:00")
+    rewind = datetime.fromisoformat("2024-01-27 00:00:00")
+    gain = (
+        F.when(F.col("event_type") == "click", 1.10)
+        .when(F.col("event_type") == "view", 0.95)
+        .when(F.col("event_type") == "purchase", 1.25)
+        .when(F.col("event_type") == "signup", 1.00)
+        .otherwise(0.50)
+    )
+
+    def rot_transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * gain + F.lit(0.25), 6).alias("corrected"),
+        )
+
+    def avm_transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "corrected",
+            F.when(F.col("corrected") >= 300, "OOS")
+            .when(F.col("corrected") >= 150, "WARN")
+            .otherwise("OK")
+            .alias("grade"),
+        )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cascade_")
+    store = WatermarkStore(spark, f"{tmp}/state")
+    runner = IncrementalRunner(spark, store)
+
+    def stages(source) -> list[IncrementalStage]:
+        return [
+            IncrementalStage(
+                name="EDC_Import",
+                source=source,
+                target_path=f"{tmp}/edc",
+                ts_col="ts",
+            ),
+            IncrementalStage(
+                name="ROT_Transform",
+                source=lambda s: read_target(s, f"{tmp}/edc"),
+                target_path=f"{tmp}/rot",
+                ts_col="ts",
+                transform=rot_transform,
+                upstream="EDC_Import",
+            ),
+            IncrementalStage(
+                name="AVM_Process",
+                source=lambda s: read_target(s, f"{tmp}/rot"),
+                target_path=f"{tmp}/avm",
+                ts_col="ts",
+                transform=avm_transform,
+                upstream="ROT_Transform",
+            ),
+        ]
+
+    for name in ("EDC_Import", "ROT_Transform", "AVM_Process"):
+        store.put("NIKON", name, WM0)
+
+    # Phase 1: capped at `mid`, last delivered day poisoned x100.
+    def poisoned_source(s: SparkSession) -> DataFrame:
+        ev = load_table(s, sf_dir, "events").where(F.col("ts") <= F.lit(mid))
+        return ev.withColumn(
+            "value",
+            F.when(F.col("ts") > F.lit(rewind), F.col("value") * 100).otherwise(
+                F.col("value")
+            ),
+        )
+
+    runner.run_cascade(stages(poisoned_source))
+    phase1_wm = store.get("NIKON", "AVM_Process")
+    assert phase1_wm is not None and rewind < phase1_wm <= mid
+
+    # Phase 2: operator rewind of all three stages, clean full re-delivery.
+    for name in ("EDC_Import", "ROT_Transform", "AVM_Process"):
+        store.put("NIKON", name, rewind)
+    runner.run_cascade(stages(lambda s: load_table(s, sf_dir, "events")))
+
+    src_max = (
+        load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    )
+    for name in ("EDC_Import", "ROT_Transform", "AVM_Process"):
+        assert store.get("NIKON", name) == src_max, f"{name} watermark lag"
+
+    return (
+        read_target(spark, f"{tmp}/avm")
+        .withColumn("dt", F.date_format("ts", "yyyy-MM-dd"))
+        .select("event_id", "user_id", "event_type", "corrected", "grade", "dt")
+        .orderBy("event_id")
+    )

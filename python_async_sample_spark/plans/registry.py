@@ -112,26 +112,53 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   LM scoring (q125): r4 row; token surface stays via q141/q179;
 #   ANN kernel (q158): r4 row; GEMM top-k shape stays via q167
 #   (reciprocal nearest pairs rides the same kernel).
+# ROUND-6 ROTATION (executes VERDICT r5 item 1 — the r5 candidate list
+# recorded below): the 23 §2-critical residents stay; q173 also stays one
+# more round so its de-zeroed face (confidence floor 0.5→0.1, VERDICT r5
+# "what's wrong" #3) earns a driver row with spark_rows > 0; the other 26
+# slots swap onto every never-driver-checked round-5 addition — the
+# versioned-storage closing verbs (q186 compaction+history, q190 snapshot
+# CDC, q193 CDC-maintained rollup, q195 history purge, q198 schema
+# evolution, q201 stats-pruned range scan, q202 Z-order box pruning, q207
+# atomic multi-table catalog, q208 Hive partition pruning, q209 manifest
+# bloom point lookups, q210 CHECK-constraint gate), the text/privacy ops
+# (q187 portable SimHash, q188 boilerplate removal, q189 recursive
+# hierarchy, q191 k-anonymity, q192 interval coalesce, q194 EWMA anomaly),
+# the training/statistics faces (q196 SVM training, q197 DP release, q199
+# histogram quantile sketch, q200 SemDeDup, q203/q205 HLL/CMS merge laws,
+# q204 data expectations, q206 Neyman allocation), and q211 (the round-6
+# EDC→ROT→AVM watermark-cascade face, VERDICT r5 item 7).
+# Coverage bookkeeping for the 26 rotated-out round-5 occupants: each has
+# a green CORRECTNESS_r05.json row from last round plus ongoing
+# driver_sim/pytest parity, and their §2 families keep in-window faces —
+#   versioned storage (q177 MERGE, q184 time travel, q185 stream sink):
+#   family stays in-window via q186/q190/q193/q195/q198/q201/q202/
+#   q207-q210; the exactly-once/idempotent face (S12/I3/I6) stays via
+#   q17 (resident) + q210's constraint-refusal semantics;
+#   portable sketches (q180-q182): family stays via q203/q205 merge laws
+#   + q199's quantile sketch (same 32-bit mixer oracle discipline);
+#   multimodal (q176): r5 row + golden decode tests (test_multimodal);
+#   linear algebra/training (q178 PCA, q127 k-means, q183 bootstrap):
+#   family stays via q196 (SVM training) + q206 (Neyman allocation);
+#   BPE (q141/q179): r5 rows; token surface keeps pytest parity
+#   (test_bpe) — no in-window twin needed, driver_sim re-hashes both;
+#   near-dup/pair mining (q106/q112/q147): family stays via q200
+#   (SemDeDup) + q188 (boilerplate spans) + q187 (portable SimHash);
+#   text/IR (q115 TF-IDF, q140 entropy): family stays via q46 (resident
+#   BM25 — the same doc-frequency join shape) + q188;
+#   corpus/inference (q145/q146/q148): r5 rows + test_inference parity;
+#   composition face stays via q204's publish gate;
+#   statistics (q166/q167/q170/q172/q174/q175): r5 rows; q170's KS shape
+#   recurs in q194's EWMA residuals, q206 keeps the stratified-estimation
+#   face in-window, q204 keeps the data-contract face in-window.
 # Still never-driver-checked after this rotation: q100/q101/q103/q107-
 # q111/q113/q114/q116-q120/q124/q126/q128/q134/q137/q138/q139-range
 # leftovers, q168/q169/q171, and the deliberate rows-only tail — all
 # verified every round by scripts/driver_sim.py + tests/test_oracle_parity
-# at sf0.001/sf0.01.  ROUND-6 CANDIDATES, strongest first: the round-5
-# additions q186 (compaction+history), q190 (snapshot CDC), q193 (CDC-
-# maintained rollup), q187 (portable SimHash), q188 (boilerplate
-# removal), q189 (recursive hierarchy), q195 (history purge), q191
-# (k-anonymity), q192 (interval coalesce), q194 (EWMA anomaly), q196
-# (SVM training), q197 (DP release), q198 (schema evolution), q199
-# (histogram quantile sketch), q200 (SemDeDup), q201 (stats-pruned range
-# scan — its guard makes file pruning itself driver-checked), q202
-# (Z-order box pruning), q203 (HLL merge law), q204 (data
-# expectations + publish gate), q205 (CMS merge law), q206 (Neyman
-# allocation), q207 (atomic multi-table catalog), q208 (Hive partition
-# pruning), q209 (manifest bloom point lookups), q210 (CHECK-constraint
-# gate — also covers set_check_constraints' carry/refusal semantics),
-# then q168,
-# q169, q171,
-# q113, q124, q116, q114, q120, q110, q109, q107, q100, q101.
+# at sf0.001/sf0.01.  ROUND-7 CANDIDATES, strongest first: q168
+# (chi-square uniformity), q169 (Benford screen), q171 (Gini), then
+# q113, q124, q116, q114, q120, q110, q109, q107, q100, q101, and the
+# q126-q139 stragglers.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
@@ -169,34 +196,37 @@ _PRIORITY: tuple[str, ...] = (
     "q75_stream_stateful_profiles",
     "q80_normalize_text",
     "q83_set_operations",
-    # ---- 27 round-5 rotations: never-driver-checked oracled queries ----
-    "q177_merge_into",
-    "q176_png_pixel_decode",
-    "q178_pca_closed_form",
-    "q179_bpe_encode",
-    "q180_cms_portable_exact",
-    "q181_hll_portable_exact",
-    "q182_bloom_portable_exact",
-    "q183_bootstrap_ci",
-    "q184_versioned_time_travel",
-    "q185_stream_versioned_sink",
-    "q106_fuzzy_join_ed1",
-    "q112_bloom_semi_join",
-    "q115_tfidf_keywords",
-    "q140_source_entropy",
-    "q127_kmeans_embeddings",
-    "q141_bpe_merges",
-    "q145_corpus_release_pipeline",
-    "q146_batch_inference",
-    "q147_incremental_near_dedup",
-    "q148_stream_inference",
-    "q166_data_contract_report",
-    "q167_reciprocal_nearest_pairs",
-    "q170_ks_drift",
-    "q172_golden_record_merge",
+    # ---- 1 held-over round-5 occupant: de-zeroed this round, must earn a
+    # ---- driver row with spark_rows > 0 (VERDICT r5 item 4) -------------
     "q173_association_rules",
-    "q174_kaplan_meier",
-    "q175_classifier_auc",
+    # ---- 26 round-6 rotations: every never-driver-checked round-5
+    # ---- addition, plus the new q211 cascade face -----------------------
+    "q186_versioned_compaction",
+    "q190_versioned_changes",
+    "q193_cdc_maintained_rollup",
+    "q187_simhash_portable_exact",
+    "q188_boilerplate_removal",
+    "q189_hierarchy_rollup",
+    "q195_purged_time_travel",
+    "q191_k_anonymity_ladder",
+    "q192_interval_coalesce",
+    "q194_ewma_anomaly",
+    "q196_svm_quality_train",
+    "q197_dp_noisy_daily_counts",
+    "q198_evolved_time_travel",
+    "q199_histogram_quantile_sketch",
+    "q200_semdedup_prune",
+    "q201_stats_pruned_range_scan",
+    "q202_zorder_box_scan",
+    "q203_hll_merge_law",
+    "q204_data_expectations",
+    "q205_cms_merge_law",
+    "q206_neyman_allocation",
+    "q207_catalog_atomic_pair",
+    "q208_hive_partition_pruned_scan",
+    "q209_bloom_point_lookup",
+    "q210_constrained_ingest",
+    "q211_watermark_cascade",
 )
 
 _TAIL: tuple[str, ...] = (

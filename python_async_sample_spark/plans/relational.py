@@ -251,14 +251,22 @@ def q05_semi_join_urgent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q06 — left-anti join: rejects pattern (J9 R/tlcd_nikonrot.R:50,162 —
-# products without design values). Here: customers with no orders.
+# products without design values). Here: customers with no URGENT orders.
+# The build side is filtered (priority = 1-URGENT) before the anti join so
+# the matched set is non-empty at every test scale factor — the synthetic
+# data gives every customer at least one order, and a green row that
+# matches on 0 = 0 rows would not catch a bug that empties the query
+# (VERDICT r5 "what's wrong" #3).
 # --------------------------------------------------------------------------
 @query(
     "q06_anti_join_orderless_customers",
     oracle="""
     SELECT c_custkey, c_name, c_nationkey
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
     ORDER BY c_custkey
     """,
     ref="J9,P8",
@@ -266,9 +274,9 @@ def q05_semi_join_urgent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q06_anti_join_orderless_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    urgent = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
         .orderBy("c_custkey")
     )

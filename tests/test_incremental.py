@@ -378,3 +378,75 @@ def test_overwrite_window_heals_interrupted_swap_before_next_delivery(spark, tmp
     assert os.path.exists(part), "interrupted swap was not healed forward"
     assert not os.path.exists(stale)
     assert spark.read.parquet(target).count() == 2
+
+
+def test_cascade_rewind_must_reach_downstream(spark, sf_dir, tmpdir):
+    # The q211 design check: phase 1 delivers a poisoned last day through the
+    # EDC->ROT cascade; phase 2 rewinds ONLY the upstream stage and
+    # re-delivers clean data. The downstream target must then still hold the
+    # poisoned rows — proving that a cascade-ordering bug (downstream not
+    # rewound / not re-extracted) is visible in final state, i.e. q211's
+    # oracle comparison genuinely catches it when the full rewind is correct.
+    store = WatermarkStore(spark, f"{tmpdir}/state")
+    runner = IncrementalRunner(spark, store)
+    wm0 = ts("2024-01-24 00:00:00")
+    mid = ts("2024-01-28 00:00:00")
+    rewind = ts("2024-01-27 00:00:00")
+
+    def poisoned(s):
+        ev = load_table(s, sf_dir, "events").where(F.col("ts") <= F.lit(mid))
+        return ev.withColumn(
+            "value",
+            F.when(F.col("ts") > F.lit(rewind), F.col("value") * 100).otherwise(
+                F.col("value")
+            ),
+        )
+
+    def stages(source):
+        return [
+            IncrementalStage(
+                name="EDC_Import", source=source,
+                target_path=f"{tmpdir}/edc", ts_col="ts",
+            ),
+            IncrementalStage(
+                name="ROT_Transform",
+                source=lambda s: read_target(s, f"{tmpdir}/edc"),
+                target_path=f"{tmpdir}/rot", ts_col="ts",
+                upstream="EDC_Import",
+            ),
+        ]
+
+    store.put("NIKON", "EDC_Import", wm0)
+    store.put("NIKON", "ROT_Transform", wm0)
+    runner.run_cascade(stages(poisoned))
+
+    clean = lambda s: load_table(s, sf_dir, "events")  # noqa: E731
+    clean_max = (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("ts") > F.lit(rewind)) & (F.col("ts") <= F.lit(mid)))
+        .agg(F.max("value"))
+        .first()[0]
+    )
+
+    # Buggy rewind: upstream only. EDC heals, ROT keeps the poisoned day.
+    store.put("NIKON", "EDC_Import", rewind)
+    runner.run_cascade(stages(clean))
+    rot_max = (
+        read_target(spark, f"{tmpdir}/rot")
+        .where((F.col("ts") > F.lit(rewind)) & (F.col("ts") <= F.lit(mid)))
+        .agg(F.max("value"))
+        .first()[0]
+    )
+    assert rot_max > clean_max * 50, "poison unexpectedly healed without rewind"
+
+    # Correct rewind: downstream too. Both targets equal the clean source.
+    store.put("NIKON", "EDC_Import", rewind)
+    store.put("NIKON", "ROT_Transform", rewind)
+    runner.run_cascade(stages(clean))
+    healed_max = (
+        read_target(spark, f"{tmpdir}/rot")
+        .where((F.col("ts") > F.lit(rewind)) & (F.col("ts") <= F.lit(mid)))
+        .agg(F.max("value"))
+        .first()[0]
+    )
+    assert healed_max == clean_max
