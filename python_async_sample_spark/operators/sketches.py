@@ -279,10 +279,20 @@ def hll_portable_estimate(registers: DataFrame, m: int = 128) -> DataFrame:
     term is cross-engine exact (powers of two sum exactly in a 53-bit
     mantissa; the alpha literal is spelled identically in the SQL twin) —
     only ln() rides libm, so estimates are rounded to 2 decimals.
-    Delegates to the grouped estimator with a constant group."""
-    return hll_portable_estimate_grouped(
-        registers.withColumn("grp", F.lit(0)), m
-    ).drop("grp")
+
+    A GLOBAL aggregate, not a grouped one: an EMPTY register relation
+    (estimating an empty table) must still return its one row
+    (v_zero=m, est=0.0) — a groupBy on a constant returns zero rows there
+    and the caller would silently get no estimate."""
+    agg = registers.agg(
+        (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("max_rho"))), F.lit(0.0)
+        ).alias("present_sum"),
+    )
+    return agg.select(
+        "v_zero", F.round(_hll_est(m), 2).alias("est")
+    )
 
 
 def hll_portable_sql(table: str, expr: str, m: int = 128) -> str:
@@ -335,21 +345,28 @@ def hll_portable_registers_grouped(
     )
 
 
+def _hll_est(m: int):
+    """The alpha/small-range estimate expression over (v_zero,
+    present_sum) columns — shared by the global and grouped estimators."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    e_raw = F.lit(alpha) * m * m / (F.col("present_sum") + F.col("v_zero"))
+    return F.when(
+        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
+    ).otherwise(e_raw)
+
+
 def hll_portable_estimate_grouped(registers: DataFrame, m: int = 128) -> DataFrame:
     """(grp, v_zero, est) from a grouped register relation — the same
     alpha/small-range formula as :func:`hll_portable_estimate`, one row
-    per group."""
-    alpha = 0.7213 / (1 + 1.079 / m)
+    per group (a group with no registers has no row — group identity
+    comes from the relation; the GLOBAL face handles the empty-table
+    case instead)."""
     agg = registers.groupBy("grp").agg(
         (F.lit(m) - F.count(F.lit(1))).cast("bigint").alias("v_zero"),
         (F.sum(F.pow(F.lit(2.0), -F.col("max_rho")))).alias("present_sum"),
     )
-    e_raw = F.lit(alpha) * m * m / (F.col("present_sum") + F.col("v_zero"))
-    est = F.when(
-        (e_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("v_zero")),
-    ).otherwise(e_raw)
-    return agg.select("grp", "v_zero", F.round(est, 2).alias("est"))
+    return agg.select("grp", "v_zero", F.round(_hll_est(m), 2).alias("est"))
 
 
 def cms_build_portable_grouped_from_counts(

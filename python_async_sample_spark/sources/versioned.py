@@ -197,10 +197,16 @@ def _affected_from_manifest(
 ) -> tuple[list[str], int] | None:
     """Manifest-stats twin of ``layout._prune_files_by_key_stats``: the
     file names whose recorded [min, max] range can contain ANY target key,
-    plus their total rows — zero footer reads.  Returns None when any file
-    lacks a recorded range for ``key_col`` (legacy manifest, or a column
-    the footers couldn't summarize) so the caller falls back to footers;
-    a partial answer would be unsound, not just slow."""
+    plus their total rows — zero footer reads.  ``targets`` must be SORTED:
+    each file costs one binary search (O(files · log keys) total driver
+    CPU), so a million-key purge list stays sub-second where a linear
+    ``any(lo <= k <= hi)`` scan per file was O(files · keys).  Returns
+    None when any file lacks a recorded range for ``key_col`` (legacy
+    manifest, or a column the footers couldn't summarize) so the caller
+    falls back to footers; a partial answer would be unsound, not just
+    slow."""
+    from bisect import bisect_left
+
     stats = manifest.get("stats") or {}
     affected, rows = [], 0
     for n in manifest["files"]:
@@ -213,10 +219,68 @@ def _affected_from_manifest(
         if rng is None:
             return None
         lo, hi = rng
-        if any(lo <= k <= hi for k in targets):
+        i = bisect_left(targets, lo)
+        if i < len(targets) and targets[i] <= hi:
             affected.append(n)
             rows += ent["rows"]
     return affected, rows
+
+
+def _file_ranges_from_manifest(
+    manifest: dict, key_col: str
+) -> list[tuple[str, object, object, int]] | None:
+    """Per-file ``(name, lo, hi, rows)`` for ``key_col`` from the
+    manifest's embedded stats, empty files skipped.  None when any file
+    lacks a recorded range (legacy manifest) — the caller falls back to
+    parquet footers."""
+    stats = manifest.get("stats") or {}
+    out = []
+    for n in manifest["files"]:
+        ent = stats.get(n)
+        if ent is not None and ent["rows"] == 0:
+            continue
+        rng = ent["cols"].get(key_col) if ent else None
+        if rng is None:
+            return None
+        out.append((n, rng[0], rng[1], ent["rows"]))
+    return out
+
+
+def _affected_via_range_join(
+    spark: SparkSession,
+    batch: DataFrame,
+    key_col: str,
+    ranges: list[tuple[str, object, object, int]],
+) -> tuple[list[str], int]:
+    """Which candidate files contain at least one batch key — computed
+    DISTRIBUTEDLY, so the driver never holds the batch's keys.  The file
+    ranges (O(files), already driver-resident from the manifest) become a
+    small broadcast relation; one join against the batch's keys marks each
+    file hit/miss, and only the HIT FILE NAMES come back — O(files
+    rewritten) driver rows, however many distinct keys the CDC batch
+    carries.  This is the planning path for MERGE-shaped verbs whose key
+    set lives in a DataFrame; list-keyed verbs (point DELETE / purge) keep
+    the driver-side binary-search prune, where the caller already owns the
+    key list."""
+    if not ranges:
+        return [], 0
+    rows_by_name = {n: r for n, _, _, r in ranges}
+    rng_df = spark.createDataFrame(
+        [(n, lo, hi) for n, lo, hi, _ in ranges], ["__file", "__lo", "__hi"]
+    )
+    hits = (
+        batch.select(F.col(key_col).alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .join(
+            F.broadcast(rng_df),
+            (F.col("__k") >= F.col("__lo")) & (F.col("__k") <= F.col("__hi")),
+        )
+        .select("__file")
+        .distinct()
+        .collect()
+    )
+    names = sorted(r["__file"] for r in hits)
+    return names, sum(rows_by_name[n] for n in names)
 
 
 _CARRY_CHECKS = object()  # sentinel: inherit the parent manifest's checks
@@ -338,7 +402,7 @@ def read_version(
 
 def prune_files_for_box(
     root: str, preds: dict, version: int | None = None
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, int]:
     """Multi-column scan planning off the manifest: the data files whose
     recorded ``[min, max]`` overlaps EVERY column's ``[lo, hi]`` in
     ``preds`` (a conjunctive box predicate), plus the total file count —
@@ -349,11 +413,16 @@ def prune_files_for_box(
 
     Sound, not just fast: a file missing a recorded range for ANY predicate
     column is included (missing evidence can only widen the read set, never
-    shrink the result).  Empty files are skipped — they contain no rows."""
+    shrink the result).  Empty files are skipped — they contain no rows.
+
+    Returns ``(picked, total_files, resolved_version)`` — pass the
+    resolved version to :func:`read_box` along with ``picked`` so the
+    prune and the read pin the SAME snapshot (re-resolving at read time
+    would let a concurrent commit land in between and produce a
+    mixed-snapshot read)."""
     root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
+    version = current_version(root) if version is None else version
+    manifest = _read_manifest(root, version)
     stats = manifest.get("stats") or {}
     picked = []
     for n in manifest["files"]:
@@ -370,7 +439,7 @@ def prune_files_for_box(
                 break
         if keep:
             picked.append(n)
-    return picked, len(manifest["files"])
+    return picked, len(manifest["files"]), version
 
 
 def read_box(
@@ -390,14 +459,25 @@ def read_box(
     produce a mixed-snapshot read that exists in no committed version.
     ``picked`` short-circuits the prune when the caller already planned
     the file set (e.g. for a pruning-ratio guard) — it must come from
-    :func:`prune_files_for_box` at the SAME version."""
+    :func:`prune_files_for_box` at the SAME version, so passing it
+    REQUIRES the version that prune resolved (its third return value):
+    re-resolving current_version here would let a concurrent commit land
+    between the prune and the read and produce a mixed-snapshot read
+    (old version's files, new version's schema) that exists in no
+    committed snapshot."""
     pin_reader_conf(spark)
     root = root.rstrip("/")
+    if picked is not None and version is None:
+        raise ValueError(
+            "read_box: `picked` requires the version it was pruned at "
+            "(prune_files_for_box returns it) — resolving the current "
+            "version here could span two snapshots"
+        )
     version = current_version(root) if version is None else version
     manifest = _read_manifest(root, version)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if picked is None:
-        picked, _total = prune_files_for_box(root, preds, version)
+        picked, _total, _v = prune_files_for_box(root, preds, version)
     if not picked:
         return spark.createDataFrame([], schema)
     df = spark.read.schema(schema).parquet(
@@ -448,7 +528,7 @@ def rewrite_layout(
 
 def prune_files_for_range(
     root: str, key_col: str, lo, hi, version: int | None = None
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, int]:
     """Scan planning off the manifest alone: the data files whose recorded
     ``[min, max]`` for ``key_col`` overlaps ``[lo, hi]``, plus the total
     file count — ZERO footer or data reads.  This is the read-side twin of
@@ -460,7 +540,10 @@ def prune_files_for_range(
     Sound, not just fast: any file missing a recorded range for
     ``key_col`` (legacy manifest, unsummarizable column type, all-NULL
     column) is INCLUDED — a skipped maybe-match would silently drop rows.
-    Empty files (rows == 0) are skipped; they contain no keys."""
+    Empty files (rows == 0) are skipped; they contain no keys.
+
+    Returns ``(picked, total_files, resolved_version)`` — same contract
+    as :func:`prune_files_for_box`."""
     return prune_files_for_box(root, {key_col: (lo, hi)}, version)
 
 
@@ -544,9 +627,17 @@ def add_file_blooms(
     )
 
 
+# Above this many point-lookup keys the per-needle bloom probe stops paying:
+# driver CPU is O(files × needles × k), and with needles ≫ files the
+# expected hit fraction F·(1−(1−1/F)^n) approaches every file anyway — the
+# blooms can no longer prune.  Past the bound we fall back to min/max range
+# pruning (one binary search per file, O(files · log needles) driver CPU).
+_BLOOM_PROBE_MAX_KEYS = 512
+
+
 def prune_files_for_points(
     root: str, col: str, keys: list, version: int | None = None
-) -> tuple[list[str], int]:
+) -> tuple[list[str], int, int]:
     """The data files whose manifest-embedded Bloom filter for ``col``
     might contain ANY of the point-lookup ``keys`` — planned entirely on
     the driver from the manifest (zero file/footer reads), probing with
@@ -554,14 +645,42 @@ def prune_files_for_points(
     no false negatives (a file truly containing a key always survives);
     false positives only widen the read set and the caller's residual
     filter removes them.  Files without a bloom for ``col`` are included
-    conservatively; empty files are skipped."""
+    conservatively; empty files are skipped.
+
+    The per-needle probe is a POINT-LOOKUP tool: beyond
+    ``_BLOOM_PROBE_MAX_KEYS`` needles it degrades to min/max range
+    pruning (sorted keys, one binary search per file) — both sound, and
+    the range path keeps the driver at O(files · log needles) where the
+    bloom loop would be O(files · needles).
+
+    Returns ``(picked, total_files, resolved_version)`` — pass the
+    resolved version to :func:`read_keyed_points` with ``picked`` (same
+    snapshot-spanning contract as :func:`prune_files_for_box`)."""
     from python_async_sample_spark.operators.sketches import portable_hash_py
 
     root = root.rstrip("/")
-    manifest = _read_manifest(
-        root, current_version(root) if version is None else version
-    )
+    version = current_version(root) if version is None else version
+    manifest = _read_manifest(root, version)
     stats = manifest.get("stats") or {}
+
+    if len(keys) > _BLOOM_PROBE_MAX_KEYS:
+        from bisect import bisect_left
+
+        targets = sorted(k for k in keys if k is not None)
+        picked = []
+        for n in manifest["files"]:
+            ent = stats.get(n)
+            if ent is not None and ent.get("rows") == 0:
+                continue
+            rng = ent["cols"].get(col) if ent else None
+            if rng is None:
+                picked.append(n)  # no evidence — conservatively affected
+                continue
+            i = bisect_left(targets, rng[0])
+            if i < len(targets) and targets[i] <= rng[1]:
+                picked.append(n)
+        return picked, len(manifest["files"]), version
+
     picked = []
     for n in manifest["files"]:
         ent = stats.get(n)
@@ -586,7 +705,7 @@ def prune_files_for_points(
                 break
         if hit:
             picked.append(n)
-    return picked, len(manifest["files"])
+    return picked, len(manifest["files"]), version
 
 
 def read_keyed_points(
@@ -601,14 +720,21 @@ def read_keyed_points(
     file skipping via :func:`prune_files_for_points`, then the residual
     IN filter (broadcastable-key-list semi-filter) makes it exact.  The
     version is resolved ONCE for schema and prune alike (same snapshot-
-    isolation reasoning as :func:`read_box`)."""
+    isolation reasoning as :func:`read_box`) — so passing ``picked``
+    REQUIRES the version the prune resolved (its third return value)."""
     pin_reader_conf(spark)
     root = root.rstrip("/")
+    if picked is not None and version is None:
+        raise ValueError(
+            "read_keyed_points: `picked` requires the version it was pruned "
+            "at (prune_files_for_points returns it) — resolving the current "
+            "version here could span two snapshots"
+        )
     version = current_version(root) if version is None else version
     manifest = _read_manifest(root, version)
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if picked is None:
-        picked, _total = prune_files_for_points(root, col, keys, version)
+        picked, _total, _v = prune_files_for_points(root, col, keys, version)
     if not picked:
         return spark.createDataFrame([], schema)
     return (
@@ -665,6 +791,22 @@ def set_check_constraints(spark: SparkSession, root: str, checks: list[dict]) ->
             raise ValueError(f"check needs string name and expr: {c!r}")
     parent = current_version(root)
     manifest = _read_manifest(root, parent)
+    # Fail fast on unparseable or unresolvable expressions: a typo'd check
+    # would otherwise commit fine and then fail EVERY subsequent write verb
+    # with AnalysisException (not CheckConstraintViolation) until replaced.
+    # Analysis against an empty relation of the manifest schema costs no
+    # data read — .schema forces the analyzer without an action.
+    probe = spark.createDataFrame(
+        [], T.StructType.fromJson(json.loads(manifest["schema"]))
+    )
+    for c in checks:
+        try:
+            probe.where(F.expr(c["expr"])).schema
+        except Exception as ex:
+            raise ValueError(
+                f"check {c['name']!r} does not analyze against the table "
+                f"schema: {c['expr']!r} ({ex})"
+            ) from ex
     return _commit(
         root, manifest["files"], manifest["schema"],
         f"constrain:{','.join(c['name'] for c in checks)}", parent,
@@ -730,11 +872,18 @@ def merge_into_versioned(
     snapshot to the merged one atomically, and the old version stays
     queryable for time travel until vacuumed.
 
-    Scale shape is unchanged: min/max pruning picks the affected files —
-    from the manifest's embedded stats when present (zero footer reads),
-    falling back to parquet footers for legacy manifests — only those
-    rewrite, and the driver touch is the batch's distinct keys (CDC-sized
-    by contract)."""
+    Scale shape: the driver touch is O(files), never O(batch keys).  The
+    batch is localCheckpoint-materialized once (so a non-deterministic
+    source can't pass the CHECK scan yet stage different rows, and the
+    guard/prune/rewrite actions all read the same bytes); the ANSI
+    cardinality/NULL guard is one distributed aggregate that collects at
+    most 6 offending keys; file pruning joins the batch's keys against
+    the manifest's per-file [min, max] ranges distributedly and collects
+    only the HIT FILE NAMES (:func:`_affected_via_range_join`); and the
+    matched-row removal anti-joins against the batch's own key column —
+    no key list ever materializes on the driver, so a CDC batch with
+    millions of distinct keys costs the driver the same as one with
+    ten."""
     root = root.rstrip("/")
     _require_local_path(root, "merge_into_versioned")
     pin_reader_conf(spark)
@@ -744,51 +893,87 @@ def merge_into_versioned(
     target_fields = [
         f["name"] for f in json.loads(schema_json)["fields"]
     ]
-    updates = _conform_to_schema(updates, schema_json)
+    updates = _conform_to_schema(updates, schema_json).localCheckpoint(eager=True)
     _enforce_checks(updates, manifest, "merge_into_versioned")
 
     # ANSI MERGE cardinality + NULL-key rejection (same contract as the
     # in-place verb: two updates per key has no deterministic winner, and
-    # a NULL key matches nothing meaningfully)
-    key_rows = (
-        updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    # a NULL key matches nothing meaningfully).  Detected distributively
+    # in ONE action: the per-key counts aggregate to three scalars and
+    # only those reach the driver; offending keys are collected (capped)
+    # solely on the failure path, for the error message.
+    probe = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_null"),
+            F.coalesce(
+                F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_dupe"),
+        )
+        .first()
     )
-    if any(r[key_col] is None for r in key_rows):
+    if probe["n_null"]:
         raise ValueError("merge_into_versioned: NULL update key")
-    dupes = sorted(r[key_col] for r in key_rows if r["__n"] > 1)
-    if dupes:
+    if probe["n_dupe"]:
+        dupes = sorted(
+            r[key_col]
+            for r in updates.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(5)
+            .collect()
+        )
         raise ValueError(
-            f"merge_into_versioned: duplicate update keys {dupes[:5]} — ANSI "
+            f"merge_into_versioned: duplicate update keys {dupes} — ANSI "
             "MERGE cardinality violation"
         )
-    targets = sorted(r[key_col] for r in key_rows)
-    n_updates = len(key_rows)
+    n_updates = probe["n_rows"]  # == distinct keys (no dupes above)
     if n_updates == 0:
         return {
             "version": parent, "rewritten": 0, "untouched": len(manifest["files"]),
             "upserted_rows": 0, "replaced_rows": 0,
         }
 
-    pruned = _affected_from_manifest(manifest, key_col, targets)
-    if pruned is not None:
-        names_hit, rows_before = pruned
-        affected = [f"{root}/{_DATA_DIR}/{n}" for n in names_hit]
-    else:  # legacy manifest without embedded stats: open footers
+    ranges = _file_ranges_from_manifest(manifest, key_col)
+    if ranges is None:  # legacy manifest without embedded stats: open footers
+        from python_async_sample_spark.sources.layout import _file_key_ranges
+
         paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
-        affected, rows_before = _prune_files_by_key_stats(paths, key_col, targets)
-    affected_names = {os.path.basename(p) for p in affected}
+        ranges = [
+            (os.path.basename(p), lo, hi, rows)
+            for p, lo, hi, rows in _file_key_ranges(paths, key_col)
+        ]
+        # stats-less files are conservatively affected: fold them in as
+        # hit unconditionally by giving the join an always-true range is
+        # impossible for arbitrary key types, so partition the set instead
+        no_stats = [r for r in ranges if r[1] is None]
+        ranges = [r for r in ranges if r[1] is not None]
+        forced_names = [n for n, _, _, _ in no_stats]
+        forced_rows = sum(r for _, _, _, r in no_stats)
+    else:
+        forced_names, forced_rows = [], 0
+    names_hit, rows_hit = _affected_via_range_join(spark, updates, key_col, ranges)
+    names_hit = sorted(set(names_hit) | set(forced_names))
+    rows_before = rows_hit + forced_rows
+    affected = [f"{root}/{_DATA_DIR}/{n}" for n in names_hit]
+    affected_names = set(names_hit)
 
     if affected:
         # read with the MANIFEST schema: files from before an add_column
         # commit surface the evolved column as NULL, so kept ∪ updates
-        # always line up even across schema versions
-        kept = _drop_keys(
-            spark,
+        # always line up even across schema versions.  Matched rows are
+        # removed by anti-joining against the batch's OWN key column — a
+        # distributed relation, types already conformed, no driver list.
+        kept = (
             spark.read.schema(T.StructType.fromJson(json.loads(schema_json)))
-            .parquet(*affected),
-            key_col,
-            targets,
-        ).select(*target_fields)
+            .parquet(*affected)
+            .join(updates.select(key_col), key_col, "left_anti")
+            .select(*target_fields)
+        )
         staged_df = kept.unionByName(updates)
     else:
         staged_df = updates
@@ -929,6 +1114,12 @@ def commit_stream_epoch(
             "table, not a replay; refusing to guess which batch is real"
         )
     epoch_batch = _conform_to_schema(batch_df, manifest["schema"])
+    if manifest.get("checks"):
+        # pin the batch bytes: without this, a non-deterministic source
+        # could pass the CHECK scan yet stage different (violating) rows
+        # in the second evaluation — the 'a bad batch fails its own
+        # commit' guarantee must span both actions
+        epoch_batch = epoch_batch.localCheckpoint(eager=True)
     _enforce_checks(epoch_batch, manifest, "commit_stream_epoch")
     new_names = _stage_files(epoch_batch, root, n_files)
     ledger[key] = fingerprint
@@ -950,6 +1141,9 @@ def append_versioned(
     parent = current_version(root)
     manifest = _read_manifest(root, parent)
     batch = _conform_to_schema(df, manifest["schema"])
+    if manifest.get("checks"):
+        # same CHECK-vs-stage determinism pin as commit_stream_epoch
+        batch = batch.localCheckpoint(eager=True)
     _enforce_checks(batch, manifest, "append_versioned")
     new_names = _stage_files(batch, root, n_files)
     return _commit(

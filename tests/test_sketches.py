@@ -308,3 +308,18 @@ def test_portable_hash_py_matches_spark(spark):
         }
         for k in keys:
             assert got[k] == portable_hash_py(k, i), (k, i)
+
+
+def test_hll_estimate_empty_relation_returns_default_row(spark):
+    # estimating an EMPTY table must yield one (v_zero=m, est=0.0) row, not
+    # zero rows — the grouped delegation regressed this once (ADVICE r5)
+    from python_async_sample_spark.operators.sketches import (
+        hll_portable_estimate,
+        hll_portable_registers,
+    )
+
+    empty = spark.createDataFrame([], "k bigint")
+    regs = hll_portable_registers(empty, "k", m=64)
+    rows = hll_portable_estimate(regs, m=64).collect()
+    assert len(rows) == 1
+    assert rows[0]["v_zero"] == 64 and rows[0]["est"] == 0.0

@@ -718,13 +718,13 @@ def test_read_keyed_range_prunes_and_stays_exact(spark, root):
         "k bigint, v string",
     )
     create_table(spark, root, df, n_files=8, layout_col="k")
-    picked, total = prune_files_for_range(root, "k", 20, 30)
+    picked, total, _v = prune_files_for_range(root, "k", 20, 30)
     assert total == 8
     assert 1 <= len(picked) <= 3  # an 11-wide range over ~13-wide files
     got = read_keyed_range(spark, root, "k", 20, 30)
     assert sorted(r["k"] for r in got.collect()) == list(range(20, 31))
     # degenerate range below all keys: zero files, empty frame, same schema
-    none_picked, _ = prune_files_for_range(root, "k", -10, -5)
+    none_picked, _, _v = prune_files_for_range(root, "k", -10, -5)
     assert none_picked == []
     empty = read_keyed_range(spark, root, "k", -10, -5)
     assert empty.count() == 0 and empty.columns == ["k", "v"]
@@ -744,7 +744,7 @@ def test_read_keyed_range_falls_back_without_stats(spark, root):
         [(i,) for i in range(1, 41)], "i bigint"
     ).select(F.col("i").cast("decimal(10,2)").alias("k"), F.col("i").alias("v"))
     create_table(spark, root, df, n_files=4, layout_col="v")
-    picked, total = prune_files_for_range(root, "k", 5, 10)
+    picked, total, _v = prune_files_for_range(root, "k", 5, 10)
     assert len(picked) == total == 4  # no stats -> conservatively affected
     got = read_keyed_range(spark, root, "k", 5, 10)
     assert sorted(r["v"] for r in got.collect()) == list(range(5, 11))
@@ -767,11 +767,11 @@ def test_rewrite_layout_enables_box_pruning(spark, root):
     )
     create_table(spark, root, df, n_files=16)
     box = {"x": (8, 15), "y": (16, 31)}
-    v0_picked, total = prune_files_for_box(root, box, version=0)
+    v0_picked, total, _v = prune_files_for_box(root, box, version=0)
     assert len(v0_picked) == total == 16  # every file spans the key space
     v1 = rewrite_layout(spark, root, "x", "y", n_files=16)
     assert v1 == 1
-    picked, total = prune_files_for_box(root, box)
+    picked, total, _v = prune_files_for_box(root, box)
     assert len(picked) < total // 2, (len(picked), total)
     got = read_box(spark, root, box)
     expect = df.where(F.col("x").between(8, 15) & F.col("y").between(16, 31))
@@ -856,13 +856,13 @@ def test_file_blooms_skip_scattered_point_lookups(spark, root):
     add_file_blooms(spark, root, "tid")
     needle = (1234 * 2654435761) % 4294967296
     # range stats on tid are useless by construction
-    r_picked, total = prune_files_for_range(root, "tid", needle, needle)
+    r_picked, total, _v = prune_files_for_range(root, "tid", needle, needle)
     assert len(r_picked) == total == 8
-    b_picked, _ = prune_files_for_points(root, "tid", [needle])
+    b_picked, _, _v = prune_files_for_points(root, "tid", [needle])
     assert len(b_picked) <= 2  # one true file + fp slack
     got = read_keyed_points(spark, root, "tid", [needle]).collect()
     assert [r["k"] for r in got] == [1234]
-    absent, _ = prune_files_for_points(root, "tid", [7])  # 7 is no Knuth hash here
+    absent, _, _v = prune_files_for_points(root, "tid", [7])  # 7 is no Knuth hash here
     assert absent == [] or len(absent) <= 1  # fp slack only
     assert read_keyed_points(spark, root, "tid", [7]).count() == 0
 
@@ -911,3 +911,47 @@ def test_check_constraints_enforced_and_carried(spark, root):
     ]
     with pytest.raises(CheckConstraintViolation):
         append_versioned(spark, root, bad)
+
+
+def test_merge_driver_touch_is_o_files_not_o_keys(spark, root, monkeypatch):
+    """VERDICT r5 item 2's done-criterion: a MERGE batch with ~1M distinct
+    keys must keep driver-resident state bounded by O(files), never
+    O(distinct keys).  Every driver-bound row materialization in classic
+    PySpark funnels through DataFrame.collect (first/head/take are
+    limit+collect) — meter it and assert the whole merge collects fewer
+    rows than a small file-proportional bound.  Before the rework the
+    ANSI-cardinality guard alone collected one row per distinct key."""
+    import pyspark.sql.classic.dataframe as _cdf
+
+    target = spark.range(2_000_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    create_table(spark, root, target, n_files=16, layout_col="k")
+
+    # 1M distinct update keys spread over the whole key space: every file
+    # is legitimately affected — the bound must hold even then
+    updates = spark.range(1_000_000).select(
+        (F.col("id") * 2).alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+
+    collected_rows = 0
+    real_collect = _cdf.DataFrame.collect
+
+    def metered_collect(self):
+        nonlocal collected_rows
+        rows = real_collect(self)
+        collected_rows += len(rows)
+        return rows
+
+    monkeypatch.setattr(_cdf.DataFrame, "collect", metered_collect)
+    res = merge_into_versioned(spark, root, updates, "k")
+    monkeypatch.undo()
+
+    assert res["rewritten"] == 16 and res["upserted_rows"] == 1_000_000
+    # bound: hit-file names + the (empty) offending-keys probe + slack for
+    # incidental metadata probes; one row per KEY would be 1M
+    assert collected_rows <= 16 + 16, collected_rows
+    head = read_version(spark, root)
+    assert head.count() == 2_000_000
+    assert head.where("v = -1").count() == 1_000_000
+    assert head.where("k % 2 = 1 AND v = -1").count() == 0
