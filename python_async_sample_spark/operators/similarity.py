@@ -299,6 +299,99 @@ def hyperplane_buckets(
     )
 
 
+def cosine_pairs_blocked_gemm(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, block_col: str
+) -> DataFrame:
+    """:func:`cosine_pairs` semantics (pairs d1 < d2 with cosine ≥
+    threshold WITHIN equal ``block_col`` groups) at BLAS speed: one
+    applyInPandas kernel per block computes the block's upper-triangle
+    similarity matrix as a single numpy GEMM, instead of one interpreted
+    expression tree per candidate pair (~100× slower at identical
+    arithmetic — the constant that made blocked SemDeDup look quadratic
+    long before its candidate count did).  Task memory holds one block's
+    vectors — bounded by the blocker's bucket-size contract, exactly what
+    the quantizer's plane count is chosen for."""
+    d = as_double(df, vec_col)
+    empty = pd.DataFrame({"d1": [], "d2": [], "cosine": []})
+
+    def kernel(pdf):
+        if len(pdf) < 2:
+            return empty
+        xs = np.vstack(pdf["_v"].to_numpy())
+        xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+        ids = pdf["_id"].to_numpy()
+        sim = xs @ xs.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sim[iu, ju] >= threshold
+        a, b = ids[iu][keep], ids[ju][keep]
+        return pd.DataFrame(
+            {
+                "d1": np.minimum(a, b),
+                "d2": np.maximum(a, b),
+                "cosine": sim[iu, ju][keep],
+            }
+        )
+
+    return (
+        d.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(block_col).alias("_b"),
+        )
+        .groupBy("_b")
+        .applyInPandas(kernel, schema="d1 bigint, d2 bigint, cosine double")
+    )
+
+
+def portable_hyperplane_buckets(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int = 64
+) -> DataFrame:
+    """Sign-bit hyperplane codes whose plane coefficients come from the
+    PORTABLE 32-bit mixer (operators.sketches.portable_hash_py) instead of
+    numpy's RandomState — so a SQL engine can regenerate every coefficient
+    (``p(j, d) = h(j·dim + d) / 2^32 · 2 − 1``) and replay the whole
+    bucketing, making the quantizer hash-oracle-able, not just
+    error-banded.  One (id, bucket) row per vector; the projections run
+    as a single Arrow GEMM per batch, same scale shape as
+    :func:`hyperplane_buckets`.
+
+    Cross-engine caveat: the dot products are float sums whose order
+    differs between numpy's GEMM and SQL's sequential sum, so a
+    projection landing within an ulp of exactly 0 could flip its sign
+    bit.  The coefficients and data are O(1) magnitudes, so that window
+    is ~1e-16 relative — far rarer than the quantized-rank boundaries
+    every float oracle here already accepts."""
+    from python_async_sample_spark.operators.sketches import portable_hash_py
+
+    planes = np.array(
+        [
+            [
+                portable_hash_py(j * dim + d0, 0) / 2**32 * 2 - 1
+                for d0 in range(dim)
+            ]
+            for j in range(n_planes)
+        ]
+    )
+    weights = np.power(2, np.arange(n_planes), dtype=np.int64)
+    d = as_double(df, vec_col)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = np.vstack(pdf["_v"].to_numpy())
+            bits = (xs @ planes.T >= 0).astype(np.int64)
+            yield pd.DataFrame(
+                {"_id": pdf["_id"].to_numpy(), "bucket": bits @ weights}
+            )
+
+    return (
+        d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .mapInPandas(kernel, schema="_id bigint, bucket bigint")
+        .select(F.col("_id").alias(id_col), "bucket")
+    )
+
+
 def _kmeans(sample: np.ndarray, k: int, iters: int, seed: int) -> np.ndarray:
     """Seeded spherical k-means on a driver-side sample (Lloyd iterations on
     normalized vectors; empty clusters re-seeded deterministically)."""

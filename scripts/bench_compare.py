@@ -10,9 +10,20 @@ Usage:
     python bench.py | tail -1 > /tmp/bench.json
     python scripts/bench_compare.py /tmp/bench.json
     python scripts/bench_compare.py --run        # runs bench.py itself
+    python scripts/bench_compare.py /tmp/bench.json --refresh [--allow-lower]
 
 Exits 1 listing regressed queries, 0 otherwise. New queries (absent from the
 baseline) are reported informationally and never fail the gate.
+
+BASELINE REFRESH PROTOCOL (the one way BENCH_BASELINE.json may change —
+recorded in BASELINE.md): ``--refresh`` min-merges the given run into the
+baseline.  New queries are added; an existing entry is NEVER raised (a
+raised baseline is exactly how a regression hides behind a "refresh"); and
+an existing entry is only LOWERED when ``--allow-lower`` is passed
+explicitly (a lucky scheduler-quiet run would otherwise tighten the gate
+into false positives silently).  Historical raw tails stay committed as
+BENCH_r{N}.json, so any baseline change is diffable against the runs that
+justified it.
 """
 
 from __future__ import annotations
@@ -49,19 +60,61 @@ def load_current(args) -> dict:
         return json.load(f)
 
 
+def refresh_baseline(base: dict, cur: dict, allow_lower: bool) -> tuple[dict, list[str]]:
+    """Min-merge ``cur`` into ``base`` under the refresh protocol: add new
+    entries, never raise an existing one, lower only when ``allow_lower``.
+    Returns (merged, report lines)."""
+    merged = dict(base)
+    report = []
+    for name, t in sorted(cur.items()):
+        b = base.get(name)
+        if b is None:
+            merged[name] = t
+            report.append(f"ADDED    {name}: {t:.2f}s")
+        elif t < b:
+            if allow_lower:
+                merged[name] = t
+                report.append(f"LOWERED  {name}: {b:.2f}s -> {t:.2f}s")
+            else:
+                report.append(
+                    f"KEPT     {name}: {b:.2f}s (run was {t:.2f}s; pass "
+                    "--allow-lower to tighten)"
+                )
+        # t >= b: an entry is NEVER raised — that is how regressions hide
+    return merged, report
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("bench_json", nargs="?", help="file holding bench.py's JSON line")
     p.add_argument("--run", action="store_true", help="run bench.py now")
     p.add_argument("--factor", type=float, default=2.0)
     p.add_argument("--slack", type=float, default=1.0, help="absolute seconds of tolerated jitter")
+    p.add_argument("--refresh", action="store_true",
+                   help="min-merge this run into BENCH_BASELINE.json (protocol above)")
+    p.add_argument("--allow-lower", action="store_true",
+                   help="with --refresh: permit lowering existing baseline entries")
     args = p.parse_args()
     if not args.run and not args.bench_json:
         p.error("pass a bench JSON file or --run")
 
-    with open(os.path.join(REPO, "BENCH_BASELINE.json")) as f:
-        base = json.load(f)["queries"]
+    baseline_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    with open(baseline_path) as f:
+        base_doc = json.load(f)
+    base = base_doc["queries"]
     cur = load_current(args)["queries"]
+
+    if args.refresh:
+        merged, report = refresh_baseline(base, cur, args.allow_lower)
+        for line in report:
+            print(line)
+        base_doc["queries"] = merged
+        with open(baseline_path, "w") as f:
+            json.dump(base_doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"\nbaseline refreshed: {len(merged)} entries "
+              f"({sum(1 for l in report if l.startswith('ADDED'))} added)")
+        return 0
 
     regressed, improved, new = [], [], []
     for name, t in sorted(cur.items()):

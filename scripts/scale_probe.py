@@ -222,35 +222,20 @@ def probed_paths(spark):
         lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k))))
 
     def _semdedup(sf_dir):
-        # SemDeDup's scale contract is constant expected block size (the
-        # paper scales its cluster count with N), so within-block candidate
-        # pairs grow LINEARLY with the corpus.  Crucially the COARSE
-        # QUANTIZER must also be sub-quadratic: flat Lloyd's with k ∝ N
-        # costs O(N·k·d) per assignment pass = quadratic in N (measured
-        # 30× time at 10× corpus before this path switched), so the probe
-        # blocks with the random-hyperplane quantizer instead — one linear
-        # GEMM pass, planes ∝ log(N) holding expected bucket size ≈ 1250.
-        # The registered q200 keeps k-means (k=8) as the oracle face; this
-        # is its deployment-scale shape.
-        import math
+        # Probes the REGISTERED q200 (round-6: the hyperplane-quantizer
+        # face with planes ∝ log N was promoted from this probe to the
+        # registry per VERDICT r5 item 3).  SemDeDup's scale contract is
+        # constant expected block size — the quantizer is one linear GEMM
+        # pass and within-block candidate pairs grow LINEARLY with the
+        # corpus.  The previously-registered fixed-k k-means face (now
+        # q212, the exactness twin) measured 25-30× time at 10× corpus
+        # here: flat Lloyd's with k ∝ N is O(N·k·d) = quadratic, and
+        # fixed k makes the pair mining O(N²/k).
+        from python_async_sample_spark.plans.registry import QUERIES, load_all
 
-        from python_async_sample_spark.operators.cluster import dedup_clusters
-        from python_async_sample_spark.operators.similarity import (
-            cosine_pairs,
-            hyperplane_buckets,
-        )
-
-        emb = load_table(spark, sf_dir, "embeddings")
-        n = emb.count()
-        planes = max(3, math.ceil(math.log2(max(2, n // 1250))))
-        buckets = hyperplane_buckets(
-            emb, "vec_id", "embedding", n_planes=planes, dim=64
-        ).select("vec_id", "bucket")
-        blocked = emb.join(buckets, "vec_id").localCheckpoint(eager=False)
-        pairs = cosine_pairs(
-            blocked, "vec_id", "embedding", threshold=0.45, block_col="bucket"
-        ).select("d1", "d2")
-        return dedup_clusters(blocked, pairs, "vec_id")
+        if not QUERIES:
+            load_all()
+        return QUERIES["q200_semdedup_prune"].fn(spark, sf_dir)
 
     paths.append(("semdedup_prune", _semdedup))
     return paths

@@ -78,3 +78,22 @@ def test_fail_on_rejects_unknown_rule_names(spark):
     bad = E.fail_on(report, ["not_null(K)"])  # wrong case
     with pytest.raises(Exception, match="match no report rule"):
         bad.count()
+
+
+def test_refresh_baseline_protocol():
+    # BASELINE.md's refresh rules: add new, never raise, lower only with flag
+    from scripts.bench_compare import refresh_baseline
+
+    base = {"q1": 1.0, "q2": 2.0, "q3": 3.0}
+    cur = {"q1": 0.5, "q2": 9.0, "q4": 4.0}
+
+    merged, report = refresh_baseline(base, cur, allow_lower=False)
+    assert merged["q1"] == 1.0          # lower refused without the flag
+    assert merged["q2"] == 2.0          # NEVER raised
+    assert merged["q3"] == 3.0          # untouched entries survive
+    assert merged["q4"] == 4.0          # new entries added
+    assert any(line.startswith("KEPT") for line in report)
+
+    merged2, _ = refresh_baseline(base, cur, allow_lower=True)
+    assert merged2["q1"] == 0.5         # lowered with the flag
+    assert merged2["q2"] == 2.0         # still never raised

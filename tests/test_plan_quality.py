@@ -381,14 +381,18 @@ def test_portable_simhash_is_one_aggregate_no_python(spark, sf_dir):
 
 
 def test_semdedup_pairs_are_cluster_equi_joins(spark, sf_dir):
-    """q200's pair mining must key on the k-means cluster label — the
+    """q200's pair mining must stay inside its quantizer blocks — the
     whole point of SemDeDup's cluster-first design; a cartesian or
     nested-loop anywhere would be the corpus x corpus blowup the
-    clustering exists to prevent."""
-    df = SPECS["q200_semdedup_prune"].fn(spark, sf_dir)
-    plan = plan_str(df, "simple")
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    blocking exists to prevent.  Round 6: the registered face blocks with
+    the log-N-plane hyperplane quantizer and mines pairs via a per-bucket
+    GEMM (FlatMapGroupsInPandas keyed on the bucket), so the same
+    no-cartesian gate applies to both it and the k-means twin q212."""
+    for name in ("q200_semdedup_prune", "q212_semdedup_kmeans"):
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = plan_str(df, "simple")
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
 
 
 def test_histogram_sketch_is_partial_aggregate_no_python(spark, sf_dir):

@@ -161,6 +161,70 @@ def test_all_pairs_topk_never_emits_self_pairs_when_k_exceeds_corpus(spark):
     assert c == {0: 2, 1: 2, 2: 2}
 
 
+def test_blocked_gemm_matches_expression_pairs(spark, sf_dir):
+    """q200's per-bucket GEMM kernel (cosine_pairs_blocked_gemm) must return
+    exactly the expression-tree cosine_pairs answer on the same blocked
+    input — same (d1, d2) set and cosines to fp tolerance. Same arithmetic,
+    ~100x the speed; this pins that the speedup changed nothing."""
+    from python_async_sample_spark.operators.similarity import (
+        cosine_pairs,
+        cosine_pairs_blocked_gemm,
+    )
+
+    # two COARSE buckets (odd/even id) so planted near-dup pairs survive the
+    # blocking at sf0.001 — random fine-grained blocking would separate them
+    # and vacuously compare empty sets
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.pmod(F.col("vec_id"), F.lit(2))
+    )
+    a = {
+        (r["d1"], r["d2"]): round(r["cosine"], 9)
+        for r in cosine_pairs_blocked_gemm(
+            emb, "vec_id", "embedding", threshold=0.45, block_col="bucket"
+        ).collect()
+    }
+    b = {
+        (r["d1"], r["d2"]): round(r["cosine"], 9)
+        for r in cosine_pairs(
+            emb, "vec_id", "embedding", 0.45, "bucket"
+        ).collect()
+    }
+    assert set(a) == set(b) and a  # same pair set, non-empty
+    assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
+
+
+def test_portable_hyperplane_buckets_python_replayable(spark, sf_dir):
+    """q200's quantizer contract: every plane coefficient derives from the
+    portable 32-bit mixer, so a pure-Python replay (no numpy GEMM, no
+    Spark) must reproduce every bucket code bit for bit — the property the
+    DuckDB oracle depends on."""
+    from python_async_sample_spark.operators.similarity import (
+        portable_hyperplane_buckets,
+    )
+    from python_async_sample_spark.operators.sketches import portable_hash_py
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    n_planes = 5
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in portable_hyperplane_buckets(
+            emb, "vec_id", "embedding", n_planes=n_planes, dim=64
+        ).collect()
+    }
+    planes = [
+        [portable_hash_py(j * 64 + d, 0) / 2**32 * 2 - 1 for d in range(64)]
+        for j in range(n_planes)
+    ]
+    for r in emb.select("vec_id", "embedding").collect():
+        v = [float(x) for x in r["embedding"]]
+        code = sum(
+            (1 << j)
+            for j in range(n_planes)
+            if sum(p * x for p, x in zip(planes[j], v)) >= 0
+        )
+        assert got[r["vec_id"]] == code, r["vec_id"]
+
+
 def test_cosine_pairs_requires_blocking_and_plans_equi_join(spark):
     """VERDICT r3 item 4: the unblocked quadratic variant is unreachable —
     block_col is required (falsy → ValueError), and the blocked path plans
