@@ -343,6 +343,61 @@ def cosine_pairs_blocked_gemm(
     )
 
 
+def cosine_pairs_blocked_gemm_incremental(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    block_col: str,
+    is_new_col: str,
+) -> DataFrame:
+    """:func:`cosine_pairs_blocked_gemm` restricted to pairs TOUCHING the
+    new batch (``is_new_col`` true): per block the GEMM is batch-rows ×
+    all-rows, so history×history similarities are never computed — the
+    property that makes continuous semantic dedup affordable (per-day cost
+    scales with the batch, not the accumulated corpus).  Emitted pairs are
+    (d1 < d2) with at least one batch member; a batch–batch pair inside a
+    block is emitted once (from its lower-id side).  Work per block =
+    |batch ∩ block| × |block|; with the quantizer holding expected block
+    size constant, total work is linear in the batch."""
+    d = as_double(df, vec_col)
+    empty = pd.DataFrame({"d1": [], "d2": [], "cosine": []})
+
+    def kernel(pdf):
+        new_mask = pdf["_new"].to_numpy()
+        if len(pdf) < 2 or not new_mask.any():
+            return empty
+        xs = np.vstack(pdf["_v"].to_numpy())
+        xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+        ids = pdf["_id"].to_numpy()
+        bx, bid = xs[new_mask], ids[new_mask]
+        sim = bx @ xs.T
+        bi, aj = np.nonzero(sim >= threshold)
+        # drop self-pairs and the double-counted batch–batch upper side:
+        # keep history partners always, batch partners only when their id
+        # is greater than the batch row's (one emission per pair)
+        keep = (ids[aj] != bid[bi]) & (~new_mask[aj] | (ids[aj] > bid[bi]))
+        a, b = bid[bi][keep], ids[aj][keep]
+        return pd.DataFrame(
+            {
+                "d1": np.minimum(a, b),
+                "d2": np.maximum(a, b),
+                "cosine": sim[bi, aj][keep],
+            }
+        )
+
+    return (
+        d.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col(block_col).alias("_b"),
+            F.col(is_new_col).cast("boolean").alias("_new"),
+        )
+        .groupBy("_b")
+        .applyInPandas(kernel, schema="d1 bigint, d2 bigint, cosine double")
+    )
+
+
 def portable_hyperplane_buckets(
     df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int = 64
 ) -> DataFrame:

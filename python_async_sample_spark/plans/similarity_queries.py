@@ -849,3 +849,147 @@ def q212_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_group").cast("bigint").alias("dup_group"),
         (F.col("rn") == 1).alias("is_kept"),
     ).orderBy("vec_id")
+
+
+def _incremental_semdedup_oracle() -> str:
+    from python_async_sample_spark.operators.sketches import portable_hash_sql
+
+    p_expr = portable_hash_sql("j * 64 + (i - 1)", 0)
+    return f"""
+    WITH RECURSIVE
+    pts AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+             (vec_id % 4 = 0) AS is_new
+      FROM embeddings
+    ),
+    pn AS (
+      SELECT greatest(3, CAST(ceil(log2(greatest(2, count(*) // 312))) AS INT)) AS np
+      FROM pts
+    ),
+    dimspine AS (SELECT unnest(generate_series(1, 64)) AS i),
+    planes AS MATERIALIZED (
+      SELECT j, i - 1 AS dim,
+             ({p_expr}) / 4294967296.0 * 2 - 1 AS p
+      FROM (SELECT unnest(generate_series(0, (SELECT np - 1 FROM pn))) AS j)
+      CROSS JOIN dimspine
+    ),
+    dims AS MATERIALIZED (
+      SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
+      WHERE i <= len(v)
+    ),
+    codes AS MATERIALIZED (
+      SELECT id,
+             CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM (
+        SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
+        FROM dims d JOIN planes pl ON pl.dim = d.dim
+        GROUP BY 1, 2
+      ) GROUP BY id
+    ),
+    emb2 AS MATERIALIZED (
+      SELECT c.id AS vec_id, c.bucket, p.v, p.is_new
+      FROM codes c JOIN pts p USING (id)
+    ),
+    prs AS MATERIALIZED (
+      -- only pairs TOUCHING the batch: history x history never mined
+      SELECT x.vec_id AS da, y.vec_id AS db
+      FROM emb2 x JOIN emb2 y
+        ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+      WHERE (x.is_new OR y.is_new)
+        AND list_cosine_similarity(x.v, y.v) >= 0.45
+    ),
+    edges AS (SELECT da AS n, db AS m FROM prs UNION SELECT db, da FROM prs),
+    nodes AS (
+      SELECT vec_id AS n FROM emb2 WHERE is_new
+      UNION SELECT da FROM prs UNION SELECT db FROM prs
+    ),
+    reach(n, r) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+    ),
+    comp AS (SELECT n AS vec_id, min(r) AS cluster_id FROM reach GROUP BY n)
+    SELECT e.vec_id, CAST(e.bucket AS BIGINT) AS bucket,
+           CAST(c.cluster_id AS BIGINT) AS cluster_id,
+           (c.cluster_id = e.vec_id) AS is_new_canonical
+    FROM emb2 e JOIN comp c USING (vec_id)
+    WHERE e.is_new
+    ORDER BY e.vec_id
+    """
+
+
+@query(
+    "q213_incremental_semdedup",
+    oracle=_incremental_semdedup_oracle(),
+    ref=(
+        "incremental SemDeDup: a NEW embedding batch deduped against the "
+        "already-deduped corpus through the persisted hyperplane index "
+        "(beyond reference; the semantic twin of q147's incremental "
+        "MinHash dedup — history x history pairs are never re-mined)"
+    ),
+    tags=("llm-data", "dedup", "similarity", "incremental", "scale"),
+)
+def q213_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest semantic dedup: the new batch (vec_id % 4 == 0)
+    is quantized with the SAME portable hyperplane planes the history was
+    indexed under (in production the plane set is frozen in the index
+    metadata, like a manifest schema — re-planing is an offline rewrite
+    job, not an ingest step), candidates are mined per bucket with a
+    batch-rows x all-rows GEMM so history x history similarities are never
+    computed, and each batch vector attaches to the min-id member of its
+    reachable batch-touching component — an existing history doc when one
+    matches (directly or through other batch docs), else the batch doc
+    forms/joins a new cluster and the min id is the new canonical.
+
+    A batch doc bridging two existing clusters attaches to the older
+    (min-id) one; merging the bridged HISTORY clusters is offline
+    compaction's job, not ingest's — ingest only ever reads history, it
+    never relabels it.
+
+    100-TB posture: per-day cost is |batch| x expected-bucket-size GEMM
+    work plus one shuffle of (id, bucket) — linear in the batch, constant
+    in the accumulated corpus; the closure runs over batch-touching edges
+    only (diameter-bounded like q39/q78).  Fully hash-matched: the oracle
+    regenerates the planes, codes, the batch-touching pair set, the
+    closure, and every attachment decision."""
+    import math
+
+    from python_async_sample_spark.operators.cluster import connected_components
+    from python_async_sample_spark.operators.similarity import (
+        cosine_pairs_blocked_gemm_incremental,
+        portable_hyperplane_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes = max(3, math.ceil(math.log2(max(2, n // 312))))
+    buckets = portable_hyperplane_buckets(
+        emb, "vec_id", "embedding", n_planes=n_planes, dim=64
+    )
+    tagged = (
+        emb.join(buckets, "vec_id")
+        .withColumn("is_new", F.col("vec_id") % 4 == 0)
+        .localCheckpoint(eager=False)
+    )
+    pairs = cosine_pairs_blocked_gemm_incremental(
+        tagged, "vec_id", "embedding",
+        threshold=0.45, block_col="bucket", is_new_col="is_new",
+    ).select("d1", "d2")
+    comp = connected_components(pairs, "d1", "d2")
+    batch = tagged.where(F.col("is_new")).select("vec_id", "bucket")
+    return (
+        batch.join(comp, batch["vec_id"] == comp["n"], "left")
+        .select(
+            "vec_id",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            F.coalesce(F.col("component"), F.col("vec_id"))
+            .cast("bigint")
+            .alias("cluster_id"),
+            (
+                F.coalesce(F.col("component"), F.col("vec_id"))
+                == F.col("vec_id")
+            ).alias("is_new_canonical"),
+        )
+        .orderBy("vec_id")
+    )

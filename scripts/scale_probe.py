@@ -71,6 +71,9 @@ DRIVER_ROW_CAPS = {
     # the LSH coarse quantizer collects nothing (one mapInPandas GEMM);
     # components' emptiness probes are 0-row driver touches
     "semdedup_prune": 200,
+    # q213 additionally collects the corpus count (one row) for the plane
+    # formula and the per-round convergence probes (limit(1) counts)
+    "incremental_semdedup": 200,
 }
 
 
@@ -238,6 +241,19 @@ def probed_paths(spark):
         return QUERIES["q200_semdedup_prune"].fn(spark, sf_dir)
 
     paths.append(("semdedup_prune", _semdedup))
+
+    def _incr_semdedup(sf_dir):
+        # q213: the batch (1/4 of the corpus) grows WITH the corpus, but
+        # per-bucket work is batch-rows x bucket-size — with the log-N
+        # plane count holding bucket size constant, total time must track
+        # the batch linearly, never history x history.
+        from python_async_sample_spark.plans.registry import QUERIES, load_all
+
+        if not QUERIES:
+            load_all()
+        return QUERIES["q213_incremental_semdedup"].fn(spark, sf_dir)
+
+    paths.append(("incremental_semdedup", _incr_semdedup))
     return paths
 
 

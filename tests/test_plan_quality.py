@@ -388,7 +388,11 @@ def test_semdedup_pairs_are_cluster_equi_joins(spark, sf_dir):
     the log-N-plane hyperplane quantizer and mines pairs via a per-bucket
     GEMM (FlatMapGroupsInPandas keyed on the bucket), so the same
     no-cartesian gate applies to both it and the k-means twin q212."""
-    for name in ("q200_semdedup_prune", "q212_semdedup_kmeans"):
+    for name in (
+        "q200_semdedup_prune",
+        "q212_semdedup_kmeans",
+        "q213_incremental_semdedup",
+    ):
         df = SPECS[name].fn(spark, sf_dir)
         plan = plan_str(df, "simple")
         assert "CartesianProduct" not in plan, (name, plan)

@@ -193,6 +193,38 @@ def test_blocked_gemm_matches_expression_pairs(spark, sf_dir):
     assert all(abs(a[k] - b[k]) < 1e-6 for k in a)
 
 
+def test_incremental_gemm_is_touching_subset_of_full(spark, sf_dir):
+    """q213's kernel contract: cosine_pairs_blocked_gemm_incremental must
+    emit EXACTLY the full blocked-GEMM pair set restricted to pairs
+    touching the batch — nothing extra (no history x history), nothing
+    missing (no dropped batch pair), each batch-batch pair exactly once."""
+    from python_async_sample_spark.operators.similarity import (
+        cosine_pairs_blocked_gemm,
+        cosine_pairs_blocked_gemm_incremental,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", F.pmod(F.col("vec_id"), F.lit(2)))
+        .withColumn("is_new", F.col("vec_id") % 4 == 0)
+    )
+    full = {
+        (r["d1"], r["d2"]): round(r["cosine"], 9)
+        for r in cosine_pairs_blocked_gemm(
+            emb, "vec_id", "embedding", threshold=0.45, block_col="bucket"
+        ).collect()
+    }
+    touching = {k: v for k, v in full.items() if k[0] % 4 == 0 or k[1] % 4 == 0}
+    inc_rows = cosine_pairs_blocked_gemm_incremental(
+        emb, "vec_id", "embedding",
+        threshold=0.45, block_col="bucket", is_new_col="is_new",
+    ).collect()
+    inc = {(r["d1"], r["d2"]): round(r["cosine"], 9) for r in inc_rows}
+    assert len(inc_rows) == len(inc), "a pair was emitted more than once"
+    assert set(inc) == set(touching) and touching
+    assert all(abs(inc[k] - touching[k]) < 1e-6 for k in inc)
+
+
 def test_portable_hyperplane_buckets_python_replayable(spark, sf_dir):
     """q200's quantizer contract: every plane coefficient derives from the
     portable 32-bit mixer, so a pure-Python replay (no numpy GEMM, no
