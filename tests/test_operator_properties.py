@@ -477,3 +477,19 @@ def test_hierarchy_matches_reference(spark, rows):
         ).collect()
     }
     assert got_sub == want_sub
+
+
+def test_bm25_deduplicates_query_terms(spark, sf_dir):
+    """Review pin: a repeated query term must score once (classic BM25 over
+    DISTINCT terms — the pre-rewrite isin+groupBy shape collapsed
+    duplicates implicitly; per-occurrence columns would silently double a
+    term's contribution)."""
+    from python_async_sample_spark.operators.text import bm25_scores
+    from python_async_sample_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    once = {r["doc_id"]: r["score"]
+            for r in bm25_scores(docs, "doc_id", "text", ["the", "data"]).collect()}
+    twice = {r["doc_id"]: r["score"]
+             for r in bm25_scores(docs, "doc_id", "text", ["the", "data", "the"]).collect()}
+    assert once and once == twice

@@ -407,3 +407,38 @@ def test_histogram_sketch_is_partial_aggregate_no_python(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_partition_filter_parser_rendering_cases():
+    """q208's plan-text parser across the three renderings Spark actually
+    produces: a COMPLETE bracket proves presence/absence; an ABBREVIATED
+    bracket (metadata value cut at spark.sql.maxMetadataStringLength, the
+    closing ']' dropped, '...' run straight into the next field) proves
+    presence but never absence; a missing bracket proves nothing.  The
+    abbreviated case previously spilled the section into PushedFilters
+    text, matching literals that were never partition filters."""
+    from python_async_sample_spark.plans.incremental_queries import (
+        partition_filter_section_has as has,
+    )
+
+    complete = (
+        "FileScan parquet [id#4L] Batched: true, DataFilters: [], "
+        "PartitionFilters: [isnotnull(dt#6), (dt#6 >= 2024-01-08)], "
+        "PushedFilters: [], ReadSchema: struct<id:bigint>"
+    )
+    assert has(complete, ("dt", "2024-01-08")) is True
+    assert has(complete, ("event_type",)) is False  # complete → provable absence
+
+    truncated = (
+        "FileScan parquet [id#4L] Batched: true, DataFilters: [], "
+        "PartitionFilters: [isnotnull(dt#6), event_type#5 IN (a,b), (dt#6 >= 2..., "
+        "PushedFilters: [IsNotNull(x), EqualTo(other,2024-01-08)], "
+        "ReadSchema: struct<id:bigint>"
+    )
+    assert has(truncated, ("event_type",)) is True   # found in the prefix
+    assert has(truncated, ("2024-01-08",)) is None   # cut off → no proof
+    # the spill bug: '2024-01-08' appears only in PushedFilters — must NOT
+    # count as a partition filter
+    assert has(truncated, ("other",)) is None
+
+    assert has("Project [id#4L]\n+- Filter (id#4L > 1)", ("dt",)) is None

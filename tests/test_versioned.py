@@ -86,9 +86,9 @@ def test_merge_rejects_duplicate_and_null_keys(spark, sf_dir, root):
     orders = _orders(spark, sf_dir)
     create_table(spark, root, orders, n_files=2)
     one = orders.limit(1)
-    with pytest.raises(ValueError, match="duplicate update keys"):
+    with pytest.raises(ValueError, match="duplicate merge key"):
         merge_into_versioned(spark, root, one.unionAll(one), "o_orderkey")
-    with pytest.raises(ValueError, match="NULL update key"):
+    with pytest.raises(ValueError, match="NULL merge keys"):
         merge_into_versioned(
             spark, root, one.withColumn("o_orderkey", F.lit(None).cast("long")),
             "o_orderkey",
