@@ -138,3 +138,72 @@ def delete_window_sql(
         f"WHERE {ts_col} > {ts_literal(lo)} "
         f"AND {ts_col} <= {ts_literal(hi)}"
     )
+
+
+def overwrite_window_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    ts_col: str,
+    lo: datetime,
+    hi: datetime,
+    properties: dict[str, str] | None = None,
+    ts_literal: Callable[[datetime], str] = ts_literal_ansi,
+) -> int:
+    """ATOMIC delete-then-insert of the window ``(lo, hi]`` — the
+    reference's idempotency contract (``dbs/nikon.py:117-145`` runs
+    DELETE + executemany INSERT on ONE psycopg2 connection and commits
+    once) done the Spark way.
+
+    ``df.write.jdbc`` opens a connection per partition, so DELETE +
+    parallel append can never be one transaction — a crash between them
+    leaves the window missing (the failure the reference's single-cursor
+    commit avoids).  Instead the batch lands in a STAGING table first
+    (parallel, batched, crash-safe: staging is garbage until the commit),
+    then one driver-side transaction runs ``DELETE window; INSERT INTO
+    target SELECT ... FROM staging`` entirely server-side — no row moves
+    through the driver — and commits.  A crash before the commit leaves
+    the target untouched; re-running the window (re-delivery) converges
+    to the same state.  Returns the number of rows deleted by the window
+    DELETE (0 on first delivery).
+
+    ``ts_col`` follows :func:`interval_predicates`' quoting contract;
+    ``table`` must be a plain (unquoted) identifier — the staging name is
+    derived from it.  Works against any JDBC engine with transactional
+    DML; exercised live on in-JVM Derby in tests/test_jdbc.py."""
+    import uuid
+
+    props = properties or {}
+    staging = f"{table}_stg_{uuid.uuid4().hex[:8]}"
+    # stage the batch (parallel writers; overwrite creates the table)
+    df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
+
+    cols = ", ".join(f'"{c}"' for c in df.columns)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            deleted = st.executeUpdate(
+                delete_window_sql(table, ts_col, lo, hi, ts_literal)
+            )
+            st.executeUpdate(
+                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            # staging cleanup is best-effort housekeeping OUTSIDE the
+            # window transaction: an orphaned staging table is inert
+            try:
+                conn.setAutoCommit(True)
+                st.executeUpdate(f"DROP TABLE {staging}")
+            except Exception:
+                pass
+    finally:
+        conn.close()
+    return deleted

@@ -99,3 +99,64 @@ def test_jdbc_live_roundtrip_derby(spark, sf_dir):
         )
     finally:
         conn.close()
+
+
+def test_jdbc_overwrite_window_atomic_derby(spark, sf_dir):
+    """overwrite_window_jdbc: the reference's single-connection
+    delete-then-insert commit (dbs/nikon.py:117-145) as staging table +
+    one server-side transaction.  Pins: (1) first delivery inserts the
+    window, (2) poisoned-then-clean re-delivery converges (idempotency),
+    (3) a failing INSERT rolls the DELETE back — the window is never
+    half-applied, which is exactly what DELETE + parallel append cannot
+    guarantee."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.sources.jdbc import (
+        overwrite_window_jdbc,
+        read_jdbc_table,
+        ts_literal_func,
+        write_jdbc_append,
+    )
+    from python_async_sample_spark.sources.readers import load_table
+
+    url = f"jdbc:derby:memory:ow{uuid.uuid4().hex[:8]};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    lo, hi = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    window = events.where((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi)))
+    outside = events.where(~((F.col("ts") > F.lit(lo)) & (F.col("ts") <= F.lit(hi))))
+    write_jdbc_append(outside, url, "events_t", properties=props)
+
+    # (1) first delivery: nothing to delete, window lands atomically
+    poisoned = window.withColumn("value", F.col("value") * 100)
+    assert overwrite_window_jdbc(
+        spark, poisoned, url, "events_t", '"ts"', lo, hi,
+        properties=props, ts_literal=ts_literal_func,
+    ) == 0
+
+    # (2) re-delivery of the CLEAN batch replaces the poisoned one
+    n_win = window.count()
+    assert overwrite_window_jdbc(
+        spark, window, url, "events_t", '"ts"', lo, hi,
+        properties=props, ts_literal=ts_literal_func,
+    ) == n_win
+    got = read_jdbc_table(spark, url, "events_t", properties=props)
+    assert got.count() == events.count()
+    assert got.agg(F.sum("value")).first()[0] == pytest.approx(
+        events.agg(F.sum("value")).first()[0]
+    )
+
+    # (3) atomicity: an INSERT that fails server-side (staging column set
+    # incompatible with the target) must roll back the window DELETE
+    bad = window.withColumnRenamed("value", "wrong_col")
+    with pytest.raises(Exception):
+        overwrite_window_jdbc(
+            spark, bad, url, "events_t", '"ts"', lo, hi,
+            properties=props, ts_literal=ts_literal_func,
+        )
+    after = read_jdbc_table(spark, url, "events_t", properties=props)
+    assert after.count() == events.count()  # window still present, not half-applied
