@@ -1597,3 +1597,97 @@ def q211_watermark_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "corrected", "grade", "dt")
         .orderBy("event_id")
     )
+
+
+@query(
+    "q214_restored_time_travel",
+    oracle="""
+    WITH corrupted AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             CAST(9999.99 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 53 = 0
+    ),
+    v1 AS (
+      SELECT * FROM orders WHERE o_orderkey % 53 <> 0
+      UNION ALL SELECT * FROM corrupted
+    ),
+    roll0 AS (
+      SELECT CAST(0 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    ),
+    roll1 AS (
+      SELECT CAST(1 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM v1 GROUP BY o_orderstatus
+    ),
+    roll2 AS (
+      SELECT CAST(2 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT * FROM roll0 UNION ALL SELECT * FROM roll1 UNION ALL SELECT * FROM roll2
+    ORDER BY version, o_orderstatus
+    """,
+    ref=(
+        "Delta-style RESTORE as an append-only commit "
+        "(versioned.restore_version; beyond reference — the rollback verb "
+        "the reference's operators perform by hand-rewinding watermarks, "
+        "nikon_ETL.py:344, generalized to whole-snapshot semantics)"
+    ),
+    tags=("incremental", "versioned", "sink"),
+)
+def q214_restored_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A bad MERGE lands (v1 corrupts every %53 order to status X / price
+    9999.99), RESTORE rolls the table back to v0 as a NEW commit (v2) —
+    metadata-only, zero data rewritten, history append-only.  ONE output
+    reports all three versions' per-status rollups, so the oracle pins the
+    restore triangle at once: v2 ≡ v0 exactly (the restore is complete),
+    v1 still shows the corruption (the audit trail survives — a restore
+    that deleted history would lose the bad snapshot), and the head IS v2
+    (read_version with no version argument).  Ledger/constraint carry and
+    the vacuumed-target refusal are pinned in tests/test_versioned.py."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+        read_version,
+        restore_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_vrq_")
+    root = f"{tmp}/orders_v"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+
+    corrupted = (
+        orders.where(F.col("o_orderkey") % 53 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.lit(9999.99))
+    )
+    merge_into_versioned(spark, root, corrupted, "o_orderkey")  # v1: bad batch
+    v2 = restore_version(root, 0)
+    assert v2 == 2, f"restore committed version {v2}, expected 2"
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "o_orderstatus",
+            "n_orders",
+            "total_price",
+        )
+
+    return (
+        rollup(read_version(spark, root, 0), 0)
+        .unionByName(rollup(read_version(spark, root, 1), 1))
+        .unionByName(rollup(read_version(spark, root), 2))  # head == restored
+        .orderBy("version", "o_orderstatus")
+    )

@@ -156,9 +156,10 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # leftovers, q168/q169/q171, and the deliberate rows-only tail — all
 # verified every round by scripts/driver_sim.py + tests/test_oracle_parity
 # at sf0.001/sf0.01.  ROUND-7 CANDIDATES, strongest first: q213
-# (incremental SemDeDup, new this round), q168 (chi-square uniformity),
-# q169 (Benford screen), q171 (Gini), then q113, q124, q116, q114, q120,
-# q110, q109, q107, q100, q101, and the q126-q139 stragglers.
+# (incremental SemDeDup, new this round), q214 (RESTORE, new this round),
+# q168 (chi-square uniformity), q169 (Benford screen), q171 (Gini), then
+# q113, q124, q116, q114, q120, q110, q109, q107, q100, q101, and the
+# q126-q139 stragglers.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's

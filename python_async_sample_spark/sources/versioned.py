@@ -744,6 +744,61 @@ def read_keyed_points(
     )
 
 
+def restore_version(root: str, to_version: int) -> int:
+    """Delta-style RESTORE: commit a NEW version whose file list, schema
+    and stats are ``to_version``'s snapshot — the table's CURRENT content
+    rolls back, but history stays append-only (the bad versions remain
+    time-travelable and auditable, nothing is deleted).  Metadata-only:
+    O(manifest) driver work, zero data files rewritten or moved.
+
+    Two deliberate carry choices, both about what a restore MUSTN'T undo:
+
+    * the exactly-once EPOCH LEDGER carries forward from the current
+      HEAD, not from the restore target — a stream epoch that committed
+      between target and head has been delivered; rolling the ledger back
+      with the data would let a replay of that epoch double-apply after
+      the restore;
+    * CHECK CONSTRAINTS likewise stay the head's (``_commit``'s standard
+      carry): a restore changes data, not policy.
+
+    Fails loudly (nothing committed) if ``to_version``'s manifest or any
+    of its data files were already reclaimed by :func:`vacuum` — a
+    restore target must be fully intact, partial restores are corruption.
+    """
+    root = root.rstrip("/")
+    head = current_version(root)
+    if to_version == head:
+        return head  # restoring to the head is a no-op, don't burn a version
+    try:
+        target = _read_manifest(root, to_version)
+    except FileNotFoundError:
+        raise ValueError(
+            f"restore_version: version {to_version} of {root!r} has no "
+            "manifest (never existed, or vacuumed) — pick a version from "
+            "table_versions()"
+        ) from None
+    missing = [
+        n for n in target["files"]
+        if not os.path.exists(f"{root}/{_DATA_DIR}/{n}")
+    ]
+    if missing:
+        raise ValueError(
+            f"restore_version: {len(missing)} data file(s) of version "
+            f"{to_version} were vacuumed (e.g. {sorted(missing)[:3]}) — "
+            "the snapshot is no longer materializable"
+        )
+    head_manifest = _read_manifest(root, head)
+    return _commit(
+        root,
+        list(target["files"]),
+        target["schema"],
+        f"restore({to_version})",
+        parent=head,
+        epochs=head_manifest.get("epochs"),
+        stats=dict(target.get("stats") or {}),
+    )
+
+
 def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
     """Schema evolution as a metadata-only snapshot commit: the new
     (nullable) column joins the manifest schema, NO data file rewrites.

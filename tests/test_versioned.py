@@ -955,3 +955,53 @@ def test_merge_driver_touch_is_o_files_not_o_keys(spark, root, monkeypatch):
     assert head.count() == 2_000_000
     assert head.where("v = -1").count() == 1_000_000
     assert head.where("k % 2 = 1 AND v = -1").count() == 0
+
+
+def test_restore_version_rolls_back_content_keeps_history(spark, sf_dir, root):
+    """RESTORE commits a new head whose content is the target snapshot's;
+    history stays append-only (the bad version remains travelable), the
+    commit is metadata-only (no new data files), and the epoch ledger
+    carries from the HEAD so replay protection survives the rollback."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        restore_version,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=3)                      # v0
+    bad = orders.limit(50).withColumn("o_orderstatus", F.lit("X"))
+    merge_into_versioned(spark, root, bad, "o_orderkey")              # v1 (bad)
+    files_before = set(os.listdir(f"{root}/data"))
+
+    v = restore_version(root, 0)                                      # v2 = v0
+    assert v == 2 and table_versions(root) == [0, 1, 2]
+    assert set(os.listdir(f"{root}/data")) == files_before  # metadata-only
+    assert read_version(spark, root).exceptAll(
+        read_version(spark, root, 0)
+    ).count() == 0
+    # the bad version is still there for audit
+    assert read_version(spark, root, 1).where(
+        F.col("o_orderstatus") == "X"
+    ).count() == 50
+    # ledger/checks carried from head, files/schema/stats from target
+    m2, m1, m0 = (_read_manifest(root, i) for i in (2, 1, 0))
+    assert m2["files"] == m0["files"] and m2["schema"] == m0["schema"]
+    assert m2["epochs"] == m1["epochs"] and m2["checks"] == m1["checks"]
+    # restoring to the current head is a no-op, not a new version
+    assert restore_version(root, 2) == 2 and table_versions(root) == [0, 1, 2]
+
+
+def test_restore_version_refuses_vacuumed_target(spark, sf_dir, root):
+    """A restore target whose manifest or data files were reclaimed must
+    fail loudly with nothing committed — partial restores are corruption."""
+    from python_async_sample_spark.sources.versioned import restore_version
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.where(F.col("o_orderkey") % 2 == 0), n_files=2)
+    from python_async_sample_spark.sources.versioned import compact
+
+    compact(spark, root)                                              # v1 rewrite
+    vacuum(root, keep_last=1, grace_seconds=0)                        # v0 gone
+    with pytest.raises(ValueError, match="no manifest"):
+        restore_version(root, 0)
+    assert table_versions(root) == [1]  # nothing committed
