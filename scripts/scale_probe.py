@@ -74,6 +74,10 @@ DRIVER_ROW_CAPS = {
     # q213 additionally collects the corpus count (one row) for the plane
     # formula and the per-round convergence probes (limit(1) counts)
     "incremental_semdedup": 200,
+    # q211's driver state is watermark rows + per-window boundary probes
+    # (3 stages × ~30 one-day windows × 2 phases, a few rows each) — a
+    # constant of the CHUNKING, independent of events-per-day
+    "watermark_cascade": 1200,
 }
 
 
@@ -88,7 +92,7 @@ def _perturb_tokens(text: str, k: int) -> str:
 
 def build_scaled(work_dir: str, factor: int) -> str:
     out = f"{work_dir}/x{factor}"
-    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE"):
+    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE_v2"):
         return out
     os.makedirs(out, exist_ok=True)
 
@@ -148,7 +152,21 @@ def build_scaled(work_dir: str, factor: int) -> str:
         f"{out}/embeddings.parquet",
     )
 
-    open(f"{out}/_DONE", "w").close()
+    ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    parts = []
+    for k in range(factor):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + k * ID_STRIDE
+        # timestamps unchanged: ×k means ×k EVENTS PER DAY (a hotter
+        # stream), so the cascade's day-window count stays constant and
+        # each window job carries k× the rows — the realistic scale axis
+        parts.append(c)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+        f"{out}/events.parquet",
+    )
+
+    open(f"{out}/_DONE_v2", "w").close()
     return out
 
 
@@ -254,6 +272,22 @@ def probed_paths(spark):
         return QUERIES["q213_incremental_semdedup"].fn(spark, sf_dir)
 
     paths.append(("incremental_semdedup", _incr_semdedup))
+
+    def _cascade(sf_dir):
+        # q211: the three-stage watermark cascade over a ×k-hotter event
+        # stream (same day-window count, k× rows per window job).  The
+        # incremental family's probe: wall must track the data linearly —
+        # per-window fixed costs (watermark reads, delete-then-insert
+        # swaps, 3 stages × ~30 windows × 2 phases of driver-issued jobs)
+        # dominate at ×1, so slack well under 1 is expected; driver rows
+        # stay O(watermarks), never O(events).
+        from python_async_sample_spark.plans.registry import QUERIES, load_all
+
+        if not QUERIES:
+            load_all()
+        return QUERIES["q211_watermark_cascade"].fn(spark, sf_dir)
+
+    paths.append(("watermark_cascade", _cascade))
     return paths
 
 
@@ -297,7 +331,9 @@ def main() -> int:
         "",
         f"Corpora: sf0.1 tiled ×{list(SCALES)} with per-copy perturbation "
         "(constant true-pair density per row; see the script docstring). "
-        f"Top scale ≈ sf1.0 — documents ×{hi}, customers ×{hi}, embeddings ×{hi}.",
+        f"Top scale ≈ sf1.0 — documents ×{hi}, customers ×{hi}, embeddings "
+        f"×{hi}, events ×{hi} (timestamps unchanged: a {hi}×-hotter stream, "
+        "same day-window count).",
         "",
         "| path | scale | output rows | seconds | driver rows |",
         "|---|---|---|---|---|",
