@@ -1669,7 +1669,7 @@ def q214_restored_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.lit(9999.99))
     )
     merge_into_versioned(spark, root, corrupted, "o_orderkey")  # v1: bad batch
-    v2 = restore_version(root, 0)
+    v2 = restore_version(spark, root, 0)
     assert v2 == 2, f"restore committed version {v2}, expected 2"
 
     def rollup(df: DataFrame, version: int) -> DataFrame:

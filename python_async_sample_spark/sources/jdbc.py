@@ -174,14 +174,26 @@ def overwrite_window_jdbc(
     DML; exercised live on in-JVM Derby in tests/test_jdbc.py."""
     import uuid
 
-    props = properties or {}
+    props = {"batchsize": "10000", **(properties or {})}
     staging = f"{table}_stg_{uuid.uuid4().hex[:8]}"
-    # stage the batch (parallel writers; overwrite creates the table)
+    # stage the batch (parallel writers, same batching default as
+    # write_jdbc_append; overwrite creates the table)
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
 
     cols = ", ".join(f'"{c}"' for c in df.columns)
     jvm = spark._jvm
-    conn = jvm.java.sql.DriverManager.getConnection(url)
+    # the driver-side connection needs the SAME credentials/driver the
+    # executors used: load the driver class explicitly (a --jars-loaded
+    # driver is not visible to DriverManager's default lookup — the reason
+    # Spark keeps its own DriverRegistry) and forward every property
+    # except Spark's writer knobs
+    if "driver" in props:
+        jvm.java.lang.Class.forName(props["driver"])
+    jprops = jvm.java.util.Properties()
+    for k, v in props.items():
+        if k not in ("batchsize", "driver", "numPartitions"):
+            jprops.setProperty(k, v)
+    conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
         st = conn.createStatement()

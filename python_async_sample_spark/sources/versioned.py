@@ -744,7 +744,7 @@ def read_keyed_points(
     )
 
 
-def restore_version(root: str, to_version: int) -> int:
+def restore_version(spark: SparkSession, root: str, to_version: int) -> int:
     """Delta-style RESTORE: commit a NEW version whose file list, schema
     and stats are ``to_version``'s snapshot — the table's CURRENT content
     rolls back, but history stays append-only (the bad versions remain
@@ -759,13 +759,19 @@ def restore_version(root: str, to_version: int) -> int:
       with the data would let a replay of that epoch double-apply after
       the restore;
     * CHECK CONSTRAINTS likewise stay the head's (``_commit``'s standard
-      carry): a restore changes data, not policy.
+      carry): a restore changes data, not policy.  If the head's checks
+      do not ANALYZE against the target's (possibly older, pre-evolution)
+      schema, the restore refuses loudly — committing them blind would
+      brick every subsequent write verb with AnalysisException, exactly
+      what :func:`set_check_constraints`' fail-fast exists to prevent;
+      drop or rewrite the constraints first, restore second.
 
     Fails loudly (nothing committed) if ``to_version``'s manifest or any
     of its data files were already reclaimed by :func:`vacuum` — a
     restore target must be fully intact, partial restores are corruption.
     """
     root = root.rstrip("/")
+    _require_local_path(root, "restore_version")
     head = current_version(root)
     if to_version == head:
         return head  # restoring to the head is a no-op, don't burn a version
@@ -788,6 +794,21 @@ def restore_version(root: str, to_version: int) -> int:
             "the snapshot is no longer materializable"
         )
     head_manifest = _read_manifest(root, head)
+    carried_checks = head_manifest.get("checks", [])
+    if carried_checks:
+        probe = spark.createDataFrame(
+            [], T.StructType.fromJson(json.loads(target["schema"]))
+        )
+        for c in carried_checks:
+            try:
+                probe.where(F.expr(c["expr"])).schema
+            except Exception as ex:
+                raise ValueError(
+                    f"restore_version: carried CHECK {c['name']!r} does not "
+                    f"analyze against version {to_version}'s schema "
+                    f"({c['expr']!r}: {ex}) — replace the constraints "
+                    "(set_check_constraints) before restoring"
+                ) from ex
     return _commit(
         root,
         list(target["files"]),

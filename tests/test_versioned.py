@@ -973,7 +973,7 @@ def test_restore_version_rolls_back_content_keeps_history(spark, sf_dir, root):
     merge_into_versioned(spark, root, bad, "o_orderkey")              # v1 (bad)
     files_before = set(os.listdir(f"{root}/data"))
 
-    v = restore_version(root, 0)                                      # v2 = v0
+    v = restore_version(spark, root, 0)                                      # v2 = v0
     assert v == 2 and table_versions(root) == [0, 1, 2]
     assert set(os.listdir(f"{root}/data")) == files_before  # metadata-only
     assert read_version(spark, root).exceptAll(
@@ -988,7 +988,7 @@ def test_restore_version_rolls_back_content_keeps_history(spark, sf_dir, root):
     assert m2["files"] == m0["files"] and m2["schema"] == m0["schema"]
     assert m2["epochs"] == m1["epochs"] and m2["checks"] == m1["checks"]
     # restoring to the current head is a no-op, not a new version
-    assert restore_version(root, 2) == 2 and table_versions(root) == [0, 1, 2]
+    assert restore_version(spark, root, 2) == 2 and table_versions(root) == [0, 1, 2]
 
 
 def test_restore_version_refuses_vacuumed_target(spark, sf_dir, root):
@@ -1003,5 +1003,42 @@ def test_restore_version_refuses_vacuumed_target(spark, sf_dir, root):
     compact(spark, root)                                              # v1 rewrite
     vacuum(root, keep_last=1, grace_seconds=0)                        # v0 gone
     with pytest.raises(ValueError, match="no manifest"):
-        restore_version(root, 0)
+        restore_version(spark, root, 0)
     assert table_versions(root) == [1]  # nothing committed
+
+
+def test_restore_version_refuses_missing_data_files_and_unanalyzable_checks(
+    spark, sf_dir, root
+):
+    """The two remaining restore refusals: (1) manifest present but a data
+    file reclaimed/corrupted — committing would produce a
+    non-materializable snapshot; (2) head CHECK constraints that don't
+    analyze against the (pre-evolution) target schema — committing would
+    brick every subsequent write verb with AnalysisException."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        add_column,
+        restore_version,
+        set_check_constraints,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=3)                      # v0
+    add_column(spark, root, "qc_flag", "int")                         # v1
+    set_check_constraints(
+        spark, root, [{"name": "qc", "expr": "qc_flag IS NULL OR qc_flag >= 0"}]
+    )                                                                 # v2
+    with pytest.raises(ValueError, match="does not analyze against version 0"):
+        restore_version(spark, root, 0)
+    assert current_version(root) == 2  # nothing committed
+
+    # clear the constraints; now v0 restores fine
+    set_check_constraints(spark, root, [])                            # v3
+    assert restore_version(spark, root, 0) == 4
+
+    # (1): delete one of v0's data files behind the manifest's back
+    victim = _read_manifest(root, 0)["files"][0]
+    os.remove(f"{root}/data/{victim}")
+    with pytest.raises(ValueError, match="no longer materializable"):
+        restore_version(spark, root, 1)  # v1 shares v0's files
+    assert current_version(root) == 4  # nothing committed
