@@ -1042,3 +1042,40 @@ def test_restore_version_refuses_missing_data_files_and_unanalyzable_checks(
     with pytest.raises(ValueError, match="no longer materializable"):
         restore_version(spark, root, 1)  # v1 shares v0's files
     assert current_version(root) == 4  # nothing committed
+
+
+def test_restore_loses_cleanly_to_concurrent_writer(spark, sf_dir, root):
+    """RESTORE inherits the exclusive-link commit contract: a writer that
+    lands between restore's head read and its commit wins the version
+    slot, and the restore raises ConcurrentWriteError with nothing
+    committed — it never silently rolls back PAST the interloper's data."""
+    from python_async_sample_spark.sources.versioned import (
+        _commit,
+        restore_version,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)                      # v0
+    merge_into_versioned(
+        spark, root, orders.limit(2).withColumn("o_orderstatus", F.lit("M")),
+        "o_orderkey",
+    )                                                                 # v1
+    # simulate the race: steal v2 (the slot restore will compute from
+    # head=v1) before restore commits
+    v1 = json.load(open(_manifest_path(root, 1), encoding="ascii"))
+    assert _commit(root, v1["files"], v1["schema"], "interloper", parent=1) == 2
+
+    import python_async_sample_spark.sources.versioned as V
+
+    # pin restore's head read to the STALE pre-interloper head, exactly
+    # what a real race produces between its read and its commit
+    orig_cv = V.current_version
+    V.current_version = lambda r: 1
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            restore_version(spark, root, 0)
+    finally:
+        V.current_version = orig_cv
+    assert table_versions(root) == [0, 1, 2]  # restore committed NOTHING
+    # rebased restore (fresh head read) then succeeds
+    assert restore_version(spark, root, 0) == 3
