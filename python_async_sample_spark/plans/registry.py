@@ -157,6 +157,7 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # verified every round by scripts/driver_sim.py + tests/test_oracle_parity
 # at sf0.001/sf0.01.  ROUND-7 CANDIDATES, strongest first: q213
 # (incremental SemDeDup, new this round), q214 (RESTORE, new this round),
+# q215 (isotonic calibration, new this round),
 # q168 (chi-square uniformity), q169 (Benford screen), q171 (Gini), then
 # q113, q124, q116, q114, q120, q110, q109, q107, q100, q101, and the
 # q126-q139 stragglers.

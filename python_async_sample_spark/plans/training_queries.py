@@ -1151,3 +1151,128 @@ def q206_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ISOTONIC_ORACLE = """
+    WITH pts AS (
+      SELECT CAST(embedding AS DOUBLE[])[2] AS s,
+             CAST(label % 2 AS BIGINT) AS y
+      FROM embeddings
+    ),
+    rng AS (SELECT min(s) AS lo, max(s) AS hi FROM pts),
+    binned AS (
+      SELECT least(CAST(floor((s - lo) / (hi - lo) * 32) AS BIGINT), 31) AS bin, y
+      FROM pts CROSS JOIN rng
+    ),
+    bins AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sum_pos
+      FROM binned GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, n, sum_pos,
+             sum(n)       OVER (ORDER BY bin) AS cn,
+             sum(sum_pos) OVER (ORDER BY bin) AS cy
+      FROM bins
+    ),
+    seg AS (
+      -- avg of the contiguous bin segment [i, j]
+      SELECT a.bin AS i, b.bin AS j,
+             (b.cy - (a.cy - a.sum_pos)) * 1.0
+             / (b.cn - (a.cn - a.n)) AS seg_avg
+      FROM cum a JOIN cum b ON a.bin <= b.bin
+    ),
+    inner_min AS (
+      -- for each (k, i<=k): min over j >= k of avg(i, j)
+      SELECT k.bin AS k, s.i, min(s.seg_avg) AS m
+      FROM seg s JOIN cum k ON s.i <= k.bin AND k.bin <= s.j
+      GROUP BY 1, 2
+    ),
+    iso AS (SELECT k AS bin, max(m) AS cal FROM inner_min GROUP BY k)
+    SELECT b.bin, b.n, b.sum_pos, round(iso.cal, 9) AS calibrated
+    FROM bins b JOIN iso USING (bin)
+    ORDER BY b.bin
+"""
+
+
+@query(
+    "q215_isotonic_calibration",
+    oracle=_ISOTONIC_ORACLE,
+    ref=(
+        "isotonic (PAVA) classifier-score calibration via the minimax "
+        "identity (beyond reference; the calibration step a quality-filter "
+        "pipeline runs between q196's classifier training and a "
+        "probability-thresholded corpus cut — Zadrozny & Elkan 2002, "
+        "computed as max_{i<=k} min_{j>=k} segment-average, which IS the "
+        "L2 isotonic fit)"
+    ),
+    tags=("llm-data", "training", "statistics"),
+)
+def q215_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrate a classifier score into a MONOTONE probability of the
+    positive class — binned isotonic regression, the shape production
+    calibration takes at 100 TB: one corpus pass fixed-width-bins the
+    score (two driver scalars for the range), one map-side-combinable
+    groupBy reduces each bin to (n, sum_pos), and the isotonic fit runs
+    entirely on the 32-row bin relation via the minimax identity
+    ``cal[k] = max_{i<=k} min_{j>=k} avg(i..j)`` (≡ PAVA's pooled means,
+    but expressible as two tiny joins + two aggregates — no sequential
+    pooling loop, no driver-side fit, and the exact same arithmetic is
+    replayable in SQL).  Transcendental-free throughout: segment averages
+    are integer/integer divisions, bit-identical across engines, so the
+    whole calibration table hash-matches — the property Platt scaling
+    (logistic, needs exp) can never give a cross-engine oracle.
+
+    Score = embedding[1] (a raw float column — stands in for q196's SVM
+    margin), label = label % 2.  Output: one row per non-empty bin with
+    (n, sum_pos, calibrated), calibrated non-decreasing in bin by
+    construction."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>")[1].alias("s"),
+        (F.col("label") % 2).cast("bigint").alias("y"),
+    )
+    rng = emb.agg(F.min("s").alias("lo"), F.max("s").alias("hi")).first()
+    lo, hi = rng["lo"], rng["hi"]
+    bins = (
+        emb.select(
+            F.least(
+                F.floor((F.col("s") - F.lit(lo)) / F.lit(hi - lo) * 32).cast("bigint"),
+                F.lit(31).cast("bigint"),
+            ).alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sum_pos"),
+        )
+    )
+    # the bin relation is ≤ 32 rows: windows/joins below are driver-cheap
+    # and fully deterministic (bin is the unique order key)
+    from pyspark.sql.window import Window as W
+
+    cum = bins.select(
+        "bin", "n", "sum_pos",
+        F.sum("n").over(W.orderBy("bin")).alias("cn"),
+        F.sum("sum_pos").over(W.orderBy("bin")).alias("cy"),
+    )
+    a, b = cum.alias("a"), cum.alias("b")
+    seg = a.join(b, F.col("a.bin") <= F.col("b.bin")).select(
+        F.col("a.bin").alias("i"),
+        F.col("b.bin").alias("j"),
+        (
+            (F.col("b.cy") - (F.col("a.cy") - F.col("a.sum_pos")))
+            / (F.col("b.cn") - (F.col("a.cn") - F.col("a.n")))
+        ).alias("seg_avg"),
+    )
+    k = cum.select(F.col("bin").alias("k"))
+    inner = (
+        seg.join(k, (F.col("i") <= F.col("k")) & (F.col("k") <= F.col("j")))
+        .groupBy("k", "i")
+        .agg(F.min("seg_avg").alias("m"))
+    )
+    iso = inner.groupBy("k").agg(F.max("m").alias("cal"))
+    return (
+        bins.join(iso, bins["bin"] == iso["k"])
+        .select("bin", "n", "sum_pos", F.round("cal", 9).alias("calibrated"))
+        .orderBy("bin")
+    )

@@ -493,3 +493,37 @@ def test_bm25_deduplicates_query_terms(spark, sf_dir):
     twice = {r["doc_id"]: r["score"]
              for r in bm25_scores(docs, "doc_id", "text", ["the", "data", "the"]).collect()}
     assert once and once == twice
+
+
+def test_isotonic_minimax_equals_sequential_pava(spark, sf_dir):
+    """q215 computes the isotonic fit via cal[k] = max_{i<=k} min_{j>=k}
+    avg(i..j); pin that identity against a reference SEQUENTIAL PAVA
+    (pool-adjacent-violators with weighted means) on the same bins, plus
+    monotonicity and the weighted-mean-preservation invariant."""
+    from python_async_sample_spark.plans.registry import load_all
+
+    rows = load_all()["q215_isotonic_calibration"].fn(spark, sf_dir).collect()
+    bins = [(r["bin"], r["n"], r["sum_pos"]) for r in rows]
+    got = [r["calibrated"] for r in rows]
+
+    # reference PAVA: pools as (sum, n) so means are exact
+    pools = []  # [sum_pos, n]
+    for _, n, sy in bins:
+        pools.append([sy, n])
+        while len(pools) > 1 and pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]:
+            s2, n2 = pools.pop()
+            pools[-1][0] += s2
+            pools[-1][1] += n2
+    # expand pooled means back over their member bins
+    ref, idx = [], 0
+    for s, n in pools:
+        members = 0
+        while members < n:
+            members += bins[idx][1]
+            ref.append(round(s / n, 9))
+            idx += 1
+    assert got == ref
+    assert got == sorted(got)  # monotone
+    # weighted mean preserved: sum(cal*n) == sum(sum_pos)
+    assert abs(sum(c * n for c, (_, n, _) in zip(got, bins))
+               - sum(sy for _, _, sy in bins)) < 1e-6
