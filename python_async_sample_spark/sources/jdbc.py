@@ -170,12 +170,23 @@ def overwrite_window_jdbc(
 
     ``ts_col`` follows :func:`interval_predicates`' quoting contract;
     ``table`` must be a plain (unquoted) identifier — the staging name is
-    derived from it.  Works against any JDBC engine with transactional
-    DML; exercised live on in-JVM Derby in tests/test_jdbc.py."""
-    import uuid
+    derived from it.  The staging name is DETERMINISTIC per
+    ``(table, ts_col, lo, hi)``: a crash between the staging write and the
+    best-effort DROP leaves an orphan, and a random name would leak it
+    forever — re-delivery of the same window instead reuses the name and
+    ``mode="overwrite"`` replaces the orphan in place, so orphans are
+    bounded by the number of DISTINCT windows ever abandoned mid-flight,
+    not by delivery attempts.  (Cleanup sweep, if ever needed:
+    ``DROP TABLE <table>_stg_%``.)  Works against any JDBC engine with
+    transactional DML; exercised live on in-JVM Derby in
+    tests/test_jdbc.py."""
+    import hashlib
 
     props = {"batchsize": "10000", **(properties or {})}
-    staging = f"{table}_stg_{uuid.uuid4().hex[:8]}"
+    window_sig = hashlib.sha256(
+        f"{ts_col}|{lo.isoformat()}|{hi.isoformat()}".encode()
+    ).hexdigest()[:8]
+    staging = f"{table}_stg_{window_sig}"
     # stage the batch (parallel writers, same batching default as
     # write_jdbc_append; overwrite creates the table)
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)

@@ -158,12 +158,17 @@ def _file_key_ranges(
     poison range comparisons: x <= NaN is False, so the file would be
     marked unaffected and a keyed rewrite silently skipped) reports
     ``(path, None, None, rows)`` — callers must treat a None range as
-    conservatively affected."""
+    conservatively affected.  ZERO-ROW files are skipped entirely (they
+    can contain no key, so rewriting them is pure waste), matching
+    ``_file_ranges_from_manifest``'s behavior so the footer and manifest
+    planning paths prune identically."""
     import pyarrow.parquet as pq
 
     out = []
     for f in files:
         meta = pq.read_metadata(f)
+        if meta.num_rows == 0:
+            continue
         lo = hi = None
         stats_missing = False
         for rg in range(meta.num_row_groups):

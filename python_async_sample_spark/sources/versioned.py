@@ -246,6 +246,12 @@ def _file_ranges_from_manifest(
     return out
 
 
+# Above this many candidate files, _affected_via_range_join spends one
+# cheap min/max action to span-prune ranges before broadcasting them into
+# the nested-loop join (cost model in the docstring below).
+_RANGE_JOIN_PREFILTER_FILES = 4096
+
+
 def _affected_via_range_join(
     spark: SparkSession,
     batch: DataFrame,
@@ -261,9 +267,29 @@ def _affected_via_range_join(
     carries.  This is the planning path for MERGE-shaped verbs whose key
     set lives in a DataFrame; list-keyed verbs (point DELETE / purge) keep
     the driver-side binary-search prune, where the caller already owns the
-    key list."""
+    key list.
+
+    COST MODEL: the non-equi range condition executes as a broadcast
+    nested-loop join — O(broadcast ranges × batch rows) comparisons,
+    executor-side and partition-parallel.  That is the right trade for
+    CDC-sized batches against compaction-bounded file counts (the verbs
+    that call this also run :func:`compact_versioned`); when the file
+    count is large the driver pre-filters the ranges against the batch's
+    GLOBAL key span first — one 2-scalar aggregate action, O(files)
+    driver work on rows it already holds — so only span-overlapping
+    ranges enter the broadcast.  scripts/scale_probe.py pins that the
+    driver-resident planning state stays O(files) as data scales."""
     if not ranges:
         return [], 0
+    if len(ranges) > _RANGE_JOIN_PREFILTER_FILES:
+        kmin, kmax = batch.select(
+            F.min(key_col), F.max(key_col)
+        ).first()
+        if kmin is None:  # all-NULL / empty batch: no file can be hit
+            return [], 0
+        ranges = [r for r in ranges if not (r[2] < kmin or r[1] > kmax)]
+        if not ranges:
+            return [], 0
     rows_by_name = {n: r for n, _, _, r in ranges}
     rng_df = spark.createDataFrame(
         [(n, lo, hi) for n, lo, hi, _ in ranges], ["__file", "__lo", "__hi"]
@@ -994,9 +1020,9 @@ def merge_into_versioned(
             (os.path.basename(p), lo, hi, rows)
             for p, lo, hi, rows in _file_key_ranges(paths, key_col)
         ]
-        # stats-less files are conservatively affected: fold them in as
-        # hit unconditionally by giving the join an always-true range is
-        # impossible for arbitrary key types, so partition the set instead
+        # stats-less files are conservatively affected: an always-true
+        # join range is impossible for arbitrary key types, so they are
+        # partitioned out of the join and unconditionally treated as hit
         no_stats = [r for r in ranges if r[1] is None]
         ranges = [r for r in ranges if r[1] is not None]
         forced_names = [n for n, _, _, _ in no_stats]

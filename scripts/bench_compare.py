@@ -109,6 +109,9 @@ def main() -> int:
         for line in report:
             print(line)
         base_doc["queries"] = merged
+        # the header total must describe the merged map it sits above —
+        # a stale round-1 total misrepresents a 200+-entry baseline
+        base_doc["value"] = round(sum(merged.values()), 2)
         with open(baseline_path, "w") as f:
             json.dump(base_doc, f, indent=1, sort_keys=True)
             f.write("\n")
