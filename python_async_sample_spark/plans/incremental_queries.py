@@ -648,6 +648,102 @@ def q195_purged_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q216_purged_relation_travel",
+    oracle="""
+    WITH victims AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey % 89 = 0
+    ),
+    upd AS (
+      SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 1000.00 AS DOUBLE) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    merged AS MATERIALIZED (
+      SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL SELECT * FROM upd
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+      GROUP BY o_orderstatus
+    ),
+    v1 AS (
+      SELECT CAST(1 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM merged WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+      GROUP BY o_orderstatus
+    )
+    SELECT version, o_orderstatus, n_rows, total_price,
+           (SELECT CAST(count(*) AS BIGINT) FROM victims) AS victim_keys
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    ORDER BY version, o_orderstatus
+    """,
+    ref=(
+        "DataFrame-keyed right-to-be-forgotten (beyond reference): the "
+        "reference's delete is predicate-shaped (dbs/nikon.py:117-136) — "
+        "at 100 TB an erasure request is a relation, not a key list. "
+        "purge_relation plans via the same distributed range join as MERGE "
+        "and rewrites via broadcast anti join, so victim keys never reach "
+        "the driver (sources/versioned.purge_relation); the list face "
+        "(q195) stays for point deletes"
+    ),
+    tags=("incremental", "versioned", "governance"),
+)
+def q216_purged_relation_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q195's erasure contract with the victims as a RELATION: a MERGE
+    creates history, then ``purge_relation`` erases every order of the
+    ``o_custkey % 89`` customers from BOTH snapshots without the keys
+    ever reaching the driver.  The output rolls up version 0 AND the
+    head, carrying the operator's distinct-victim counter so the oracle
+    pins it too — a purge that left a victim row in ANY version, touched
+    a non-victim row, or miscounted its targets hash-mismatches."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+        purge_relation,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_prgr_")
+    root = f"{tmp}/orders_purge_rel"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=8)
+    updates = (
+        orders.where(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderstatus", F.lit("M"))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice").cast("decimal(18,2)") + F.lit(1000.00)).cast("double"),
+        )
+    )
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+    victims = orders.where(F.col("o_custkey") % 89 == 0).select("o_orderkey")
+    res = purge_relation(spark, root, "o_orderkey", victims)
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "o_orderstatus", "n_rows", "total_price",
+        )
+
+    return (
+        rollup(read_version(spark, root, 0), 0)
+        .unionByName(rollup(read_version(spark, root, 1), 1))
+        .withColumn("victim_keys", F.lit(res["victim_keys"]).cast("bigint"))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+@query(
     "q198_evolved_time_travel",
     oracle="""
     WITH base AS MATERIALIZED (

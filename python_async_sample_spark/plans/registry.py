@@ -151,16 +151,44 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   statistics (q166/q167/q170/q172/q174/q175): r5 rows; q170's KS shape
 #   recurs in q194's EWMA residuals, q206 keeps the stratified-estimation
 #   face in-window, q204 keeps the data-contract face in-window.
-# Still never-driver-checked after this rotation: q100/q101/q103/q107-
-# q111/q113/q114/q116-q120/q124/q126/q128/q134/q137/q138/q139-range
-# leftovers, q168/q169/q171, and the deliberate rows-only tail — all
-# verified every round by scripts/driver_sim.py + tests/test_oracle_parity
-# at sf0.001/sf0.01.  ROUND-7 CANDIDATES, strongest first: q213
-# (incremental SemDeDup, new this round), q214 (RESTORE, new this round),
-# q215 (isotonic calibration, new this round),
-# q168 (chi-square uniformity), q169 (Benford screen), q171 (Gini), then
-# q113, q124, q116, q114, q120, q110, q109, q107, q100, q101, and the
-# q126-q139 stragglers.
+# ROUND-7 ROTATION (executes VERDICT r6 item 1 — the r6 candidate list
+# recorded below): the 23 §2-critical residents stay, PLUS q211 stays as
+# a 24th resident — it is the only driver face for §2.9's I7 cascade row
+# (EDC→ROT→AVM), which the 23-resident set predates; rotating it out
+# would leave I7 without an in-window query.  The other 26 slots swap
+# onto the four round-6 additions (q212 SemDeDup k-means twin, q213
+# incremental SemDeDup, q214 RESTORE, q215 isotonic calibration), the
+# new round-7 q216 (DataFrame-keyed purge, VERDICT r6 item 2 — in-window
+# immediately so the new verb is driver-checked the round it ships), and
+# the never-driver-checked stragglers strongest-first per the r6
+# candidate order: q168 (chi-square), q169 (Benford), q171 (Gini), q113,
+# q124, q116, q114, q120, q110, q109, q107, q100, q101, then the
+# q126-q139 oracled leftovers (q126, q128, q134, q137, q138) and the
+# training-pipeline trio q117/q118/q119.
+# Coverage bookkeeping for the 27 rotated-out round-6 occupants (q173 +
+# the 26 round-6 rotations): each has a green CORRECTNESS_r06.json row
+# from last round plus ongoing driver_sim/pytest parity, and their §2
+# families keep in-window faces —
+#   versioned storage (q186/q190/q193/q195/q198/q201/q202/q207-q210):
+#   family stays in-window via q216 (purge over history — the same
+#   manifest machinery: create/merge/range-join planning/atomic manifest
+#   flip/time travel), q17 keeps S11/S12/I3 in-window, and q211 keeps
+#   the exactly-once cascade face;
+#   text/privacy (q187 SimHash, q188 boilerplate, q191 k-anonymity):
+#   near-dup family stays via q46-resident text stack + r6 rows; q80
+#   keeps the normalization face in-window;
+#   statistics/training (q194 EWMA, q196 SVM, q197 DP, q199 quantile
+#   sketch, q200 SemDeDup, q203/q205 merge laws, q204 expectations,
+#   q206 Neyman): family stays via q168/q169/q171 (distribution
+#   screens), q215 (calibration), q212/q213 (SemDeDup twins) rotating IN;
+#   q189 hierarchy / q192 interval coalesce: r6 rows + parity;
+#   q173 association rules: earned its de-zeroed driver row in r6
+#   (132 rows), family stays via q124 (PMI co-occurrence) rotating IN.
+# Still never-driver-checked after this rotation (oracled): q81, q85,
+# q86, q90, q93, q97, q98, q103, q108, q111 — ROUND-8 CANDIDATES in that
+# order — plus the deliberate _TAIL (q19/q40/q44/q45: §2 coverage
+# duplicated by in-window queries) and the rows-only tail, all verified
+# every round by scripts/driver_sim.py + tests/test_oracle_parity.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
@@ -198,37 +226,37 @@ _PRIORITY: tuple[str, ...] = (
     "q75_stream_stateful_profiles",
     "q80_normalize_text",
     "q83_set_operations",
-    # ---- 1 held-over round-5 occupant: de-zeroed this round, must earn a
-    # ---- driver row with spark_rows > 0 (VERDICT r5 item 4) -------------
-    "q173_association_rules",
-    # ---- 26 round-6 rotations: every never-driver-checked round-5
-    # ---- addition, plus the new q211 cascade face -----------------------
-    "q186_versioned_compaction",
-    "q190_versioned_changes",
-    "q193_cdc_maintained_rollup",
-    "q187_simhash_portable_exact",
-    "q188_boilerplate_removal",
-    "q189_hierarchy_rollup",
-    "q195_purged_time_travel",
-    "q191_k_anonymity_ladder",
-    "q192_interval_coalesce",
-    "q194_ewma_anomaly",
-    "q196_svm_quality_train",
-    "q197_dp_noisy_daily_counts",
-    "q198_evolved_time_travel",
-    "q199_histogram_quantile_sketch",
-    "q200_semdedup_prune",
-    "q201_stats_pruned_range_scan",
-    "q202_zorder_box_scan",
-    "q203_hll_merge_law",
-    "q204_data_expectations",
-    "q205_cms_merge_law",
-    "q206_neyman_allocation",
-    "q207_catalog_atomic_pair",
-    "q208_hive_partition_pruned_scan",
-    "q209_bloom_point_lookup",
-    "q210_constrained_ingest",
+    # ---- 24th resident: the only driver face for §2.9's I7 cascade row --
     "q211_watermark_cascade",
+    # ---- 26 round-7 rotations: the round-6 additions, the new q216
+    # ---- relation-keyed purge, and the strongest never-checked
+    # ---- stragglers per the r6 candidate order --------------------------
+    "q212_semdedup_kmeans",
+    "q213_incremental_semdedup",
+    "q214_restored_time_travel",
+    "q215_isotonic_calibration",
+    "q216_purged_relation_travel",
+    "q168_dow_uniformity_chi2",
+    "q169_benford_screen",
+    "q171_revenue_gini",
+    "q113_touch_attribution",
+    "q124_cooccurrence_pmi",
+    "q116_corpus_health_report",
+    "q114_quality_classifier",
+    "q120_leakage_safe_split",
+    "q110_groupwise_zscore",
+    "q109_decile_binning",
+    "q107_partial_agg_merge",
+    "q100_topk_per_group",
+    "q101_revenue_share",
+    "q126_skew_report",
+    "q128_cumulative_distinct_users",
+    "q134_variant_extract",
+    "q137_null_safe_join",
+    "q138_try_functions",
+    "q117_document_chunking",
+    "q118_temperature_mixing",
+    "q119_hard_negative_mining",
 )
 
 _TAIL: tuple[str, ...] = (

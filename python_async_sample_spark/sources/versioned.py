@@ -1438,10 +1438,6 @@ def purge_keys(
         affected.update(n for n in names_hit
                         if os.path.exists(f"{root}/{_DATA_DIR}/{n}"))
 
-    replacement: dict[str, str | None] = {}  # old -> new (None: emptied)
-    new_stats: dict[str, dict] = {}
-    removed_per_file: dict[str, int] = {}
-
     # victims as ONE broadcast anti-join relation (layout.build_victims_df
     # carries the isin-compatible type coercion + NaN exclusion): an isin()
     # with hundreds of literal children makes every per-file plan pay
@@ -1453,18 +1449,49 @@ def purge_keys(
         build_victims_df,
     )
 
-    # the NEWEST schema carrying the key column: reading an older file
-    # with an evolved schema null-fills added columns (never the reverse
-    # KeyError), and the rewritten file stays readable by every manifest
-    key_field = None
+    key_field = _newest_key_field(manifests, key_col, root)
+    vic_df = build_victims_df(spark, key_field, targets)
+
+    def drop_victims(df: DataFrame) -> DataFrame:
+        return _drop_keys_anti(spark, df, key_col, targets, vic_df=vic_df)
+
+    return _purge_rewrite_and_flip(
+        spark, root, manifests, versions, affected, drop_victims,
+        purged_entries={str(k) for k in targets},
+    )
+
+
+def _newest_key_field(manifests: dict, key_col: str, root: str) -> T.StructField:
+    """The NEWEST schema's field for ``key_col``: reading an older file
+    with an evolved schema null-fills added columns (never the reverse
+    KeyError), and a file rewritten under it stays readable by every
+    manifest."""
     for m in reversed(list(manifests.values())):
         sch = T.StructType.fromJson(json.loads(m["schema"]))
         if key_col in sch.fieldNames():
-            key_field = sch[key_col]
-            break
-    if key_field is None:
-        raise ValueError(f"column {key_col!r} exists in no version of {root!r}")
-    vic_df = build_victims_df(spark, key_field, targets)
+            return sch[key_col]
+    raise ValueError(f"column {key_col!r} exists in no version of {root!r}")
+
+
+def _purge_rewrite_and_flip(
+    spark: SparkSession,
+    root: str,
+    manifests: dict,
+    versions: list[int],
+    affected: set[str],
+    drop_victims,
+    purged_entries: set[str],
+) -> dict:
+    """The history-rewriting core shared by both purge faces: rewrite each
+    affected data file without its victim rows (``drop_victims``: a
+    DataFrame → DataFrame filter, anti-join-shaped on both call sites),
+    then atomically re-point every manifest at the replacements.
+    ``purged_entries`` lands in each touched manifest's audit ledger —
+    the list face records the keys themselves, the relation face a
+    count+checksum fingerprint (the keys never reach the driver)."""
+    replacement: dict[str, str | None] = {}  # old -> new (None: emptied)
+    new_stats: dict[str, dict] = {}
+    removed_per_file: dict[str, int] = {}
 
     def _rewrite_one(old: str) -> tuple[str, str | None, dict | None, int]:
         # newest manifest referencing the file: the most-evolved schema
@@ -1473,12 +1500,8 @@ def purge_keys(
             m for m in reversed(list(manifests.values())) if old in m["files"]
         )
         schema = T.StructType.fromJson(json.loads(schema_owner["schema"]))
-        kept = _drop_keys_anti(
-            spark,
-            spark.read.schema(schema).parquet(f"{root}/{_DATA_DIR}/{old}"),
-            key_col,
-            targets,
-            vic_df=vic_df,
+        kept = drop_victims(
+            spark.read.schema(schema).parquet(f"{root}/{_DATA_DIR}/{old}")
         ).select(*schema.fieldNames())
         names = _stage_files(kept, root, 1)
         stats = _collect_file_stats(root, names)
@@ -1522,7 +1545,7 @@ def purge_keys(
         }
         next_m = dict(
             m, files=sorted(next_files), stats=stats,
-            purged=sorted(set(m.get("purged", [])) | {str(k) for k in targets}),
+            purged=sorted(set(m.get("purged", [])) | purged_entries),
         )
         fd, tmp = tempfile.mkstemp(dir=f"{root}/{_MANIFEST_DIR}", suffix=".tmp")
         with os.fdopen(fd, "w", encoding="ascii") as fh:
@@ -1538,6 +1561,126 @@ def purge_keys(
         "manifests_updated": updated,
         "rows_removed": rows_removed,
     }
+
+
+def purge_relation(
+    spark: SparkSession, root: str, key_col: str, victims: DataFrame
+) -> dict:
+    """:func:`purge_keys` with the victim set as a RELATION — the
+    right-to-be-forgotten face for erasure requests that arrive as a
+    predicate or a table (``DELETE WHERE o_orderkey % 211 = 0`` over
+    100 TB is not a key list), mirroring the reference's predicate-shaped
+    delete (``dbs/nikon.py:117-136``) across snapshot history.
+
+    The victim keys NEVER reach the driver: planning rides the same
+    distributed range join as MERGE (:func:`_affected_via_range_join` —
+    manifest file ranges broadcast against the victim relation, only hit
+    file NAMES return), and each affected file's rewrite is a broadcast
+    anti join against the victim relation.  Driver-resident state is
+    O(files), independent of victim count — the scale contract
+    scripts/scale_probe.py pins.
+
+    ``victims`` must carry ``key_col`` (or be a single-column relation);
+    keys are cast to the table's key type, NULLs and NaNs are dropped
+    (NULL/NaN are never purge targets — same safety as the list face).
+    Same exclusive maintenance-window contract as :func:`purge_keys`.
+    Returns the same counters, plus ``victim_keys`` (distinct purge
+    targets).  The manifest audit ledger records a ``relation:`` entry
+    with the victim count + an order-insensitive mod-2³² checksum, not
+    the keys themselves."""
+    root = root.rstrip("/")
+    _require_local_path(root, "purge_relation")
+    pin_reader_conf(spark)
+    versions = table_versions(root)
+    empty = {
+        "files_rewritten": 0, "manifests_updated": 0,
+        "rows_removed": {}, "victim_keys": 0,
+    }
+    if not versions:
+        return empty
+    manifests = {v: _read_manifest(root, v) for v in versions}
+    key_field = _newest_key_field(manifests, key_col, root)
+
+    if key_col in victims.columns:
+        src = F.col(key_col)
+    elif len(victims.columns) == 1:
+        src = F.col(victims.columns[0])
+    else:
+        raise ValueError(
+            f"victims relation must carry {key_col!r} or be single-column; "
+            f"got {victims.columns}"
+        )
+    vic = (
+        victims.select(src.cast(key_field.dataType).alias(key_col))
+        .where(F.col(key_col).isNotNull())
+    )
+    if isinstance(key_field.dataType, (T.DoubleType, T.FloatType)):
+        # NaN = NaN is TRUE under join equality; a NaN "victim" would
+        # silently erase NaN-key rows nobody targeted (same exclusion
+        # build_victims_df applies on the list face)
+        vic = vic.where(~F.isnan(key_col))
+    # distinct + materialized ONCE: the relation is consumed by the
+    # planning range join and then by every per-file rewrite anti join
+    vic = vic.distinct().localCheckpoint(eager=True)
+
+    # one scalar action covers emptiness, the audit fingerprint, and the
+    # returned victim count (order-insensitive: sum of 32-bit row
+    # signatures in the mod-2^32 ring via overflow-free half sums)
+    sig = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+    n_vic, fp = vic.agg(
+        F.count(F.lit(1)),
+        (
+            (F.sum(sig % F.lit(65536)) + (F.sum(F.floor(sig / F.lit(65536))) % F.lit(65536)) * F.lit(65536))
+            % F.lit(4294967296)
+        ),
+    ).first()
+    if n_vic == 0:
+        return empty
+
+    # union of per-file ranges across every version: files are immutable
+    # and uniquely named, so a file shared by many manifests contributes
+    # ONE range and the planning join runs ONCE, not per version.
+    # Manifests whose schema lacks the key column cannot contain victim
+    # values (their files null-fill it); vanished files (vacuum-retained
+    # legacy epoch manifests) have no reader to protect.
+    ranged: dict[str, tuple] = {}
+    forced: set[str] = set()
+    for m in manifests.values():
+        fields = {f["name"] for f in json.loads(m["schema"])["fields"]}
+        if key_col not in fields:
+            continue
+        ranges = _file_ranges_from_manifest(m, key_col)
+        if ranges is None:  # legacy manifest without embedded stats
+            from python_async_sample_spark.sources.layout import _file_key_ranges
+
+            paths = [
+                p for n in m["files"]
+                if os.path.exists(p := f"{root}/{_DATA_DIR}/{n}")
+            ]
+            ranges = [
+                (os.path.basename(p), lo, hi, rows)
+                for p, lo, hi, rows in _file_key_ranges(paths, key_col)
+            ]
+        for n, lo, hi, rows in ranges:
+            if not os.path.exists(f"{root}/{_DATA_DIR}/{n}"):
+                continue
+            if lo is None:  # stats-less: conservatively affected
+                forced.add(n)
+            else:
+                ranged[n] = (n, lo, hi, rows)
+    names_hit, _ = _affected_via_range_join(
+        spark, vic, key_col, [r for n, r in sorted(ranged.items())]
+    )
+    affected = set(names_hit) | forced
+
+    def drop_victims(df: DataFrame) -> DataFrame:
+        return df.join(F.broadcast(vic), key_col, "left_anti")
+
+    out = _purge_rewrite_and_flip(
+        spark, root, manifests, versions, affected, drop_victims,
+        purged_entries={f"relation:{key_col}:n={n_vic}:ck={int(fp):08x}"},
+    )
+    return {**out, "victim_keys": int(n_vic)}
 
 
 def vacuum(

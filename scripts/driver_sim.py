@@ -6,7 +6,8 @@ session), runs entry() + every queries() entry at the given sf_dir, and
 compares each against oracle_sql() via DuckDB with order-insensitive,
 name-sorted-column value comparison.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--only name1,name2,...]
+       (--only: substring-or-exact match filter for targeted re-probes)
 """
 
 from __future__ import annotations
@@ -21,18 +22,28 @@ from pyspark.sql import SparkSession
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = list(sys.argv[1:])
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1].split(",")
+        del args[i:i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as e
 
     spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    rows = e.entry(spark).collect()
-    print(f"entry: OK rows={len(rows)} cols={e.entry(spark).columns}")
+    if not only:
+        rows = e.entry(spark).collect()
+        print(f"entry: OK rows={len(rows)} cols={e.entry(spark).columns}")
 
     from tests.oracle_check import compare
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        qs = {n: f for n, f in qs.items()
+              if any(sel == n or sel in n for sel in only)}
     failed = []
     for name in sorted(qs):
         t0 = time.perf_counter()

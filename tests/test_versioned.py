@@ -1079,3 +1079,51 @@ def test_restore_loses_cleanly_to_concurrent_writer(spark, sf_dir, root):
     assert table_versions(root) == [0, 1, 2]  # restore committed NOTHING
     # rebased restore (fresh head read) then succeeds
     assert restore_version(spark, root, 0) == 3
+
+
+def test_purge_relation_erases_from_every_snapshot(spark, sf_dir, root):
+    """DataFrame-keyed right-to-be-forgotten: same erasure contract as
+    purge_keys with the victim set as a RELATION the driver never
+    collects — planning rides the MERGE range join
+    (_affected_via_range_join), each rewrite a broadcast anti join; the
+    manifest audit ledger records a count+checksum fingerprint, not the
+    keys."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        purge_relation,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.orderBy("o_orderkey"), n_files=4)
+    updates = orders.limit(3).withColumn("o_orderstatus", F.lit("M"))
+    merge_into_versioned(spark, root, updates, "o_orderkey")
+
+    victims_df = orders.where(F.col("o_custkey") % 19 == 0).select("o_orderkey")
+    n_victims = victims_df.distinct().count()
+    assert n_victims > 0
+    n0 = read_version(spark, root, 0).count()
+    res = purge_relation(spark, root, "o_orderkey", victims_df)
+    assert res["victim_keys"] == n_victims
+    assert res["manifests_updated"] >= 1 and res["files_rewritten"] >= 1
+
+    for v in table_versions(root):
+        snap = read_version(spark, root, v)
+        assert snap.join(victims_df, "o_orderkey", "left_semi").count() == 0, v
+    assert read_version(spark, root, 0).count() == n0 - n_victims
+    # audit ledger: relation entry carries count + checksum, never keys
+    m1 = _read_manifest(root, 1)
+    rel_entries = [p for p in m1["purged"] if p.startswith("relation:")]
+    assert len(rel_entries) == 1
+    assert f"n={n_victims}" in rel_entries[0] and ":ck=" in rel_entries[0]
+
+    # re-run removes nothing further (victims already erased everywhere)
+    res2 = purge_relation(spark, root, "o_orderkey", victims_df)
+    assert all(v == 0 for v in res2["rows_removed"].values())
+
+    # NULL-only / empty victim relations are no-ops, not errors
+    none_df = victims_df.select(F.lit(None).cast("bigint").alias("o_orderkey"))
+    res3 = purge_relation(spark, root, "o_orderkey", none_df)
+    assert res3 == {
+        "files_rewritten": 0, "manifests_updated": 0,
+        "rows_removed": {}, "victim_keys": 0,
+    }
