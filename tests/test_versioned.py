@@ -1127,3 +1127,86 @@ def test_purge_relation_erases_from_every_snapshot(spark, sf_dir, root):
         "files_rewritten": 0, "manifests_updated": 0,
         "rows_removed": {}, "victim_keys": 0,
     }
+
+
+def test_restore_race_with_live_concurrent_append(spark, sf_dir, root):
+    """VERDICT r6 item 7: restore_version and append_versioned RACE for
+    the same head slot, live (no monkeypatch) — the metadata-only restore
+    commits in milliseconds while the append is still staging files, so
+    the append reliably loses its os.link commit with
+    ConcurrentWriteError, commits NOTHING, rebases and retries.  Property
+    pinned across three rounds: history stays a contiguous parent-linked
+    chain (no version skipped or double-used), every snapshot remains
+    readable with stats-consistent row counts, and the exactly-once epoch
+    ledger carries through every restore so a pre-race epoch still
+    replays as a duplicate."""
+    import threading
+
+    from python_async_sample_spark.sources.versioned import (
+        ConcurrentWriteError,
+        _read_manifest,
+        append_versioned,
+        commit_stream_epoch,
+        restore_version,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.limit(40), n_files=2)            # v0
+    commit_stream_epoch(
+        spark, root,
+        orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000),
+        0, "fp-race-e0",
+    )                                                                  # v1
+    batch = orders.limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 30_000_000
+    )
+
+    losses = []
+
+    def with_retry(tag, fn):
+        for attempt in range(6):
+            try:
+                return fn()
+            except ConcurrentWriteError:
+                losses.append((tag, attempt))
+        raise AssertionError(f"{tag} lost the race 6 times straight")
+
+    for _round in range(3):
+        target = current_version(root) - 1  # previous head: never a no-op
+        barrier = threading.Barrier(2)
+        results = {}
+
+        def run(tag, fn):
+            barrier.wait()
+            results[tag] = with_retry(tag, fn)
+
+        threads = [
+            threading.Thread(
+                target=run, args=("append", lambda: append_versioned(spark, root, batch))
+            ),
+            threading.Thread(
+                target=run,
+                args=("restore", lambda t=target: restore_version(spark, root, t)),
+            ),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert {"append", "restore"} <= results.keys()
+
+    versions = table_versions(root)
+    assert versions == list(range(len(versions)))  # contiguous, none skipped
+    for v in versions:
+        m = _read_manifest(root, v)
+        assert m["parent"] == (None if v == 0 else v - 1)
+        expected = sum(e["rows"] for e in m["stats"].values())
+        assert read_version(spark, root, v).count() == expected, v
+    head_m = _read_manifest(root, current_version(root))
+    assert head_m["epochs"] == {"0": "fp-race-e0"}
+    # the pre-race epoch replays as a recognized duplicate even now
+    assert commit_stream_epoch(spark, root, orders.limit(5), 0, "fp-race-e0") is None
+    # a staging append racing a metadata-only restore must have actually
+    # lost at least once across three rounds — otherwise this harness
+    # exercised nothing
+    assert losses, "no ConcurrentWriteError observed; race harness inert"
