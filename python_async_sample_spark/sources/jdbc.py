@@ -43,6 +43,58 @@ def ts_literal_func(dt: datetime) -> str:
     return f"TIMESTAMP('{dt:%Y-%m-%d %H:%M:%S.%f}')"
 
 
+def ts_literal_oracle(dt: datetime) -> str:
+    """The reference's exact wire form — an explicit ``to_timestamp`` with
+    the FF3 (millisecond) mask, which it sends identically to Oracle AND
+    PostgreSQL (``dbs/nikon.py:111-112`` PG scan, ``dbs/nikon.py:142-144``
+    PG delete, ``dbs/nikon.py:240-243`` Oracle scan).  Microseconds
+    truncate to milliseconds because FF3 is what the mask says; callers
+    needing finer resolution use :func:`ts_literal_ansi`."""
+    return (
+        f"to_timestamp('{dt:%Y-%m-%d %H:%M:%S}.{dt.microsecond // 1000:03d}', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3')"
+    )
+
+
+# dialect name -> timestamp-literal renderer. Derby is the LIVE backend
+# (in-JVM, exercised end-to-end in tests/test_jdbc.py); the oracle/pg
+# forms cannot run live in this sandbox (no server, no network) and are
+# instead BYTE-PINNED against the reference's wire strings in
+# tests/test_jdbc.py's dialect-table tests.
+DIALECT_TS_LITERALS: dict[str, Callable[[datetime], str]] = {
+    "ansi": ts_literal_ansi,
+    "oracle": ts_literal_oracle,  # reference wire form, Oracle + PG alike
+    "derby": ts_literal_func,
+}
+
+
+def pg_insert_values_sql(table: str, n_rows: int) -> str:
+    """The reference's psycopg2 multi-row INSERT shape
+    (``dbs/nikon.py:160-167``): one ``%s`` placeholder PER ROW TUPLE,
+    joined with commas — psycopg2 adapts each Python tuple to a composite
+    value client-side.  Generated here (and byte-pinned in tests) so the
+    Spark-side sink speaks the same wire dialect when pointed at a real
+    PostgreSQL; in-sandbox the live path is Derby via ``df.write.jdbc``,
+    which batches without literal SQL."""
+    if n_rows < 1:
+        raise ValueError("n_rows must be >= 1")
+    return f"INSERT INTO {table} VALUES ({','.join(['%s'] * n_rows)})"
+
+
+def pg_delete_window_named_sql(table: str, like_col: str, ts_col: str) -> str:
+    """The reference's parameterized PG idempotency delete
+    (``dbs/nikon.py:117-136``): quoted identifiers, a LIKE tool filter,
+    the half-open ``(lo, hi]`` window, and psycopg2 NAMED placeholders —
+    placeholder names kept verbatim (``tlcd`` / ``psql_lastendtime`` /
+    ``ora_lastendtime``) because the wire string is the contract being
+    pinned."""
+    return (
+        f'DELETE FROM "{table}" WHERE "{like_col}" LIKE %(tlcd)s '
+        f'AND "{ts_col}" > %(psql_lastendtime)s '
+        f'AND "{ts_col}" <= %(ora_lastendtime)s'
+    )
+
+
 def interval_predicates(
     ts_col: str,
     lo: datetime,

