@@ -744,6 +744,80 @@ def q216_purged_relation_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q217_relation_delete_travel",
+    oracle="""
+    WITH victims AS MATERIALIZED (
+      SELECT DISTINCT o_orderkey FROM orders WHERE o_custkey % 53 = 0
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY o_orderstatus
+    ),
+    v1 AS (
+      SELECT CAST(1 AS INT) AS version, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM victims)
+      GROUP BY o_orderstatus
+    )
+    SELECT version, o_orderstatus, n_rows, total_price,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderkey IN (SELECT o_orderkey FROM victims)) AS deleted_rows
+    FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1)
+    ORDER BY version, o_orderstatus
+    """,
+    ref=(
+        "relation-keyed DELETE as a snapshot commit (the head-only sibling "
+        "of q216's history purge): the reference's predicate-shaped delete "
+        "(dbs/nikon.py:117-136) against the versioned head — victims ride "
+        "the MERGE range-join planner and one broadcast anti join, keys "
+        "never reach the driver (sources/versioned.delete_relation); "
+        "history stays time-travelable, which is exactly what "
+        "distinguishes DELETE from the erasure verb"
+    ),
+    tags=("incremental", "versioned"),
+)
+def q217_relation_delete_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``delete_relation`` removes every order of the ``o_custkey % 53``
+    customers from a NEW head version; the output rolls up version 0
+    (history INTACT — full corpus, the property that separates delete
+    from purge) and version 1 (victims gone), carrying the operator's
+    deleted-row counter so the oracle pins it too."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        delete_relation,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_delr_")
+    root = f"{tmp}/orders_del_rel"
+    orders = load_table(spark, sf_dir, "orders")
+    create_table(spark, root, orders, n_files=8, layout_col="o_orderkey")
+    victims = orders.where(F.col("o_custkey") % 53 == 0).select("o_orderkey")
+    res = delete_relation(spark, root, "o_orderkey", victims)
+
+    def rollup(df: DataFrame, version: int) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            "o_orderstatus", "n_rows", "total_price",
+        )
+
+    return (
+        rollup(read_version(spark, root, 0), 0)
+        .unionByName(rollup(read_version(spark, root, res["version"]), 1))
+        .withColumn("deleted_rows", F.lit(res["deleted_rows"]).cast("bigint"))
+        .orderBy("version", "o_orderstatus")
+    )
+
+
+@query(
     "q198_evolved_time_travel",
     oracle="""
     WITH base AS MATERIALIZED (

@@ -184,11 +184,12 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   q189 hierarchy / q192 interval coalesce: r6 rows + parity;
 #   q173 association rules: earned its de-zeroed driver row in r6
 #   (132 rows), family stays via q124 (PMI co-occurrence) rotating IN.
-# Still never-driver-checked after this rotation (oracled): q81, q85,
-# q86, q90, q93, q97, q98, q103, q108, q111 — ROUND-8 CANDIDATES in that
-# order — plus the deliberate _TAIL (q19/q40/q44/q45: §2 coverage
-# duplicated by in-window queries) and the rows-only tail, all verified
-# every round by scripts/driver_sim.py + tests/test_oracle_parity.
+# Still never-driver-checked after this rotation (oracled): q217
+# (relation-keyed DELETE, new this round), then q81, q85, q86, q90, q93,
+# q97, q98, q103, q108, q111 — ROUND-8 CANDIDATES in that order — plus
+# the deliberate _TAIL (q19/q40/q44/q45: §2 coverage duplicated by
+# in-window queries) and the rows-only tail, all verified every round by
+# scripts/driver_sim.py + tests/test_oracle_parity.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's

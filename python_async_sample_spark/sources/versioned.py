@@ -1115,6 +1115,96 @@ def delete_keys_versioned(
     }
 
 
+def _prepare_victims(
+    spark: SparkSession, victims: DataFrame, key_col: str, key_field: T.StructField
+) -> DataFrame:
+    """Normalize a victim RELATION for anti-join deletion: project the key
+    column (or accept a single-column relation), cast to the table's key
+    type, drop NULLs (never equi-match — a NULL "victim" targets nothing)
+    and NaNs (NaN = NaN is TRUE under join equality — a NaN victim would
+    silently erase NaN-key rows nobody targeted), dedup, and materialize
+    ONCE (the relation is consumed by the planning range join and then by
+    every per-file rewrite)."""
+    if key_col in victims.columns:
+        src = F.col(key_col)
+    elif len(victims.columns) == 1:
+        src = F.col(victims.columns[0])
+    else:
+        raise ValueError(
+            f"victims relation must carry {key_col!r} or be single-column; "
+            f"got {victims.columns}"
+        )
+    vic = (
+        victims.select(src.cast(key_field.dataType).alias(key_col))
+        .where(F.col(key_col).isNotNull())
+    )
+    if isinstance(key_field.dataType, (T.DoubleType, T.FloatType)):
+        vic = vic.where(~F.isnan(key_col))
+    return vic.distinct().localCheckpoint(eager=True)
+
+
+def delete_relation(
+    spark: SparkSession, root: str, key_col: str, victims: DataFrame
+) -> dict:
+    """``DELETE WHERE <relation>`` as a snapshot commit —
+    :func:`delete_keys_versioned` with the victim set as a RELATION, the
+    head-only sibling of :func:`purge_relation` (delete removes rows from
+    the NEW head while time travel keeps serving history; purge is the
+    erasure verb that rewrites history).  The reference's delete is
+    predicate-shaped (``dbs/nikon.py:117-136``) — at 100 TB the victims
+    are a relation, not a key list, so planning rides the same distributed
+    range join as MERGE and the rewrite is one broadcast anti join: victim
+    keys never reach the driver, driver state is O(files)."""
+    root = root.rstrip("/")
+    _require_local_path(root, "delete_relation")
+    pin_reader_conf(spark)
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if key_col not in schema.fieldNames():
+        raise ValueError(f"column {key_col!r} not in {root!r}'s head schema")
+    vic = _prepare_victims(spark, victims, key_col, schema[key_col])
+
+    ranges = _file_ranges_from_manifest(manifest, key_col)
+    if ranges is None:  # legacy manifest without embedded stats
+        from python_async_sample_spark.sources.layout import _file_key_ranges
+
+        paths = [f"{root}/{_DATA_DIR}/{n}" for n in manifest["files"]]
+        ranges = [
+            (os.path.basename(p), lo, hi, rows)
+            for p, lo, hi, rows in _file_key_ranges(paths, key_col)
+        ]
+    forced = [(n, r) for n, lo, _, r in ranges if lo is None]
+    ranged = [(n, lo, hi, r) for n, lo, hi, r in ranges if lo is not None]
+    names_hit, rows_hit = _affected_via_range_join(spark, vic, key_col, ranged)
+    affected_names = sorted(set(names_hit) | {n for n, _ in forced})
+    rows_before = rows_hit + sum(r for _, r in forced)
+    if not affected_names:
+        return {"version": parent, "rewritten": 0, "deleted_rows": 0}
+
+    keep = (
+        spark.read.schema(schema)
+        .parquet(*[f"{root}/{_DATA_DIR}/{n}" for n in affected_names])
+        .join(F.broadcast(vic), key_col, "left_anti")
+        .select(*schema.fieldNames())
+    )
+    new_names = _stage_files(keep, root, len(affected_names))
+    new_stats = _collect_file_stats(root, new_names)
+    rows_after = sum(new_stats[n]["rows"] for n in new_names)
+    kept_names = [n for n in manifest["files"] if n not in set(affected_names)]
+    version = _commit(
+        root, kept_names + new_names, manifest["schema"],
+        f"delete-rel:{key_col}", parent,
+        epochs=manifest.get("epochs"),
+        stats=_carry_stats(manifest, kept_names, new_stats),
+    )
+    return {
+        "version": version,
+        "rewritten": len(affected_names),
+        "deleted_rows": rows_before - rows_after,
+    }
+
+
 def commit_stream_epoch(
     spark: SparkSession,
     root: str,
@@ -1600,28 +1690,7 @@ def purge_relation(
         return empty
     manifests = {v: _read_manifest(root, v) for v in versions}
     key_field = _newest_key_field(manifests, key_col, root)
-
-    if key_col in victims.columns:
-        src = F.col(key_col)
-    elif len(victims.columns) == 1:
-        src = F.col(victims.columns[0])
-    else:
-        raise ValueError(
-            f"victims relation must carry {key_col!r} or be single-column; "
-            f"got {victims.columns}"
-        )
-    vic = (
-        victims.select(src.cast(key_field.dataType).alias(key_col))
-        .where(F.col(key_col).isNotNull())
-    )
-    if isinstance(key_field.dataType, (T.DoubleType, T.FloatType)):
-        # NaN = NaN is TRUE under join equality; a NaN "victim" would
-        # silently erase NaN-key rows nobody targeted (same exclusion
-        # build_victims_df applies on the list face)
-        vic = vic.where(~F.isnan(key_col))
-    # distinct + materialized ONCE: the relation is consumed by the
-    # planning range join and then by every per-file rewrite anti join
-    vic = vic.distinct().localCheckpoint(eager=True)
+    vic = _prepare_victims(spark, victims, key_col, key_field)
 
     # one scalar action covers emptiness, the audit fingerprint, and the
     # returned victim count (order-insensitive: sum of 32-bit row

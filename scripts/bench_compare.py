@@ -10,7 +10,8 @@ Usage:
     python bench.py | tail -1 > /tmp/bench.json
     python scripts/bench_compare.py /tmp/bench.json
     python scripts/bench_compare.py --run        # runs bench.py itself
-    python scripts/bench_compare.py /tmp/bench.json --refresh [--allow-lower]
+    python scripts/bench_compare.py /tmp/bench.json --refresh \
+        [--allow-lower | --allow-lower-for QUERY ...]
 
 Exits 1 listing regressed queries, 0 otherwise. New queries (absent from the
 baseline) are reported informationally and never fail the gate.
@@ -60,9 +61,14 @@ def load_current(args) -> dict:
         return json.load(f)
 
 
-def refresh_baseline(base: dict, cur: dict, allow_lower: bool) -> tuple[dict, list[str]]:
+def refresh_baseline(
+    base: dict, cur: dict, allow_lower: bool, lower_for: set[str] = frozenset()
+) -> tuple[dict, list[str]]:
     """Min-merge ``cur`` into ``base`` under the refresh protocol: add new
-    entries, never raise an existing one, lower only when ``allow_lower``.
+    entries, never raise an existing one, lower only when ``allow_lower``
+    (every entry) or the entry is named in ``lower_for`` (the targeted
+    form for a genuine plan rework — a lucky quiet run must not tighten
+    UNRELATED entries as a side effect of re-baselining one query).
     Returns (merged, report lines)."""
     merged = dict(base)
     report = []
@@ -72,7 +78,7 @@ def refresh_baseline(base: dict, cur: dict, allow_lower: bool) -> tuple[dict, li
             merged[name] = t
             report.append(f"ADDED    {name}: {t:.2f}s")
         elif t < b:
-            if allow_lower:
+            if allow_lower or name in lower_for:
                 merged[name] = t
                 report.append(f"LOWERED  {name}: {b:.2f}s -> {t:.2f}s")
             else:
@@ -94,6 +100,12 @@ def main() -> int:
                    help="min-merge this run into BENCH_BASELINE.json (protocol above)")
     p.add_argument("--allow-lower", action="store_true",
                    help="with --refresh: permit lowering existing baseline entries")
+    p.add_argument("--allow-lower-for", action="append", default=[],
+                   metavar="QUERY",
+                   help="with --refresh: permit lowering ONLY the named "
+                        "entry (repeatable) — for re-baselining a genuine "
+                        "plan rework without a lucky run tightening "
+                        "unrelated entries")
     args = p.parse_args()
     if not args.run and not args.bench_json:
         p.error("pass a bench JSON file or --run")
@@ -105,7 +117,9 @@ def main() -> int:
     cur = load_current(args)["queries"]
 
     if args.refresh:
-        merged, report = refresh_baseline(base, cur, args.allow_lower)
+        merged, report = refresh_baseline(
+            base, cur, args.allow_lower, set(args.allow_lower_for)
+        )
         for line in report:
             print(line)
         base_doc["queries"] = merged

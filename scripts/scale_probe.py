@@ -92,9 +92,24 @@ def _perturb_tokens(text: str, k: int) -> str:
 
 def build_scaled(work_dir: str, factor: int) -> str:
     out = f"{work_dir}/x{factor}"
-    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE_v2"):
+    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE_v3"):
         return out
     os.makedirs(out, exist_ok=True)
+
+    # orders — the storage-verb probes' base table (VERDICT r6 item 3):
+    # keys offset per copy (custkeys follow the customer tiling) so keyed
+    # MERGE/purge victims stay a constant FRACTION of the data
+    orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    parts = []
+    for k in range(factor):
+        c = orders.copy()
+        c["o_orderkey"] = c["o_orderkey"] + k * ID_STRIDE
+        c["o_custkey"] = c["o_custkey"] + k * ID_STRIDE
+        parts.append(c)
+    pq.write_table(
+        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+        f"{out}/orders.parquet",
+    )
 
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     parts = []
@@ -166,7 +181,7 @@ def build_scaled(work_dir: str, factor: int) -> str:
         f"{out}/events.parquet",
     )
 
-    open(f"{out}/_DONE_v2", "w").close()
+    open(f"{out}/_DONE_v3", "w").close()
     return out
 
 
@@ -291,6 +306,164 @@ def probed_paths(spark):
     return paths
 
 
+# ---------------------------------------------------------------------------
+# Storage verbs (VERDICT r6 item 3): MERGE INTO, relation-keyed purge,
+# RESTORE+vacuum, and the two-table atomic catalog commit.  File count is
+# HELD FIXED (16) while data scales ×10, so the O(files) contract shows as
+# FLAT driver rows (the caps below are absolute) while wall time tracks the
+# data linearly (setup create_table dominates — it writes the whole table).
+# ---------------------------------------------------------------------------
+
+VERB_SCALES = (1, 10)
+VERB_N_FILES = 16
+# absolute driver-row caps: planning is manifest JSON (no Spark collect);
+# the counted collects are the merge guard's 3-scalar aggregate, the range
+# join's <= n_files hit names, purge's 1-row count+checksum aggregate, and
+# emptiness/first probes — all O(files)+O(1), data-independent
+VERB_DRIVER_ROW_CAPS = {
+    "merge_into": 200,
+    "purge_relation": 200,
+    "restore_vacuum": 100,
+    "catalog_atomic_pair": 400,
+}
+
+
+def probed_verbs(spark):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.sources import catalog as cat
+    from python_async_sample_spark.sources.readers import load_table
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        create_table,
+        current_version,
+        merge_into_versioned,
+        purge_relation,
+        read_version,
+        restore_version,
+        table_versions,
+        vacuum,
+    )
+
+    def fresh_root(tag: str) -> str:
+        return tempfile.mkdtemp(prefix=f"spark_graft_verb_{tag}_") + "/t"
+
+    def merge_verb(sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("merge")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        upd = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderstatus", F.lit("M"))
+        res = merge_into_versioned(spark, root, upd, "o_orderkey")
+        assert res["upserted_rows"] > 0
+        return {"rows": res["upserted_rows"]}
+
+    def purge_verb(sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("purge")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        upd = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderstatus", F.lit("M"))
+        merge_into_versioned(spark, root, upd, "o_orderkey")
+        victims = orders.where(F.col("o_orderkey") % 211 == 0).select("o_orderkey")
+        res = purge_relation(spark, root, "o_orderkey", victims)
+        assert res["victim_keys"] > 0 and res["manifests_updated"] >= 1
+        return {"rows": res["victim_keys"]}
+
+    def restore_vacuum_verb(sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("restore")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        n0 = read_version(spark, root, 0).count()
+        append_versioned(spark, root, orders.limit(1000), n_files=1)
+        restore_version(spark, root, 0)  # metadata-only rollback
+        vacuum(root, keep_last=len(table_versions(root)), grace_seconds=0)
+        assert read_version(spark, root, current_version(root)).count() == n0
+        return {"rows": n0}
+
+    def catalog_verb(sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        hdr_root, det_root = fresh_root("hdr"), fresh_root("det")
+        cat_root = tempfile.mkdtemp(prefix="spark_graft_verb_cat_") + "/c"
+        hdr = orders.select("o_orderkey", "o_orderstatus")
+        det = orders.select("o_orderkey", F.col("o_totalprice").alias("price"))
+        create_table(spark, hdr_root, hdr, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        create_table(spark, det_root, det, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        cat.catalog_create(cat_root, {"hdr": hdr_root, "det": det_root})
+        upd_h = hdr.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderstatus", F.lit("M"))
+        upd_d = det.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "price", F.col("price") + F.lit(1.0))
+        r1 = merge_into_versioned(spark, hdr_root, upd_h, "o_orderkey")
+        r2 = merge_into_versioned(spark, det_root, upd_d, "o_orderkey")
+        cat.catalog_commit(cat_root, {
+            "hdr": current_version(hdr_root), "det": current_version(det_root),
+        })
+        return {"rows": r1["upserted_rows"] + r2["upserted_rows"]}
+
+    return [
+        ("merge_into", merge_verb),
+        ("purge_relation", purge_verb),
+        ("restore_vacuum", restore_vacuum_verb),
+        ("catalog_atomic_pair", catalog_verb),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Rows-only error contracts (VERDICT r6 item 8): the 11 no-oracle queries
+# carry their bounds as IN-PLAN guards (recall floors, sketch error bands,
+# completeness poisons) that fire under count() — running each on the ×10
+# corpus makes a scale-induced degradation POISON the probe instead of
+# passing silently.  Two structural exceptions carry no runtime guard and
+# are documented in SCALE.md's notes instead:
+#   q33_simhash_near_pairs — 4×16-bit chunk blocking is pigeonhole-complete
+#     at d≤3 BY CONSTRUCTION at any N (and the oracled twin q187 hash-pins
+#     the same kernel), so scale cannot change its bound, only its cost;
+#   q144_pca_spectrum — the eigen-decomposition runs on the d×d (64×64)
+#     Gram matrix, whose size is corpus-independent; scale changes only the
+#     one linear Gram pass.
+# ---------------------------------------------------------------------------
+
+ROWS_ONLY_SCALES = (1, 10)
+ROWS_ONLY_DRIVER_ROW_CAPS = {
+    # sketch queries collect fixed-size register/cell relations (HLL m=512
+    # registers, CMS w·d cells, quantile histogram bins) — corpus-blind
+    "q91_approx_quantiles": 2000,
+    "q142_cms_heavy_hitters": 6000,
+    "q155_hll_rolling_distinct": 4000,
+    "q164_audience_overlap_hll": 4000,
+    "q165_stream_cms_heavy_hitters": 6000,
+    "q63_approx_distinct_users": 2000,
+    # ANN faces: 64-query broadcast matrix + IVF's min(4096, N) training
+    # sample
+    "q36_ann_lsh_topk": 6000,
+    "q37_ann_ivf_topk": 6000,
+    # pair miners: one-row probes only
+    "q33_simhash_near_pairs": 200,
+    "q87_media_phash_pairs": 200,
+    # PCA collects its bounded min(4096, N) basis-fit sample (same
+    # absolute bound as IVF's training sample) + the 64-row spectrum
+    "q144_pca_spectrum": 6000,
+}
+
+
+def probed_rows_only(spark):
+    from python_async_sample_spark.plans.registry import load_all
+
+    specs = load_all()
+    return [
+        (n, (lambda n: lambda d: specs[n].fn(spark, d))(n))
+        for n in ROWS_ONLY_DRIVER_ROW_CAPS
+    ]
+
+
 def main() -> int:
     work_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale"
     os.makedirs(work_dir, exist_ok=True)
@@ -322,6 +495,34 @@ def main() -> int:
                 "rows": n_out, "sec": dt, "driver_rows": meter.rows,
             }
             print(f"x{factor} {name}: {n_out} rows {dt:.1f}s "
+                  f"driver={meter.rows}", flush=True)
+
+    # storage verbs: O(files) driver contract (files fixed, data ×10)
+    verb_results: dict[str, dict[int, dict]] = {}
+    for name, fn in probed_verbs(spark):
+        for factor in VERB_SCALES:
+            with CollectMeter() as meter:
+                t0 = time.time()
+                out = fn(dirs[factor])
+                dt = time.time() - t0
+            verb_results.setdefault(name, {})[factor] = {
+                "rows": out["rows"], "sec": dt, "driver_rows": meter.rows,
+            }
+            print(f"x{factor} verb {name}: {out['rows']} rows {dt:.1f}s "
+                  f"driver={meter.rows}", flush=True)
+
+    # rows-only error contracts: count() fires the in-plan guards at ×10
+    ro_results: dict[str, dict[int, dict]] = {}
+    for name, fn in probed_rows_only(spark):
+        for factor in ROWS_ONLY_SCALES:
+            with CollectMeter() as meter:
+                t0 = time.time()
+                n_out = fn(dirs[factor]).count()
+                dt = time.time() - t0
+            ro_results.setdefault(name, {})[factor] = {
+                "rows": n_out, "sec": dt, "driver_rows": meter.rows,
+            }
+            print(f"x{factor} rows-only {name}: {n_out} rows {dt:.1f}s "
                   f"driver={meter.rows}", flush=True)
 
     lo, hi = SCALES[0], SCALES[-1]
@@ -372,6 +573,93 @@ def main() -> int:
             f"| {name} | {cand_g:.1f}× | {time_g:.1f}× | {slack:.2f} | "
             f"{max_driver} ≤ {cap} | {verdict} |"
         )
+    vlo, vhi = VERB_SCALES[0], VERB_SCALES[-1]
+    lines += [
+        "",
+        "## Storage verbs (×1 → ×10, file count FIXED at "
+        f"{VERB_N_FILES} — VERDICT r6 item 3)",
+        "",
+        "Driver-resident planning state must be O(files): with files held",
+        "fixed while data grows ×10, driver rows must stay FLAT under an",
+        "absolute cap (merge guard = 3 scalars, range-join = hit file names,",
+        "purge fingerprint = 1 row, catalog/restore = manifest JSON, no",
+        "collects). Wall time tracks the data (setup writes the table).",
+        "",
+        "| verb | scale | affected rows | seconds | driver rows ≤ cap | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, by_scale in verb_results.items():
+        cap = VERB_DRIVER_ROW_CAPS[name]
+        time_g = by_scale[vhi]["sec"] / max(1e-9, by_scale[vlo]["sec"])
+        ok_time = time_g <= LINEAR_SLACK * (vhi / vlo)
+        max_driver = max(by_scale[f]["driver_rows"] for f in VERB_SCALES)
+        ok_driver = max_driver <= cap
+        if not ok_time:
+            failures.append(
+                f"verb {name}: time grew {time_g:.1f}× vs ×{vhi // vlo} data "
+                f"(> {LINEAR_SLACK}× linear)"
+            )
+        if not ok_driver:
+            failures.append(
+                f"verb {name}: driver rows {max_driver} exceed cap {cap} "
+                "— planning state is no longer O(files)"
+            )
+        verdict = "OK" if (ok_time and ok_driver) else "FAIL"
+        for factor in VERB_SCALES:
+            r = by_scale[factor]
+            lines.append(
+                f"| {name} | ×{factor} | {r['rows']} | {r['sec']:.1f} | "
+                f"{r['driver_rows']} ≤ {cap} | {verdict if factor == vhi else ''} |"
+            )
+
+    rlo, rhi = ROWS_ONLY_SCALES[0], ROWS_ONLY_SCALES[-1]
+    lines += [
+        "",
+        "## Rows-only error contracts (×1 → ×10 — VERDICT r6 item 8)",
+        "",
+        "Each no-oracle query carries its bound as an IN-PLAN guard (recall",
+        "floor, sketch error band, completeness poison) that fires under the",
+        "probe's count() — a scale-induced degradation FAILS this probe",
+        "instead of passing silently. Driver rows are the code's documented",
+        "fixed-size collects (sketch registers/cells, the 64-query ANN",
+        "matrix + IVF's min(4096, N) training sample).",
+        "",
+        "Structural exceptions (no runtime guard, bound scale-independent by",
+        "construction): q33_simhash_near_pairs — 4×16-bit chunk blocking is",
+        "pigeonhole-complete at d≤3 at ANY corpus size, and the oracled twin",
+        "q187 hash-pins the same kernel; q144_pca_spectrum — the eigensolve",
+        "runs on the corpus-independent 64×64 Gram matrix, scale changes only",
+        "the one linear Gram pass. Both still run here so their linear-time",
+        "and driver-cap envelopes are pinned.",
+        "",
+        "| query | scale | output rows | seconds | driver rows ≤ cap | verdict |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, by_scale in ro_results.items():
+        cap = ROWS_ONLY_DRIVER_ROW_CAPS[name]
+        cand_g = max(1.0, by_scale[rhi]["rows"] / max(1, by_scale[rlo]["rows"]))
+        work_g = max(cand_g, rhi / rlo)
+        time_g = by_scale[rhi]["sec"] / max(1e-9, by_scale[rlo]["sec"])
+        ok_time = time_g <= LINEAR_SLACK * work_g
+        max_driver = max(by_scale[f]["driver_rows"] for f in ROWS_ONLY_SCALES)
+        ok_driver = max_driver <= cap
+        if not ok_time:
+            failures.append(
+                f"rows-only {name}: time grew {time_g:.1f}× vs work growth "
+                f"{work_g:.1f}× (> {LINEAR_SLACK}× linear)"
+            )
+        if not ok_driver:
+            failures.append(
+                f"rows-only {name}: driver rows {max_driver} exceed cap {cap}"
+            )
+        verdict = "OK" if (ok_time and ok_driver) else "FAIL"
+        for factor in ROWS_ONLY_SCALES:
+            r = by_scale[factor]
+            lines.append(
+                f"| {name} | ×{factor} | {r['rows']} | {r['sec']:.1f} | "
+                f"{r['driver_rows']} ≤ {cap} | {verdict if factor == rhi else ''} |"
+            )
+
     lines += [
         "",
         "Interpretation: `time/candidate slack` ≈ 1 means wall time tracks the",

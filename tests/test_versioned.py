@@ -1210,3 +1210,55 @@ def test_restore_race_with_live_concurrent_append(spark, sf_dir, root):
     # lost at least once across three rounds — otherwise this harness
     # exercised nothing
     assert losses, "no ConcurrentWriteError observed; race harness inert"
+
+
+def test_delete_relation_head_only(spark, sf_dir, root):
+    """delete_relation: relation-keyed DELETE commits a NEW head without
+    the victims while HISTORY stays intact (the property separating
+    delete from purge); keys never reach the driver (range-join planning
+    + broadcast anti join); pruning leaves out-of-range files untouched;
+    NULL victims and empty relations are no-ops."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        delete_relation,
+    )
+
+    orders = _orders(spark, sf_dir)
+    n_all = orders.count()
+    create_table(spark, root, orders, n_files=4, layout_col="o_orderkey")
+
+    # victims: a bounded key range, so range-partitioned files outside it
+    # must NOT be rewritten (manifest-stats pruning through the range join)
+    lo, hi = orders.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    cut = lo + (hi - lo) // 8
+    victims = orders.where(F.col("o_orderkey") <= cut).select("o_orderkey")
+    n_victims = victims.count()
+    assert 0 < n_victims < n_all
+
+    res = delete_relation(spark, root, "o_orderkey", victims)
+    assert res["version"] == 1
+    assert res["deleted_rows"] == n_victims
+    assert 1 <= res["rewritten"] < 4, "range pruning rewrote every file"
+
+    head = read_version(spark, root, 1)
+    assert head.count() == n_all - n_victims
+    assert head.join(victims, "o_orderkey", "left_semi").count() == 0
+    # history intact — v0 still serves the victims (delete ≠ purge)
+    assert read_version(spark, root, 0).count() == n_all
+    m1 = _read_manifest(root, 1)
+    assert m1["op"] == "delete-rel:o_orderkey" and m1["parent"] == 0
+
+    # empty and NULL-only victim relations are no-ops, not errors
+    res2 = delete_relation(
+        spark, root, "o_orderkey", victims.where(F.lit(False))
+    )
+    assert res2 == {"version": 1, "rewritten": 0, "deleted_rows": 0}
+    res3 = delete_relation(
+        spark, root, "o_orderkey",
+        victims.select(F.lit(None).cast("bigint").alias("o_orderkey")),
+    )
+    assert res3 == {"version": 1, "rewritten": 0, "deleted_rows": 0}
+
+    # unknown key column refuses loudly
+    with pytest.raises(ValueError, match="not in"):
+        delete_relation(spark, root, "nope", victims)
