@@ -2598,3 +2598,104 @@ def q174_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_censored"),
         surv.alias("survival"),
     ).orderBy("day_offset")
+
+
+_SPEARMAN_ORACLE = """
+    WITH base AS MATERIALIZED (
+      SELECT source, CAST(n_chars AS BIGINT) AS x,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y
+      FROM documents
+    ),
+    rx AS (
+      -- 2*average-rank is an exact INTEGER under ties:
+      -- avg_rank = cnt_less + (ties+1)/2  =>  2*avg_rank = 2*rank() + ties - 1
+      SELECT source,
+             2 * rank() OVER (PARTITION BY source ORDER BY x)
+               + count(*) OVER (PARTITION BY source, x) - 1 AS r2x,
+             2 * rank() OVER (PARTITION BY source ORDER BY y)
+               + count(*) OVER (PARTITION BY source, y) - 1 AS r2y
+      FROM base
+    ),
+    s AS (
+      -- per-row arithmetic stays BIGINT (4n³ < 2⁶³ up to ~10⁶ rows/group;
+      -- the engine side carries the same bound in its docstring); only
+      -- the 6-integer final combination promotes to DECIMAL(38,0)
+      SELECT source, CAST(count(*) AS DECIMAL(38,0)) AS n,
+             CAST(sum(r2x) AS DECIMAL(38,0)) AS sx,
+             CAST(sum(r2y) AS DECIMAL(38,0)) AS sy,
+             CAST(sum(r2x * r2y) AS DECIMAL(38,0)) AS sxy,
+             CAST(sum(r2x * r2x) AS DECIMAL(38,0)) AS sxx,
+             CAST(sum(r2y * r2y) AS DECIMAL(38,0)) AS syy
+      FROM rx GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman_rho
+    FROM s
+    WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    ORDER BY source
+"""
+
+
+@query(
+    "q218_spearman_length_vocab",
+    oracle=_SPEARMAN_ORACLE,
+    ref=(
+        "Spearman rank correlation per corpus source (beyond reference): "
+        "the monotonic-association screen a data-quality pipeline runs "
+        "between document length and vocabulary size — tie-corrected "
+        "average ranks kept EXACT by carrying 2·rank as an integer, so the "
+        "whole statistic is hash-oracle-able (no float rank arithmetic)"
+    ),
+    tags=("analytics", "stats", "llm-data"),
+)
+def q218_spearman_length_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman ρ between ``n_chars`` and distinct-token
+    count per source.  The trick that makes an inherently rank-based
+    float statistic exactly oracle-able: the tie-averaged rank is always
+    a multiple of ½, so ``2·avg_rank = 2·rank() + ties − 1`` is an exact
+    INTEGER on both engines; the six sufficient statistics stay exact in
+    BIGINT per row (4n³ < 2⁶³ holds to ~10⁶ rows per group — past that,
+    promote the per-row products to DECIMAL; kept integer here because
+    wide decimal expressions cost ~2× in whole-stage codegen compile),
+    the 6-integer final combination promotes to DECIMAL(38,0), and only
+    the last Pearson-on-ranks division touches doubles — identical IEEE
+    ops on identical integers, rounded to 6 digits.  Constant groups
+    (zero rank variance) are excluded on both sides.  One scan, two rank
+    windows, one groupBy — no joins, no UDFs."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("bigint").alias("y"),
+    )
+    r2 = lambda c: (  # noqa: E731 — 2*average-rank as an exact integer
+        2 * F.rank().over(W.partitionBy("source").orderBy(c))
+        + F.count(F.lit(1)).over(W.partitionBy("source", c)) - 1
+    )
+    rx = base.select("source", r2("x").alias("r2x"), r2("y").alias("r2y"))
+    s = rx.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = (d("n") * d("sxy") - d("sx") * d("sy")).cast("double")
+    d1 = (d("n") * d("sxx") - d("sx") * d("sx")).cast("double")
+    d2 = (d("n") * d("syy") - d("sy") * d("sy")).cast("double")
+    return (
+        s.where((d("n") * d("sxx") - d("sx") * d("sx") > 0)
+                & (d("n") * d("syy") - d("sy") * d("sy") > 0))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.round(num / (F.sqrt(d1) * F.sqrt(d2)), 6).alias("spearman_rho"),
+        )
+        .orderBy("source")
+    )

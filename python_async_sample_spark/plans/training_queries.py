@@ -1276,3 +1276,85 @@ def q215_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "n", "sum_pos", F.round("cal", 9).alias("calibrated"))
         .orderBy("bin")
     )
+
+
+# 2024-01-18 / 2024-01-21 00:00 UTC as integer epoch-µs: window arithmetic
+# rides integer microseconds ONLY (F.lit(naive datetime) shifts with the
+# driver's OS timezone — the q211 lesson)
+_EMBARGO_T_US = 1_705_536_000_000_000
+_EMBARGO_E_US = 1_705_795_200_000_000
+
+_EMBARGO_ORACLE = f"""
+    WITH tagged AS MATERIALIZED (
+      SELECT event_type, user_id,
+             CASE WHEN epoch_us(date_trunc('microseconds', ts)) <= {_EMBARGO_T_US}
+                    THEN 'train'
+                  WHEN epoch_us(date_trunc('microseconds', ts)) <= {_EMBARGO_E_US}
+                    THEN 'embargo'
+                  ELSE 'test' END AS split
+      FROM events
+    ),
+    per_user AS (
+      SELECT event_type, user_id,
+             sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_tr,
+             sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_te,
+             sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END) AS n_em
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(sum(n_tr) AS BIGINT) AS n_train,
+           CAST(sum(n_em) AS BIGINT) AS n_embargoed,
+           CAST(sum(n_te) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN n_tr > 0 AND n_te > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS users_trainable
+    FROM per_user GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q219_embargo_label_windows",
+    oracle=_EMBARGO_ORACLE,
+    ref=(
+        "temporal train/test split with an EMBARGO gap (beyond reference): "
+        "the time-series leakage control q120's content-hash split cannot "
+        "express — features from t <= T, labels from t > T+gap, the gap "
+        "excluded entirely so label leakage through temporal adjacency is "
+        "structurally zero (the purged/embargoed CV discipline of "
+        "financial ML, applied to event-stream training data)"
+    ),
+    tags=("llm-data", "training", "splits"),
+)
+def q219_embargo_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embargoed temporal split over the event stream: train ≤ T,
+    embargo (T, T+3d] EXCLUDED, test > T+3d — per event type the split
+    sizes plus ``users_trainable`` (distinct users with ≥1 feature event
+    AND ≥1 label event — the population a sequence model can actually
+    train on).  Boundaries compare ``unix_micros`` against integer
+    literals, so the split is identical under any driver timezone; one
+    scan, one per-user aggregate, one rollup — no joins, no shuffle
+    beyond the two aggregations."""
+    events = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    tagged = events.select(
+        "event_type", "user_id",
+        F.when(us <= F.lit(_EMBARGO_T_US), "train")
+         .when(us <= F.lit(_EMBARGO_E_US), "embargo")
+         .otherwise("test").alias("split"),
+    )
+    per_user = tagged.groupBy("event_type", "user_id").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias("n_tr"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias("n_te"),
+        F.sum(F.when(F.col("split") == "embargo", 1).otherwise(0)).alias("n_em"),
+    )
+    return (
+        per_user.groupBy("event_type")
+        .agg(
+            F.sum("n_tr").cast("bigint").alias("n_train"),
+            F.sum("n_em").cast("bigint").alias("n_embargoed"),
+            F.sum("n_te").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when((F.col("n_tr") > 0) & (F.col("n_te") > 0), 1).otherwise(0)
+            ).cast("bigint").alias("users_trainable"),
+        )
+        .orderBy("event_type")
+    )

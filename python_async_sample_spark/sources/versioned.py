@@ -291,10 +291,26 @@ def _affected_via_range_join(
         if not ranges:
             return [], 0
     rows_by_name = {n: r for n, _, _, r in ranges}
+    hits = _range_join_hits_plan(spark, batch, key_col, ranges).collect()
+    names = sorted(r["__file"] for r in hits)
+    return names, sum(rows_by_name[n] for n in names)
+
+
+def _range_join_hits_plan(
+    spark: SparkSession,
+    batch: DataFrame,
+    key_col: str,
+    ranges: list[tuple[str, object, object, int]],
+) -> DataFrame:
+    """The planning join itself, returned UNCOLLECTED so
+    tests/test_plan_quality.py can gate its physical shape: the O(files)
+    ranges relation must be the BROADCAST side of the (intentional)
+    BroadcastNestedLoopJoin — broadcasting the batch would ship the CDC
+    data to every task and cap batch size at the broadcast limit."""
     rng_df = spark.createDataFrame(
         [(n, lo, hi) for n, lo, hi, _ in ranges], ["__file", "__lo", "__hi"]
     )
-    hits = (
+    return (
         batch.select(F.col(key_col).alias("__k"))
         .where(F.col("__k").isNotNull())
         .join(
@@ -303,10 +319,7 @@ def _affected_via_range_join(
         )
         .select("__file")
         .distinct()
-        .collect()
     )
-    names = sorted(r["__file"] for r in hits)
-    return names, sum(rows_by_name[n] for n in names)
 
 
 _CARRY_CHECKS = object()  # sentinel: inherit the parent manifest's checks

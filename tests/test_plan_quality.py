@@ -442,3 +442,52 @@ def test_partition_filter_parser_rendering_cases():
     assert has(truncated, ("other",)) is None
 
     assert has("Project [id#4L]\n+- Filter (id#4L > 1)", ("dt",)) is None
+
+
+def test_merge_range_join_broadcasts_ranges_not_batch(spark, sf_dir):
+    """The MERGE/DELETE/purge planning join (_affected_via_range_join) is
+    intentionally a BroadcastNestedLoopJoin — the range condition is
+    non-equi — but the BROADCAST side must be the O(files) RANGES
+    relation, never the batch: broadcasting the batch would ship the CDC
+    data to every task and cap batch size at the broadcast limit
+    (ADVICE r6: no plan gate covered this path)."""
+    from python_async_sample_spark.sources.readers import load_table
+    from python_async_sample_spark.sources.versioned import _range_join_hits_plan
+
+    orders = load_table(spark, sf_dir, "orders")
+    ranges = [(f"f{i}.parquet", i * 1000, (i + 1) * 1000 - 1, 10) for i in range(64)]
+    plan = plan_str(_range_join_hits_plan(spark, orders, "o_orderkey", ranges))
+    # formatted mode prints the node in the tree AND the detail section;
+    # assert on the tree line, which carries the build side
+    assert plan.count("BroadcastNestedLoopJoin Inner BuildRight") == 1, plan
+    assert "BuildLeft" not in plan, plan  # never broadcast the batch
+    assert "CartesianProduct" not in plan, plan
+    # the batch's scan prunes to the key column only
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l and "orders" in l]
+    if read_schema:
+        assert "o_totalprice" not in read_schema[0], read_schema[0]
+
+
+def test_relation_verb_anti_join_broadcasts_victims(spark, sf_dir):
+    """purge_relation/delete_relation rewrite shape: per-file kept rows =
+    file LEFT ANTI JOIN broadcast(victims) — must plan as a
+    BroadcastHashJoin (LeftAnti, BuildRight), never a sort-merge shuffle
+    of the file side (each rewrite task would then shuffle its whole
+    file) and never a nested loop."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.sources.readers import load_table
+    from python_async_sample_spark.sources.versioned import _prepare_victims
+
+    orders = load_table(spark, sf_dir, "orders")
+    vic = _prepare_victims(
+        spark,
+        orders.where(F.col("o_orderkey") % 211 == 0).select("o_orderkey"),
+        "o_orderkey",
+        orders.schema["o_orderkey"],
+    )
+    kept = orders.join(F.broadcast(vic), "o_orderkey", "left_anti")
+    plan = plan_str(kept)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
