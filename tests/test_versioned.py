@@ -1262,3 +1262,73 @@ def test_delete_relation_head_only(spark, sf_dir, root):
     # unknown key column refuses loudly
     with pytest.raises(ValueError, match="not in"):
         delete_relation(spark, root, "nope", victims)
+
+
+def _twin_tables(spark, sf_dir, tag):
+    """Two identical 2-version tables for face-equivalence tests."""
+    import tempfile
+
+    orders = _orders(spark, sf_dir)
+    roots = {}
+    for face in ("list", "rel"):
+        r = tempfile.mkdtemp(prefix=f"spark_graft_eq_{tag}_{face}_") + "/t"
+        create_table(spark, r, orders.orderBy("o_orderkey"), n_files=4)
+        updates = orders.limit(5).withColumn("o_orderstatus", F.lit("M"))
+        merge_into_versioned(spark, r, updates, "o_orderkey")
+        roots[face] = r
+    return orders, roots
+
+
+def _victims(spark, orders):
+    """A victim relation with DUPLICATE rows and an ABSENT key — both
+    faces must dedup and no-op those identically."""
+    hit = orders.where(F.col("o_custkey") % 23 == 0).select("o_orderkey")
+    absent = spark.range(1).select(F.lit(10**12).cast("bigint").alias("o_orderkey"))
+    return hit.unionAll(hit).unionAll(absent)
+
+
+def test_relation_and_list_purge_faces_agree(spark, sf_dir, root):
+    """purge_relation(victims_df) must leave EVERY version in exactly the
+    state purge_keys(victims_list) does for the same victim set — the
+    relation face is an execution strategy, never a semantics change."""
+    from python_async_sample_spark.sources.versioned import (
+        purge_keys,
+        purge_relation,
+    )
+
+    orders, roots = _twin_tables(spark, sf_dir, "prg")
+    victims_df = _victims(spark, orders)
+    victims_list = [r[0] for r in victims_df.distinct().collect()]
+
+    res_l = purge_keys(spark, roots["list"], "o_orderkey", victims_list)
+    res_r = purge_relation(spark, roots["rel"], "o_orderkey", victims_df)
+    assert res_r["rows_removed"] == res_l["rows_removed"]
+    assert res_r["victim_keys"] == len(victims_list)
+    assert table_versions(roots["list"]) == table_versions(roots["rel"])
+    for v in table_versions(roots["list"]):
+        a = read_version(spark, roots["list"], v)
+        b = read_version(spark, roots["rel"], v)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, v
+
+
+def test_relation_and_list_delete_faces_agree(spark, sf_dir, root):
+    """delete_relation ≡ delete_keys_versioned on the same victim set:
+    identical new-head content, identical deleted-row counters, identical
+    untouched history."""
+    from python_async_sample_spark.sources.versioned import (
+        delete_keys_versioned,
+        delete_relation,
+    )
+
+    orders, roots = _twin_tables(spark, sf_dir, "del")
+    victims_df = _victims(spark, orders)
+    victims_list = [r[0] for r in victims_df.distinct().collect()]
+
+    res_l = delete_keys_versioned(spark, roots["list"], "o_orderkey", victims_list)
+    res_r = delete_relation(spark, roots["rel"], "o_orderkey", victims_df)
+    assert res_r["deleted_rows"] == res_l["deleted_rows"] > 0
+    assert res_r["version"] == res_l["version"] == 2
+    for v in table_versions(roots["list"]):
+        a = read_version(spark, roots["list"], v)
+        b = read_version(spark, roots["rel"], v)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, v
