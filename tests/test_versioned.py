@@ -1332,3 +1332,62 @@ def test_relation_and_list_delete_faces_agree(spark, sf_dir, root):
         a = read_version(spark, roots["list"], v)
         b = read_version(spark, roots["rel"], v)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0, v
+
+
+def test_merge_race_with_concurrent_merge(spark, sf_dir, root):
+    """Two MERGEs racing for the same head slot: the loser's os.link
+    commit fails with ConcurrentWriteError having published NOTHING
+    (its staged files are invisible orphans for vacuum), and the caller's
+    rebase-retry REPLANS against the new head — so both batches land,
+    neither overwrites the other's keys, and the final content equals
+    applying the merges in either order (the key sets are disjoint, so
+    order is immaterial and the equality is exact)."""
+    import threading
+
+    from python_async_sample_spark.sources.versioned import (
+        ConcurrentWriteError,
+        merge_into_versioned,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=4, layout_col="o_orderkey")
+
+    upd_a = orders.where(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_orderstatus", F.lit("A"))
+    upd_b = orders.where(F.col("o_orderkey") % 7 == 3).withColumn(
+        "o_orderstatus", F.lit("B"))
+
+    losses, results = [], {}
+    barrier = threading.Barrier(2)
+
+    def run(tag, batch):
+        barrier.wait()
+        for attempt in range(6):
+            try:
+                results[tag] = merge_into_versioned(spark, root, batch, "o_orderkey")
+                return
+            except ConcurrentWriteError:
+                losses.append((tag, attempt))
+        raise AssertionError(f"{tag} lost 6 times straight")
+
+    threads = [
+        threading.Thread(target=run, args=("a", upd_a)),
+        threading.Thread(target=run, args=("b", upd_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+    assert set(results) == {"a", "b"}
+    assert table_versions(root) == [0, 1, 2]  # contiguous, no slot skipped
+    head = read_version(spark, root, 2)
+    n_a = upd_a.count()
+    n_b = upd_b.count()
+    assert head.where(F.col("o_orderstatus") == "A").count() == n_a
+    assert head.where(F.col("o_orderstatus") == "B").count() == n_b
+    assert head.count() == orders.count()  # upsert, no dup/lost rows
+    # vacuum reclaims the loser's orphaned staging output without touching
+    # any referenced file
+    vacuum(root, keep_last=len(table_versions(root)), grace_seconds=0)
+    assert read_version(spark, root, 2).count() == orders.count()
