@@ -818,6 +818,192 @@ def q217_relation_delete_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q220_cloned_divergence",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    faces AS (
+      SELECT 'clone_v0' AS face,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'S' ELSE o_orderstatus END AS st,
+             price FROM base
+      UNION ALL
+      SELECT 'dst_head',
+             CASE WHEN o_orderkey % 89 = 0 THEN 'D'
+                  WHEN o_orderkey % 97 = 0 THEN 'S'
+                  ELSE o_orderstatus END, price FROM base
+      UNION ALL
+      SELECT 'src_head',
+             CASE WHEN o_orderkey % 101 = 0 THEN 'T'
+                  WHEN o_orderkey % 97 = 0 THEN 'S'
+                  ELSE o_orderstatus END, price FROM base
+    )
+    SELECT face, st AS o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM faces GROUP BY face, st ORDER BY face, st
+    """,
+    ref=(
+        "deep clone at hardlink cost + independent divergence (beyond "
+        "reference; versioned.clone_table — zero bytes copied, O(files) "
+        "links, epoch ledger carried): the dev/test-against-production "
+        "verb every lakehouse grows; the oracle recomputes the cloned "
+        "snapshot and BOTH diverged heads from first principles, so a "
+        "clone that shared mutable state with its source in either "
+        "direction hash-mismatches"
+    ),
+    tags=("incremental", "versioned"),
+)
+def q220_cloned_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A source table takes a MERGE (→ its v1), ``clone_table`` snapshots
+    it, then source and clone each take a DIFFERENT merge: the output
+    rolls up the clone's v0 (≡ the cloned snapshot, untouched by either
+    later merge) and both diverged heads."""
+    from python_async_sample_spark.sources.versioned import (
+        clone_table,
+        create_table,
+        current_version,
+        merge_into_versioned,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_clone_q_")
+    src, dst = f"{tmp}/src", f"{tmp}/dst"
+    base = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    create_table(spark, src, base, n_files=4, layout_col="o_orderkey")
+    mark = lambda m, s: (  # noqa: E731
+        base.where(F.col("o_orderkey") % m == 0).withColumn("o_orderstatus", F.lit(s))
+    )
+    merge_into_versioned(spark, src, mark(97, "S"), "o_orderkey")   # src v1
+    clone_table(src, dst)                                           # dst v0 ≡ src v1
+    merge_into_versioned(spark, dst, mark(89, "D"), "o_orderkey")   # dst v1
+    merge_into_versioned(spark, src, mark(101, "T"), "o_orderkey")  # src v2
+
+    def rollup(df: DataFrame, face: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select(F.lit(face).alias("face"), "o_orderstatus", "n_rows", "total_price")
+
+    return (
+        rollup(read_version(spark, dst, 0), "clone_v0")
+        .unionByName(rollup(read_version(spark, dst, current_version(dst)), "dst_head"))
+        .unionByName(rollup(read_version(spark, src, current_version(src)), "src_head"))
+        .orderBy("face", "o_orderstatus")
+    )
+
+
+@query(
+    "q221_dropped_column_travel",
+    oracle="""
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    appended AS (
+      SELECT o_orderkey + 30000000 AS o_orderkey, price
+      FROM base WHERE o_orderkey % 61 = 0
+    ),
+    v0 AS (
+      SELECT CAST(0 AS INT) AS version, CAST(3 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM base
+    ),
+    v1 AS (
+      -- metadata-only drop: same rows, the column is simply not read
+      SELECT CAST(1 AS INT) AS version, CAST(2 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS n_priorities,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM base
+    ),
+    v2 AS (
+      SELECT CAST(2 AS INT) AS version, CAST(2 AS INT) AS n_cols,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS n_priorities,
+             CAST(sum(price) AS DOUBLE) AS total_price
+      FROM (SELECT price FROM base UNION ALL SELECT price FROM appended)
+    )
+    SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    ORDER BY version
+    """,
+    ref=(
+        "DROP COLUMN as metadata-only schema evolution + time travel "
+        "(beyond reference; versioned.drop_column — the twin of q198's "
+        "add_column): zero data files rewritten, pre-drop versions still "
+        "serve the column, post-drop appends conform to the narrowed "
+        "schema, and the dropped name is ledgered so add_column cannot "
+        "resurrect stored values under it"
+    ),
+    tags=("incremental", "versioned"),
+)
+def q221_dropped_column_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``drop_column`` narrows the schema in an O(1) commit; the output
+    rolls up v0 (column present and counted), v1 (same rows, column
+    gone), and v2 (a post-drop append under the narrowed schema), so a
+    drop that rewrote data, leaked the column into later versions, or
+    lost it from earlier ones hash-mismatches."""
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        create_table,
+        drop_column,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_dropc_")
+    root = f"{tmp}/orders_drop"
+    base = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    create_table(spark, root, base, n_files=4)
+    drop_column(spark, root, "o_orderpriority")
+    appended = (
+        base.where(F.col("o_orderkey") % 61 == 0)
+        .select((F.col("o_orderkey") + 30_000_000).alias("o_orderkey"), "price")
+    )
+    append_versioned(spark, root, appended)
+
+    def face(version: int, n_cols: int, with_prio: bool) -> DataFrame:
+        df = read_version(spark, root, version)
+        # n_cols is ASSERTED against the real schema, not just emitted —
+        # the lit below would otherwise be a constant the oracle cannot
+        # catch lying
+        if len(df.columns) != n_cols:
+            raise AssertionError(
+                f"version {version} has {len(df.columns)} columns, expected {n_cols}"
+            )
+        prio = (
+            F.countDistinct("o_orderpriority").cast("bigint")
+            if with_prio else F.lit(None).cast("bigint")
+        )
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            prio.alias("n_priorities"),
+            F.sum("price").cast("double").alias("total_price"),
+        ).select(
+            F.lit(version).cast("int").alias("version"),
+            F.lit(n_cols).cast("int").alias("n_cols"),
+            "n_rows", "n_priorities", "total_price",
+        )
+
+    return (
+        face(0, 3, True)
+        .unionByName(face(1, 2, False))
+        .unionByName(face(2, 2, False))
+        .orderBy("version")
+    )
+
+
+@query(
     "q198_evolved_time_travel",
     oracle="""
     WITH base AS MATERIALIZED (

@@ -334,6 +334,7 @@ def _commit(
     epochs: dict[str, str] | None = None,
     stats: dict | None = None,
     checks=_CARRY_CHECKS,
+    dropped=_CARRY_CHECKS,
 ) -> int:
     """Atomically publish the next manifest.  The JSON is fully written to
     a temp file first; ``os.link`` then both creates the final name
@@ -346,13 +347,18 @@ def _commit(
     detection survives :func:`vacuum` dropping the ancestor manifests that
     originally recorded each epoch."""
     version = 0 if parent is None else parent + 1
-    if checks is _CARRY_CHECKS:
-        # CHECK constraints persist across every verb unless explicitly
-        # replaced (set_check_constraints) — same carry contract as the
-        # epoch ledger, resolved here so no call site can forget it
-        checks = (
-            _read_manifest(root, parent).get("checks", []) if parent is not None else []
-        )
+    if checks is _CARRY_CHECKS or dropped is _CARRY_CHECKS:
+        parent_m = _read_manifest(root, parent) if parent is not None else {}
+        if checks is _CARRY_CHECKS:
+            # CHECK constraints persist across every verb unless explicitly
+            # replaced (set_check_constraints) — same carry contract as the
+            # epoch ledger, resolved here so no call site can forget it
+            checks = parent_m.get("checks", [])
+        if dropped is _CARRY_CHECKS:
+            # dropped-column ledger likewise carries forever: add_column
+            # consults it to refuse resurrecting a name whose values still
+            # live in pre-drop data files (no column-mapping layer here)
+            dropped = parent_m.get("dropped", [])
     mdir = f"{root}/{_MANIFEST_DIR}"
     os.makedirs(mdir, exist_ok=True)
     manifest = {
@@ -364,6 +370,7 @@ def _commit(
         "epochs": dict(epochs or {}),
         "stats": dict(stats or {}),
         "checks": list(checks or []),
+        "dropped": sorted(dropped or []),
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -874,11 +881,133 @@ def add_column(spark: SparkSession, root: str, name: str, ddl_type: str) -> int:
     schema = T.StructType.fromJson(json.loads(manifest["schema"]))
     if name in schema.fieldNames():
         raise ValueError(f"column {name!r} already exists in {root!r}")
+    if name in manifest.get("dropped", []):
+        raise ValueError(
+            f"column {name!r} was previously dropped from {root!r}: pre-drop "
+            "data files still store its values under this name, and this "
+            "engine has no column-mapping layer to keep them hidden — "
+            "re-adding would silently resurrect the old values; use a new "
+            "column name (Delta/Iceberg solve this with column IDs)"
+        )
     new_schema = schema.add(T.StructField(name, _parse_ddl_type(ddl_type), True))
     return _commit(
         root, manifest["files"], new_schema.json(), f"alter-add:{name}", parent,
         epochs=manifest.get("epochs"),
         stats=_carry_stats(manifest, manifest["files"], {}),
+    )
+
+
+def drop_column(spark: SparkSession, root: str, name: str) -> int:
+    """DROP COLUMN as a metadata-only snapshot commit — the twin of
+    :func:`add_column`: the column leaves the manifest schema, NO data
+    file rewrites (readers PROJECT by name, so the stored values simply
+    stop being read).  Time travel to pre-drop versions still serves the
+    column; at 100 TB this is an O(1) commit instead of a full-table
+    rewrite.
+
+    The dropped name joins a ledger carried into every child manifest,
+    and :func:`add_column` REFUSES names on it: pre-drop files still
+    store the old values under that name, so re-adding would silently
+    resurrect them (the failure column-mapping layers exist to prevent —
+    refusal is the honest contract at this engine's complexity).  CHECK
+    constraints referencing the column make the drop refuse loudly
+    (policy must be rewritten first, same fail-fast as restore)."""
+    root = root.rstrip("/")
+    _require_local_path(root, "drop_column")
+    parent = current_version(root)
+    manifest = _read_manifest(root, parent)
+    schema = T.StructType.fromJson(json.loads(manifest["schema"]))
+    if name not in schema.fieldNames():
+        raise ValueError(f"column {name!r} not in {root!r}'s head schema")
+    if len(schema.fields) == 1:
+        raise ValueError(f"cannot drop {name!r}: it is the only column")
+    new_schema = T.StructType([f for f in schema.fields if f.name != name])
+    probe = spark.createDataFrame([], new_schema)
+    for c in manifest.get("checks", []):
+        try:
+            probe.where(F.expr(c["expr"])).schema
+        except Exception as ex:
+            raise ValueError(
+                f"drop_column: CHECK {c['name']!r} references {name!r} "
+                f"({c['expr']!r}) — drop or rewrite the constraint first "
+                "(set_check_constraints)"
+            ) from ex
+    stats = {
+        n: {**e, "cols": {k: v for k, v in e.get("cols", {}).items() if k != name}}
+        for n, e in manifest.get("stats", {}).items()
+    }
+    return _commit(
+        root, manifest["files"], new_schema.json(), f"alter-drop:{name}", parent,
+        epochs=manifest.get("epochs"),
+        stats=stats,
+        dropped=sorted(set(manifest.get("dropped", [])) | {name}),
+    )
+
+
+def clone_table(
+    src_root: str, dst_root: str, version: int | None = None
+) -> int:
+    """Deep clone at hardlink cost: ``dst_root`` version 0 becomes an
+    exact copy of ``src_root@version`` (head by default).  Data files are
+    ``os.link``'ed — same inode, zero bytes copied, O(files) driver work
+    (cross-filesystem falls back to a real copy) — which makes the clone
+    INDEPENDENT of the source's lifecycle where a manifest-only shallow
+    clone would not be: vacuuming the source unlinks names but the
+    clone's links keep the inodes alive, and every source verb (merge,
+    purge, compaction) swaps in NEW file names rather than mutating
+    content in place, so linked bytes are immutable by construction.
+
+    The epoch ledger, CHECK constraints and dropped-column ledger carry:
+    a clone pointed at the same stream must not re-admit replayed epochs,
+    and policy follows data.  NOTE the erasure consequence: a purge on
+    the source does NOT reach the clone (independent table, retained
+    inodes) — right-to-be-forgotten must be run per table, exactly as
+    with any physical copy.  Crash-safe and idempotent: links land before
+    the manifest commit, a re-run skips existing links."""
+    src_root = src_root.rstrip("/")
+    dst_root = dst_root.rstrip("/")
+    _require_local_path(src_root, "clone_table")
+    _require_local_path(dst_root, "clone_table")
+    v = current_version(src_root) if version is None else version
+    try:
+        manifest = _read_manifest(src_root, v)
+    except FileNotFoundError:
+        raise ValueError(
+            f"clone_table: version {v} of {src_root!r} has no manifest "
+            "(never existed, or vacuumed)"
+        ) from None
+    if table_versions(dst_root):
+        raise FileExistsError(f"versioned table already exists at {dst_root!r}")
+    missing = [
+        n for n in manifest["files"]
+        if not os.path.exists(f"{src_root}/{_DATA_DIR}/{n}")
+    ]
+    if missing:
+        raise ValueError(
+            f"clone_table: {len(missing)} data file(s) of version {v} were "
+            f"vacuumed (e.g. {sorted(missing)[:3]}) — the snapshot is no "
+            "longer materializable"
+        )
+    os.makedirs(f"{dst_root}/{_DATA_DIR}", exist_ok=True)
+    for n in manifest["files"]:
+        src = f"{src_root}/{_DATA_DIR}/{n}"
+        dst = f"{dst_root}/{_DATA_DIR}/{n}"
+        if os.path.exists(dst):
+            continue  # idempotent re-run after a crash mid-clone
+        try:
+            os.link(src, dst)
+        except OSError:  # cross-device: pay the copy, atomically published
+            fd, tmp = tempfile.mkstemp(dir=f"{dst_root}/{_DATA_DIR}")
+            os.close(fd)
+            shutil.copy2(src, tmp)
+            os.replace(tmp, dst)
+    return _commit(
+        dst_root, list(manifest["files"]), manifest["schema"],
+        f"clone:{src_root}@{v}", parent=None,
+        epochs=manifest.get("epochs"),
+        stats=dict(manifest.get("stats") or {}),
+        checks=manifest.get("checks", []),
+        dropped=manifest.get("dropped", []),
     )
 
 

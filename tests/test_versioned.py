@@ -1391,3 +1391,113 @@ def test_merge_race_with_concurrent_merge(spark, sf_dir, root):
     # any referenced file
     vacuum(root, keep_last=len(table_versions(root)), grace_seconds=0)
     assert read_version(spark, root, 2).count() == orders.count()
+
+
+def test_drop_column_metadata_only_travel_and_resurrection_guard(spark, sf_dir, root):
+    """drop_column: metadata-only (same files), head loses the column,
+    time travel keeps it; appends after the drop conform to the narrowed
+    schema; add_column refuses the dropped name (resurrection guard) but
+    accepts fresh names; CHECK constraints referencing the column block
+    the drop; stats lose the column's ranges."""
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        add_column,
+        append_versioned,
+        drop_column,
+        set_check_constraints,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=2)
+    m0 = _read_manifest(root, 0)
+
+    # a CHECK on the victim column blocks the drop until rewritten
+    set_check_constraints(spark, root, [
+        {"name": "prio_nonnull", "expr": "o_orderpriority IS NOT NULL"},
+    ])
+    with pytest.raises(ValueError, match="prio_nonnull"):
+        drop_column(spark, root, "o_orderpriority")
+    set_check_constraints(spark, root, [])
+
+    v = drop_column(spark, root, "o_orderpriority")
+    m = _read_manifest(root, v)
+    assert m["files"] == m0["files"]  # metadata-only: zero rewrites
+    assert m["dropped"] == ["o_orderpriority"]
+    assert all("o_orderpriority" not in e["cols"] for e in m["stats"].values())
+
+    head = read_version(spark, root, v)
+    assert "o_orderpriority" not in head.columns
+    assert head.count() == orders.count()
+    # time travel to the pre-drop snapshot still serves the column
+    v0 = read_version(spark, root, 0)
+    assert "o_orderpriority" in v0.columns
+    assert v0.where(F.col("o_orderpriority").isNotNull()).count() == orders.count()
+
+    # appends conform to the narrowed schema; mixed files read fine
+    batch = head.limit(7).withColumn("o_orderkey", F.col("o_orderkey") + 30_000_000)
+    append_versioned(spark, root, batch)
+    assert read_version(spark, root, current_version(root)).count() == orders.count() + 7
+
+    # resurrection guard: the dropped name is refused forever, fresh names fine
+    with pytest.raises(ValueError, match="previously dropped"):
+        add_column(spark, root, "o_orderpriority", "string")
+    add_column(spark, root, "o_channel", "string")
+    assert "o_channel" in read_version(spark, root, current_version(root)).columns
+
+    # degenerate drops refuse
+    with pytest.raises(ValueError, match="not in"):
+        drop_column(spark, root, "nope")
+
+
+def test_clone_table_is_independent_of_source_lifecycle(spark, sf_dir, root):
+    """clone_table: the clone reads exactly the cloned snapshot, diverges
+    independently, carries the epoch ledger (replays refused on the
+    clone), and SURVIVES the source being vacuumed and purged — hardlinks
+    keep inodes alive and source verbs swap names, never mutate bytes."""
+    import tempfile
+
+    from python_async_sample_spark.sources.versioned import (
+        _read_manifest,
+        clone_table,
+        commit_stream_epoch,
+        purge_keys,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders, n_files=4, layout_col="o_orderkey")  # v0
+    commit_stream_epoch(
+        spark, root,
+        orders.limit(5).withColumn("o_orderkey", F.col("o_orderkey") + 20_000_000),
+        0, "fp-clone-e0",
+    )                                                                      # v1
+    n_v1 = read_version(spark, root, 1).count()
+
+    dst = tempfile.mkdtemp(prefix="spark_graft_clone_") + "/t"
+    assert clone_table(root, dst) == 0
+    mc = _read_manifest(dst, 0)
+    assert mc["epochs"] == {"0": "fp-clone-e0"}
+    assert read_version(spark, dst, 0).count() == n_v1
+    # replayed epoch is refused on the clone too
+    assert commit_stream_epoch(spark, dst, orders.limit(5), 0, "fp-clone-e0") is None
+
+    # clone exists → cloning again refuses; cloning a vacuumed version refuses
+    with pytest.raises(FileExistsError):
+        clone_table(root, dst)
+
+    # diverge both sides; neither sees the other's writes
+    upd_src = orders.limit(3).withColumn("o_orderstatus", F.lit("S"))
+    upd_dst = orders.limit(3).withColumn("o_orderstatus", F.lit("D"))
+    merge_into_versioned(spark, root, upd_src, "o_orderkey")
+    merge_into_versioned(spark, dst, upd_dst, "o_orderkey")
+    assert read_version(spark, root, current_version(root)).where(
+        F.col("o_orderstatus") == "D").count() == 0
+    assert read_version(spark, dst, current_version(dst)).where(
+        F.col("o_orderstatus") == "S").count() == 0
+
+    # source vacuum + purge cannot reach the clone
+    victims = [r[0] for r in orders.select("o_orderkey").orderBy("o_orderkey").limit(3).collect()]
+    purge_keys(spark, root, "o_orderkey", victims)
+    vacuum(root, keep_last=1, grace_seconds=0)
+    clone_head = read_version(spark, dst, current_version(dst))
+    assert clone_head.where(F.col("o_orderkey").isin(victims)).count() == len(victims)
+    assert clone_head.count() == n_v1
