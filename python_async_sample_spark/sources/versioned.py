@@ -42,6 +42,7 @@ import json
 import os
 import shutil
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -361,6 +362,19 @@ def _commit(
             dropped = parent_m.get("dropped", [])
     mdir = f"{root}/{_MANIFEST_DIR}"
     os.makedirs(mdir, exist_ok=True)
+    # commit wall-clock, clamped to the parent's so AS-OF-timestamp
+    # resolution stays monotone in version order even under clock
+    # adjustment (Delta reads file mtimes and carries the same caveat;
+    # recording it in the manifest survives copies/backups that reset
+    # mtimes)
+    committed_at = time.time()
+    if parent is not None:
+        try:
+            committed_at = max(
+                committed_at, _read_manifest(root, parent).get("committed_at", 0.0)
+            )
+        except FileNotFoundError:
+            pass  # vacuumed parent: nothing to clamp against
     manifest = {
         "version": version,
         "parent": parent,
@@ -371,6 +385,7 @@ def _commit(
         "stats": dict(stats or {}),
         "checks": list(checks or []),
         "dropped": sorted(dropped or []),
+        "committed_at": committed_at,
     }
     fd, tmp = tempfile.mkstemp(dir=mdir, suffix=".tmp")
     try:
@@ -1596,6 +1611,94 @@ def table_history(spark: SparkSession, root: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version int, op_kind string, n_files int, n_rows bigint"
     )
+
+
+def version_as_of(root: str, ts: float) -> int:
+    """``AS OF TIMESTAMP`` resolution: the latest version whose commit
+    wall-clock is ≤ ``ts`` (epoch seconds).  Commit times are recorded in
+    the manifests (clamped monotone along the parent chain at commit, so
+    this binary-searchable mapping can never invert under clock
+    adjustment); a purge preserves them — rewritten history keeps its
+    original timeline.  Raises if ``ts`` predates the oldest retained
+    version (vacuum may have dropped earlier ones — same contract as
+    Delta's timestamp travel)."""
+    root = root.rstrip("/")
+    best = None
+    for v in table_versions(root):
+        at = _read_manifest(root, v).get("committed_at")
+        if at is not None and at <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version of {root!r} existed at ts={ts} (oldest retained "
+            "version is newer, or the table predates commit timestamps)"
+        )
+    return best
+
+
+def read_as_of(spark: SparkSession, root: str, ts: float) -> DataFrame:
+    """Time travel by wall-clock: ``read_version`` at
+    :func:`version_as_of`'s resolution."""
+    return read_version(spark, root, version_as_of(root, ts))
+
+
+def verify_table(root: str, deep: bool = False) -> dict:
+    """fsck for a versioned table: walk every retained manifest and
+    report — never raise — what a reader would hit.  Checks: manifest
+    JSON parses, schema parses, the parent chain is contiguous over the
+    retained range, commit timestamps are monotone, every referenced
+    data file exists, and (``deep=True``) each file's footer row count
+    matches its manifest stats entry (a stats/data divergence would
+    silently corrupt MERGE/DELETE planning, which trusts the manifest).
+    O(manifests) shallow; deep adds one local footer read per referenced
+    file.  Returns ``{"ok": bool, "versions": int, "problems": [str]}``
+    — the operational pre-flight before vacuum/purge maintenance."""
+    root = root.rstrip("/")
+    problems: list[str] = []
+    versions = table_versions(root)
+    if not versions:
+        return {"ok": False, "versions": 0, "problems": ["no manifests found"]}
+    prev_v = None
+    prev_ts = None
+    for v in versions:
+        try:
+            m = _read_manifest(root, v)
+        except (json.JSONDecodeError, OSError) as ex:
+            problems.append(f"v{v}: manifest unreadable ({ex})")
+            continue
+        try:
+            T.StructType.fromJson(json.loads(m["schema"]))
+        except Exception as ex:  # noqa: BLE001
+            problems.append(f"v{v}: schema unparseable ({ex})")
+        if prev_v is not None:
+            if v != prev_v + 1:
+                problems.append(f"v{prev_v}->v{v}: version gap (vacuum keeps a "
+                                "contiguous recent range; a hole inside it is damage)")
+            elif m.get("parent") != prev_v:
+                problems.append(f"v{v}: parent={m.get('parent')} != {prev_v}")
+        at = m.get("committed_at")
+        if at is not None and prev_ts is not None and at < prev_ts:
+            problems.append(f"v{v}: committed_at regressed ({at} < {prev_ts})")
+        prev_ts = at if at is not None else prev_ts
+        prev_v = v
+        stats = m.get("stats") or {}
+        for n in m["files"]:
+            p = f"{root}/{_DATA_DIR}/{n}"
+            if not os.path.exists(p):
+                if m.get("epochs") and v != versions[-1]:
+                    # vacuum-retained legacy epoch manifest: documented state
+                    continue
+                problems.append(f"v{v}: data file missing: {n}")
+            elif deep and n in stats:
+                import pyarrow.parquet as pq
+
+                actual = pq.read_metadata(p).num_rows
+                if actual != stats[n]["rows"]:
+                    problems.append(
+                        f"v{v}: {n} footer rows {actual} != manifest stats "
+                        f"{stats[n]['rows']}"
+                    )
+    return {"ok": not problems, "versions": len(versions), "problems": problems}
 
 
 def purge_keys(

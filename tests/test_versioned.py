@@ -1501,3 +1501,70 @@ def test_clone_table_is_independent_of_source_lifecycle(spark, sf_dir, root):
     clone_head = read_version(spark, dst, current_version(dst))
     assert clone_head.where(F.col("o_orderkey").isin(victims)).count() == len(victims)
     assert clone_head.count() == n_v1
+
+
+def test_as_of_timestamp_travel_and_fsck(spark, sf_dir, root):
+    """version_as_of: wall-clock time travel with monotone commit stamps
+    (clamped along the parent chain); verify_table: the fsck pre-flight
+    catches a missing data file and a stats/footer divergence, and passes
+    clean on a healthy multi-verb history."""
+    import os as _os
+    import time as _time
+
+    from python_async_sample_spark.sources.versioned import (
+        _DATA_DIR,
+        _read_manifest,
+        append_versioned,
+        read_as_of,
+        verify_table,
+        version_as_of,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.limit(30), n_files=2)        # v0
+    t_after_v0 = _time.time()
+    _time.sleep(0.05)
+    append_versioned(spark, root, orders.limit(4))                # v1
+    merge_into_versioned(
+        spark, root, orders.limit(2).withColumn("o_orderstatus", F.lit("M")),
+        "o_orderkey",
+    )                                                             # v2
+    t_end = _time.time()
+
+    # resolution: before v1's commit -> v0; now -> head; prehistoric -> error
+    assert version_as_of(root, t_after_v0) == 0
+    assert version_as_of(root, t_end) == 2
+    assert read_as_of(spark, root, t_after_v0).count() == 30
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of(root, t_after_v0 - 10_000)
+    # stamps are monotone across the chain
+    stamps = [_read_manifest(root, v)["committed_at"] for v in table_versions(root)]
+    assert stamps == sorted(stamps)
+
+    # healthy table fscks clean (deep: footer rows vs manifest stats)
+    rep = verify_table(root, deep=True)
+    assert rep == {"ok": True, "versions": 3, "problems": []}
+
+    # sabotage 1: stats/footer divergence (hand-edit the manifest)
+    import json as _json
+
+    from python_async_sample_spark.sources.versioned import _manifest_path
+
+    mp = _manifest_path(root, 2)
+    m = _json.load(open(mp))
+    victim = m["files"][0]
+    if victim in m["stats"]:
+        m["stats"][victim]["rows"] += 5
+        _json.dump(m, open(mp, "w"))
+        rep = verify_table(root, deep=True)
+        assert not rep["ok"] and any("footer rows" in p for p in rep["problems"])
+        m["stats"][victim]["rows"] -= 5
+        _json.dump(m, open(mp, "w"))
+
+    # sabotage 2: delete a data file referenced by the head
+    path = f"{root}/{_DATA_DIR}/{victim}"
+    _os.rename(path, path + ".hidden")
+    rep = verify_table(root)
+    assert not rep["ok"] and any("missing" in p for p in rep["problems"])
+    _os.rename(path + ".hidden", path)
+    assert verify_table(root, deep=True)["ok"]
