@@ -234,11 +234,77 @@ def overwrite_window_jdbc(
     tests/test_jdbc.py."""
     import hashlib
 
-    props = {"batchsize": "10000", **(properties or {})}
     window_sig = hashlib.sha256(
         f"{ts_col}|{lo.isoformat()}|{hi.isoformat()}".encode()
     ).hexdigest()[:8]
-    staging = f"{table}_stg_{window_sig}"
+    return _staged_replace_jdbc(
+        spark, df, url, table,
+        delete_sql=delete_window_sql(table, ts_col, lo, hi, ts_literal),
+        staging_sig=window_sig,
+        properties=properties,
+    )
+
+
+def overwrite_epoch_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    epoch_col: str,
+    epoch: int,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """ATOMIC delete-then-insert keyed by EPOCH — the exactly-once JDBC
+    face for Structured Streaming's ``foreachBatch`` (Spark ships no
+    transactional JDBC streaming sink; a plain append sink double-writes
+    every replayed epoch after a crash).  ``df`` must carry ``epoch_col``
+    stamped with ``epoch``; a replayed epoch deletes its previous
+    delivery and re-inserts, converging however many times the stream
+    retries.  Same staging-table + one-server-side-transaction shape as
+    :func:`overwrite_window_jdbc`; the staging name is deterministic per
+    (table, epoch) so a crashed delivery's orphan is reused, never
+    leaked.  Returns rows deleted (0 on first delivery).  Live on Derby
+    in tests/test_jdbc.py, replay and rollback included."""
+    if epoch_col not in df.columns:
+        raise ValueError(f"df must carry {epoch_col!r} stamped with the epoch")
+    return _staged_replace_jdbc(
+        spark, df, url, table,
+        delete_sql=f'DELETE FROM {table} WHERE "{epoch_col}" = {int(epoch)}',
+        staging_sig=f"e{int(epoch)}",
+        properties=properties,
+    )
+
+
+def _jdbc_table_exists(conn, table: str) -> bool:
+    """Driver-side existence probe via DatabaseMetaData — tried verbatim
+    plus both case foldings (Derby/Oracle fold unquoted identifiers UP,
+    PostgreSQL folds DOWN)."""
+    meta = conn.getMetaData()
+    for cand in dict.fromkeys((table, table.upper(), table.lower())):
+        rs = meta.getTables(None, None, cand, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
+
+
+def _staged_replace_jdbc(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    delete_sql: str,
+    staging_sig: str,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Shared core of the atomic JDBC replace verbs: stage the batch
+    (parallel, crash-safe — staging is garbage until the commit), then
+    ONE driver-side transaction runs ``delete_sql; INSERT INTO target
+    SELECT ... FROM staging`` entirely server-side and commits."""
+    props = {"batchsize": "10000", **(properties or {})}
+    staging = f"{table}_stg_{staging_sig}"
     # stage the batch (parallel writers, same batching default as
     # write_jdbc_append; overwrite creates the table)
     df.write.jdbc(url=url, table=staging, mode="overwrite", properties=props)
@@ -261,9 +327,15 @@ def overwrite_window_jdbc(
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            deleted = st.executeUpdate(
-                delete_window_sql(table, ts_col, lo, hi, ts_literal)
-            )
+            if not _jdbc_table_exists(conn, table):
+                # first delivery bootstraps the target as an empty copy of
+                # staging, INSIDE the transaction (Derby and PG DDL are
+                # both transactional) — ANSI `WITH NO DATA`
+                st.executeUpdate(
+                    f"CREATE TABLE {table} AS SELECT {cols} FROM {staging} "
+                    "WITH NO DATA"
+                )
+            deleted = st.executeUpdate(delete_sql)
             st.executeUpdate(
                 f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
             )

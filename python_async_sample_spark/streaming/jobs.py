@@ -801,3 +801,45 @@ def stream_append_to_versioned(
             .start()
         )
         q.awaitTermination()
+
+
+def stream_events_to_jdbc_exactly_once(
+    spark: SparkSession,
+    sf_dir: str,
+    url: str,
+    table: str,
+    checkpoint: str,
+    properties: dict[str, str] | None = None,
+) -> int:
+    """Structured Streaming → JDBC with exactly-once delivery — the sink
+    Spark does not ship (the built-in JDBC writer is batch-only, and a
+    foreachBatch append double-writes every epoch the stream replays
+    after a crash).  Each micro-batch is stamped with its epoch id and
+    committed via :func:`overwrite_epoch_jdbc`'s staged server-side
+    transaction, so a replayed epoch deletes its previous delivery and
+    re-inserts — the reference's delete-then-insert idempotency protocol
+    (``dbs/nikon.py:117-145``) lifted onto the streaming engine's
+    epoch ledger.  Drains available-now and returns the epoch count.
+    Live on in-JVM Derby in tests/test_jdbc.py (crash-replay included)."""
+    from python_async_sample_spark.sources.jdbc import overwrite_epoch_jdbc
+
+    stream = read_events_stream(spark, sf_dir)
+    epochs = []
+
+    def deliver(batch_df, epoch_id: int) -> None:
+        overwrite_epoch_jdbc(
+            spark,
+            batch_df.withColumn("__epoch", F.lit(int(epoch_id)).cast("bigint")),
+            url, table, "__epoch", int(epoch_id), properties,
+        )
+        epochs.append(int(epoch_id))
+
+    with bounded_drain_conf(spark):
+        q = (
+            stream.writeStream.foreachBatch(deliver)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return len(epochs)

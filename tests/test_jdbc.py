@@ -285,3 +285,63 @@ def test_pg_delete_named_placeholders_match_reference_wire_string():
         'AND "endtime" > %(psql_lastendtime)s '
         'AND "endtime" <= %(ora_lastendtime)s'
     )
+
+
+def test_stream_to_jdbc_exactly_once_derby(spark, sf_dir, tmp_path):
+    """Streaming → JDBC exactly-once, live on Derby: the drain lands every
+    source row exactly once; a crash-style REPLAY of an epoch (same epoch
+    id, poisoned first delivery, then the clean batch) converges instead
+    of double-writing; a failing insert rolls its delete back."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.sources.jdbc import (
+        overwrite_epoch_jdbc,
+        read_jdbc_table,
+    )
+    from python_async_sample_spark.sources.readers import load_table
+    from python_async_sample_spark.streaming.jobs import (
+        stream_events_to_jdbc_exactly_once,
+    )
+
+    url = f"jdbc:derby:memory:st{_uuid.uuid4().hex[:8]};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    events = load_table(spark, sf_dir, "events")
+    n_src = events.count()
+
+    n_epochs = stream_events_to_jdbc_exactly_once(
+        spark, sf_dir, url, "events_stream_t",
+        checkpoint=str(tmp_path / "ckpt"), properties=props,
+    )
+    assert n_epochs >= 1
+    got = read_jdbc_table(spark, url, "events_stream_t", properties=props)
+    assert got.count() == n_src
+    assert got.select("__epoch").distinct().count() == n_epochs
+
+    # crash-replay: epoch 0 re-delivered POISONED, then clean — the keyed
+    # delete-then-insert converges to exactly the clean content
+    e0 = got.where(F.col("__epoch") == 0).drop("__epoch").localCheckpoint(eager=True)
+    n_e0 = e0.count()
+    poisoned = e0.withColumn("value", F.col("value") * 100).withColumn(
+        "__epoch", F.lit(0).cast("bigint"))
+    assert overwrite_epoch_jdbc(
+        spark, poisoned, url, "events_stream_t", "__epoch", 0, props) == n_e0
+    clean = e0.withColumn("__epoch", F.lit(0).cast("bigint"))
+    assert overwrite_epoch_jdbc(
+        spark, clean, url, "events_stream_t", "__epoch", 0, props) == n_e0
+    after = read_jdbc_table(spark, url, "events_stream_t", properties=props)
+    assert after.count() == n_src
+    assert after.agg(F.sum("value")).first()[0] == pytest.approx(
+        events.agg(F.sum("value")).first()[0]
+    )
+
+    # atomicity: a server-side insert failure rolls the epoch DELETE back
+    bad = clean.withColumnRenamed("value", "wrong_col")
+    with pytest.raises(Exception):
+        overwrite_epoch_jdbc(spark, bad, url, "events_stream_t", "__epoch", 0, props)
+    assert read_jdbc_table(spark, url, "events_stream_t", properties=props).count() == n_src
+
+    # the epoch column is the sink's contract: refuse un-stamped batches
+    with pytest.raises(ValueError, match="stamped"):
+        overwrite_epoch_jdbc(spark, e0, url, "events_stream_t", "__epoch", 1, props)
