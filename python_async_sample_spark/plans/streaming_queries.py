@@ -477,3 +477,124 @@ def q185_stream_versioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_CDC_SOURCE_ORACLE = """
+    WITH base AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    v1_keys AS (SELECT o_orderkey FROM base WHERE o_orderkey % 97 = 0),
+    v2_keys AS (SELECT o_orderkey FROM base WHERE o_orderkey % 211 = 0),
+    changes AS (
+      -- v0: the initial content arrives as inserts
+      SELECT 0 AS v, 'insert' AS ct, price FROM base
+      UNION ALL
+      -- v1 MERGE: net insert = the updated face, net delete = the old face
+      SELECT 1, 'insert', price FROM base
+      WHERE o_orderkey IN (SELECT o_orderkey FROM v1_keys)
+      UNION ALL
+      SELECT 1, 'delete', price FROM base
+      WHERE o_orderkey IN (SELECT o_orderkey FROM v1_keys)
+      UNION ALL
+      -- v2 DELETE: net deletes only
+      SELECT 2, 'delete', price FROM base
+      WHERE o_orderkey IN (SELECT o_orderkey FROM v2_keys)
+    )
+    SELECT CAST(v AS INT) AS commit_version, ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(price) AS DOUBLE) AS total_price
+    FROM changes GROUP BY v, ct ORDER BY commit_version, change_type
+"""
+
+
+@query(
+    "q222_stream_cdc_source",
+    oracle=_CDC_SOURCE_ORACLE,
+    ref=(
+        "versioned table as a REAL Structured Streaming source (beyond "
+        "reference; Spark 4 Python DataSource API — "
+        "streaming/cdc_source.VersionedCDCDataSource): offsets are manifest "
+        "versions, partitions() plans O(changed files) from manifest JSON, "
+        "read() streams Arrow batches executor-side (the driver never "
+        "touches a data row). The streamed file-granular deltas are "
+        "net-reduced per version and the oracle recomputes every commit's "
+        "net change from first principles — a source that dropped, "
+        "duplicated, or mis-versioned a change hash-mismatches"
+    ),
+    tags=("streaming", "incremental", "versioned", "scale"),
+)
+def q222_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """create → MERGE → keyed DELETE, then the table is consumed as a
+    STREAM through the ``versioned_cdc`` data source (availableNow drain);
+    the query nets each version's insert/delete multisets (file-granular
+    deltas cancel rewritten-unchanged rows) and rolls them up.  The v1
+    merge updates only o_orderstatus, so its net insert and delete faces
+    carry the SAME price sums — a subtle pin: a source that swapped
+    change tags still mismatches on v2, whose deletes have no insert
+    twin."""
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        delete_keys_versioned,
+        merge_into_versioned,
+    )
+    from python_async_sample_spark.streaming.cdc_source import VersionedCDCDataSource
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cdcsrc_")
+    root = f"{tmp}/t"
+    base = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    create_table(spark, root, base, n_files=4, layout_col="o_orderkey")   # v0
+    merge_into_versioned(
+        spark, root,
+        base.where(F.col("o_orderkey") % 97 == 0).withColumn("o_orderstatus", F.lit("M")),
+        "o_orderkey",
+    )                                                                      # v1
+    victims = [
+        r[0] for r in base.where(F.col("o_orderkey") % 211 == 0)
+        .select("o_orderkey").collect()
+    ]
+    delete_keys_versioned(spark, root, "o_orderkey", victims)             # v2
+
+    spark.dataSource.register(VersionedCDCDataSource)
+    sink = f"{tmp}/cdc_out"
+    q = (
+        spark.readStream.format("versioned_cdc").option("path", root).load()
+        .writeStream.foreachBatch(
+            lambda b, e: b.write.mode("append").parquet(sink)
+        )
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    cdc = spark.read.parquet(sink)
+    cols = ["o_orderkey", "o_orderstatus", "price"]
+    nets = []
+    for ct, other in (("insert", "delete"), ("delete", "insert")):
+        nets.append(
+            cdc.where(F.col("_change_type") == ct)
+            .select("_commit_version", *cols)
+            .exceptAll(
+                cdc.where(F.col("_change_type") == other)
+                .select("_commit_version", *cols)
+            )
+            .withColumn("change_type", F.lit(ct))
+        )
+    net = nets[0].unionByName(nets[1])
+    return (
+        net.groupBy("_commit_version", "change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .select(
+            F.col("_commit_version").cast("int").alias("commit_version"),
+            "change_type", "n_rows", "total_price",
+        )
+        .orderBy("commit_version", "change_type")
+    )
