@@ -123,7 +123,14 @@ class VersionedCDCStreamReader(DataSourceStreamReader):
         cols = []
         for name in base_fields:
             if name in tbl.column_names:
-                cols.append(tbl.column(name))
+                col = tbl.column(name)
+                if pa.types.is_timestamp(col.type) and col.type.unit != "us":
+                    # Spark writes INT96 by default and pyarrow surfaces it
+                    # as nanoseconds, which Spark's Arrow ingestion rejects
+                    # — normalize to the microseconds the stream schema
+                    # declares
+                    col = col.cast(pa.timestamp("us", col.type.tz))
+                cols.append(col)
             else:  # pre-evolution file: null-fill the added column
                 cols.append(pa.nulls(n))
         cols.append(pa.array([partition.change_type] * n))

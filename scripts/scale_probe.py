@@ -325,6 +325,9 @@ VERB_DRIVER_ROW_CAPS = {
     "purge_relation": 200,
     "restore_vacuum": 100,
     "catalog_atomic_pair": 400,
+    # the streaming CDC source plans from manifest JSON (no collects);
+    # the drain's foreachBatch counts rows via one scalar agg per batch
+    "cdc_stream_drain": 200,
 }
 
 
@@ -408,11 +411,42 @@ def probed_verbs(spark):
         })
         return {"rows": r1["upserted_rows"] + r2["upserted_rows"]}
 
+    def cdc_stream_verb(sf_dir):
+        from python_async_sample_spark.streaming.cdc_source import (
+            VersionedCDCDataSource,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("cdc")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        upd = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+            "o_orderstatus", F.lit("M"))
+        merge_into_versioned(spark, root, upd, "o_orderkey")
+        spark.dataSource.register(VersionedCDCDataSource)
+        seen = []
+
+        def count_batch(b, _e):
+            seen.append(b.count())
+
+        q = (
+            spark.readStream.format("versioned_cdc").option("path", root).load()
+            .writeStream.foreachBatch(count_batch)
+            .option("checkpointLocation", f"{root}_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n = sum(seen)
+        assert n >= orders.count()  # v0 inserts + the merge's file deltas
+        return {"rows": n}
+
     return [
         ("merge_into", merge_verb),
         ("purge_relation", purge_verb),
         ("restore_vacuum", restore_vacuum_verb),
         ("catalog_atomic_pair", catalog_verb),
+        ("cdc_stream_drain", cdc_stream_verb),
     ]
 
 
