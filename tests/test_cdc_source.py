@@ -129,3 +129,36 @@ def test_cdc_stream_vacuumed_file_fails_loud(spark, sf_dir, tmp_path):
 
     with pytest.raises(Exception, match="vacuumed|STREAM_FAILED|FileNotFound"):
         _drain(spark, root, str(tmp_path / "ck2"), str(tmp_path / "out2"))
+
+
+def test_cdc_stream_null_fills_pre_evolution_files(spark, sf_dir, tmp_path):
+    """Schema evolution mid-history: files written BEFORE add_column lack
+    the physical column; the CDC source must null-fill them to the stream
+    schema (pinned at stream start = head schema) instead of erroring,
+    and post-evolution rows carry their real values."""
+    root = str(tmp_path / "t")
+    out = str(tmp_path / "out")
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    create_table(spark, root, orders.limit(40), n_files=2)      # v0: 2 cols
+    from python_async_sample_spark.sources.versioned import add_column
+
+    add_column(spark, root, "o_channel", "string")              # v1: meta-only
+    batch = (
+        orders.limit(6)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 5_000_000)
+        .withColumn("o_channel", F.lit("web"))
+    )
+    append_versioned(spark, root, batch)                        # v2
+
+    _drain(spark, root, str(tmp_path / "ck"), out)
+    cdc = spark.read.parquet(out)
+    assert "o_channel" in cdc.columns
+    v0 = cdc.where(F.col("_commit_version") == 0)
+    assert v0.count() == 40
+    assert v0.where(F.col("o_channel").isNotNull()).count() == 0  # null-filled
+    v2 = cdc.where(F.col("_commit_version") == 2)
+    assert v2.count() == 6
+    assert v2.where(F.col("o_channel") == "web").count() == 6
+    # v1 was metadata-only: no file changed, no CDC rows
+    assert cdc.where(F.col("_commit_version") == 1).count() == 0
