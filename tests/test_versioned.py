@@ -1568,3 +1568,41 @@ def test_as_of_timestamp_travel_and_fsck(spark, sf_dir, root):
     assert not rep["ok"] and any("missing" in p for p in rep["problems"])
     _os.rename(path + ".hidden", path)
     assert verify_table(root, deep=True)["ok"]
+
+
+def test_prepare_victims_coercion_nan_and_shape(spark):
+    """_prepare_victims (the relation verbs' shared normalization): victim
+    keys cast to the table's key type (int victims vs double column — the
+    isin-compatible coercion build_victims_df applies on the list face),
+    NULLs and NaNs dropped (NaN = NaN is TRUE under join equality; a NaN
+    victim would erase NaN-key rows nobody targeted), duplicates
+    deduped, and a multi-column relation without the key column refuses."""
+    from pyspark.sql import types as T
+
+    from python_async_sample_spark.sources.versioned import _prepare_victims
+
+    field = T.StructField("k", T.DoubleType())
+    vic = _prepare_victims(
+        spark,
+        spark.createDataFrame([(1,), (2,), (2,), (None,)], "k bigint"),
+        "k", field,
+    )
+    assert vic.schema["k"].dataType == T.DoubleType()
+    assert sorted(r[0] for r in vic.collect()) == [1.0, 2.0]
+
+    vic2 = _prepare_victims(
+        spark,
+        spark.createDataFrame([(float("nan"),), (3.0,)], "k double"),
+        "k", field,
+    )
+    assert [r[0] for r in vic2.collect()] == [3.0]
+
+    # single-column relations adopt the key name; multi-column must carry it
+    vic3 = _prepare_victims(
+        spark, spark.createDataFrame([(7,)], "other bigint"), "k", field
+    )
+    assert vic3.columns == ["k"] and vic3.first()[0] == 7.0
+    with pytest.raises(ValueError, match="single-column"):
+        _prepare_victims(
+            spark, spark.createDataFrame([(1, 2)], "a bigint, b bigint"), "k", field
+        )
