@@ -2002,6 +2002,7 @@ def vacuum(
     keep_last: int = 2,
     grace_seconds: float = 600.0,
     keep_versions: set[int] | frozenset[int] | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Remove data files unreachable from the ``keep_last`` most recent
     manifests, and the older manifests themselves.
@@ -2059,10 +2060,11 @@ def vacuum(
         if age < grace_seconds:
             skipped_young += 1  # possibly staged by an in-flight commit
             continue
-        try:
-            os.remove(path)
-        except FileNotFoundError:
-            continue  # concurrent vacuum won the race
+        if not dry_run:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                continue  # concurrent vacuum won the race
         removed += 1
     dropped = kept_epoch = 0
     for v in versions:
@@ -2081,10 +2083,11 @@ def vacuum(
             if eid not in newest_ledger:
                 kept_epoch += 1
                 continue
-        try:
-            os.remove(_manifest_path(root, v))
-        except FileNotFoundError:
-            continue  # concurrent vacuum won the race
+        if not dry_run:
+            try:
+                os.remove(_manifest_path(root, v))
+            except FileNotFoundError:
+                continue  # concurrent vacuum won the race
         dropped += 1
     # stale stage dirs from crashed writers are unreferenced by definition,
     # but young ones may belong to a LIVE writer mid-stage — same grace
@@ -2094,10 +2097,17 @@ def vacuum(
                 continue
         except OSError:
             continue
-        shutil.rmtree(stale, ignore_errors=True)
-    return {
+        if not dry_run:
+            shutil.rmtree(stale, ignore_errors=True)
+    out = {
         "data_files_removed": removed,
         "manifests_removed": dropped,
         "young_orphans_skipped": skipped_young,
         "legacy_epoch_manifests_kept": kept_epoch,
     }
+    # ``dry_run=True`` REPORTS the same counters a real run would act on
+    # and touches NOTHING — the operational what-if before a maintenance
+    # window (pairs with verify_table's fsck)
+    if dry_run:
+        out["dry_run"] = True
+    return out

@@ -1606,3 +1606,34 @@ def test_prepare_victims_coercion_nan_and_shape(spark):
         _prepare_victims(
             spark, spark.createDataFrame([(1, 2)], "a bigint, b bigint"), "k", field
         )
+
+
+def test_vacuum_dry_run_reports_without_touching(spark, sf_dir, root):
+    """vacuum(dry_run=True) reports exactly the counters a real run would
+    act on and deletes NOTHING; the subsequent real run removes exactly
+    what the dry run reported."""
+    from python_async_sample_spark.sources.versioned import _DATA_DIR
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.limit(30), n_files=2)      # v0
+    merge_into_versioned(
+        spark, root, orders.limit(3).withColumn("o_orderstatus", F.lit("M")),
+        "o_orderkey",
+    )                                                           # v1: rewrites
+    import glob as _glob
+
+    n_files_before = len(_glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet"))
+    dry = vacuum(root, keep_last=1, grace_seconds=0, dry_run=True)
+    assert dry.pop("dry_run") is True
+    assert dry["data_files_removed"] > 0 and dry["manifests_removed"] == 1
+    # nothing touched
+    assert len(_glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet")) == n_files_before
+    assert table_versions(root) == [0, 1]
+    assert read_version(spark, root, 0).count() == 30
+
+    real = vacuum(root, keep_last=1, grace_seconds=0)
+    assert real == dry  # the dry run's report was exact
+    assert table_versions(root) == [1]
+    assert len(_glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet")) == (
+        n_files_before - dry["data_files_removed"]
+    )
