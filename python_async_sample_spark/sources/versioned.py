@@ -2003,6 +2003,7 @@ def vacuum(
     grace_seconds: float = 600.0,
     keep_versions: set[int] | frozenset[int] | None = None,
     dry_run: bool = False,
+    keep_newer_than_ts: float | None = None,
 ) -> dict:
     """Remove data files unreachable from the ``keep_last`` most recent
     manifests, and the older manifests themselves.
@@ -2041,8 +2042,21 @@ def vacuum(
     if not versions:
         return {"data_files_removed": 0, "manifests_removed": 0}
     recent = versions[-keep_last:] if keep_last > 0 else versions[-1:]
+    by_age: set[int] = set()
+    if keep_newer_than_ts is not None:
+        # age-based retention (Delta's retention-period face) rides the
+        # manifest commit stamps: every version committed at-or-after the
+        # cutoff is retained IN ADDITION to the keep_last window, so
+        # AS-OF-timestamp travel stays answerable across the period.
+        # Pre-stamp legacy manifests have no committed_at and are
+        # conservatively retained by the age rule.
+        for v in versions:
+            at = _read_manifest(root, v).get("committed_at")
+            if at is None or at >= keep_newer_than_ts:
+                by_age.add(v)
     retained = sorted(
-        set(recent) | {v for v in (keep_versions or ()) if v in set(versions)}
+        set(recent) | by_age
+        | {v for v in (keep_versions or ()) if v in set(versions)}
     )
     live: set[str] = set()
     for v in retained:

@@ -1637,3 +1637,31 @@ def test_vacuum_dry_run_reports_without_touching(spark, sf_dir, root):
     assert len(_glob.glob(f"{root}/{_DATA_DIR}/part-*.parquet")) == (
         n_files_before - dry["data_files_removed"]
     )
+
+
+def test_vacuum_age_based_retention(spark, sf_dir, root):
+    """vacuum(keep_newer_than_ts=cutoff) retains every version committed
+    at-or-after the cutoff IN ADDITION to keep_last, so AS-OF-timestamp
+    travel stays answerable across the retention period."""
+    import time as _time
+
+    from python_async_sample_spark.sources.versioned import (
+        append_versioned,
+        read_as_of,
+    )
+
+    orders = _orders(spark, sf_dir)
+    create_table(spark, root, orders.limit(20), n_files=1)      # v0
+    append_versioned(spark, root, orders.limit(3))              # v1
+    cutoff = _time.time()
+    _time.sleep(0.05)
+    append_versioned(spark, root, orders.limit(2))              # v2
+    append_versioned(spark, root, orders.limit(1))              # v3
+
+    # keep_last=1 alone would drop v0-v2; the age rule keeps v2 (committed
+    # after the cutoff) while v0/v1 go
+    vacuum(root, keep_last=1, grace_seconds=0, keep_newer_than_ts=cutoff)
+    assert table_versions(root) == [2, 3]
+    assert read_version(spark, root, 2).count() == 25
+    # AS-OF inside the retained period still resolves
+    assert read_as_of(spark, root, _time.time()).count() == 26
