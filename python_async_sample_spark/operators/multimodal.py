@@ -121,12 +121,17 @@ class HeaderDecoder(MediaDecoder):
         raise NotImplementedError(f"HeaderDecoder cannot decode format={fmt!r}")
 
     @staticmethod
-    def _png(b: bytes) -> Decoded:
-        # PNG: 8-byte signature, then chunks of (u32 length, 4-byte type,
-        # data, u32 crc); IHDR must be first and carries width/height
-        # (big-endian u32), bit depth, color type, interlace.  Pixel decode
-        # is stdlib-complete: concatenate IDAT, zlib-inflate, then undo the
-        # per-scanline filter (types 0-4) exactly per the PNG spec.
+    def _png_pixels(b: bytes) -> tuple[int, int, int, bytearray | None]:
+        """(width, height, channels, row-major pixel bytes) for an 8-bit
+        non-interlaced PNG; pixels is None for a header-only payload.
+        The pixel face of :meth:`_png` — also the decode side of
+        :func:`resize_images`.
+
+        PNG: 8-byte signature, then chunks of (u32 length, 4-byte type,
+        data, u32 crc); IHDR must be first and carries width/height
+        (big-endian u32), bit depth, color type, interlace.  Pixel decode
+        is stdlib-complete: concatenate IDAT, zlib-inflate, then undo the
+        per-scanline filter (types 0-4) exactly per the PNG spec."""
         import struct
         import zlib
 
@@ -153,11 +158,7 @@ class HeaderDecoder(MediaDecoder):
                 break
             off += 12 + clen
         if not idat:
-            # header-only payload (dimension probe): no pixels to average
-            return Decoded(
-                media_type="image", format="png",
-                width=width, height=height, channels=channels,
-            )
+            return width, height, channels, None
         if bit_depth != 8 or interlace != 0:
             raise NotImplementedError(
                 f"PNG pixel decode supports bit depth 8 non-interlaced only "
@@ -175,11 +176,50 @@ class HeaderDecoder(MediaDecoder):
                     raise ValueError(f"palette index {idx} outside PLTE")
                 mapped += plte[3 * idx : 3 * idx + 3]
             pixels, channels = mapped, 3
+        return width, height, channels, pixels
+
+    @staticmethod
+    def _png(b: bytes) -> Decoded:
+        width, height, channels, pixels = HeaderDecoder._png_pixels(b)
+        if pixels is None:
+            # header-only payload (dimension probe): no pixels to average
+            return Decoded(
+                media_type="image", format="png",
+                width=width, height=height, channels=channels,
+            )
         return Decoded(
             media_type="image", format="png",
             width=width, height=height, channels=channels,
             mean_value=(sum(pixels) / len(pixels)) if pixels else None,
         )
+
+    @staticmethod
+    def _bmp_pixels(b: bytes) -> tuple[int, int, int, bytearray]:
+        """(width, height, channels, TOP-DOWN row-major pixel bytes) for
+        an uncompressed 8/24/32-bpp BMP — undoing the format's 4-byte row
+        padding and bottom-up row order (which :meth:`_bmp`'s stats face
+        deliberately ignores; a resize kernel cannot)."""
+        import struct
+
+        if b[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pixel_off = struct.unpack_from("<I", b, 10)[0]
+        width, height = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        if bpp not in (8, 24, 32):
+            raise NotImplementedError(f"BMP pixel decode: bpp={bpp}")
+        channels = bpp // 8
+        stride = ((width * channels + 3) // 4) * 4
+        bottom_up = height > 0
+        height = abs(height)
+        out = bytearray()
+        rows = range(height - 1, -1, -1) if bottom_up else range(height)
+        for r in rows:
+            row = b[pixel_off + r * stride : pixel_off + r * stride + width * channels]
+            if len(row) < width * channels:
+                raise ValueError("truncated BMP pixel data")
+            out += row
+        return width, height, channels, out
 
     @staticmethod
     def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytearray:
@@ -502,3 +542,69 @@ def media_phash(df: DataFrame, id_col: str) -> DataFrame:
             yield pd.DataFrame({id_col: ids, "phash": hashes})
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema=out_schema)
+
+
+MEDIA_META_SCHEMA = (
+    "struct<media_type string, format string, width int, height int, "
+    "duration_ms bigint>"
+)
+
+
+def resize_images(
+    df: DataFrame, id_col: str, width: int, height: int,
+    fmt_col: str = "media_meta",
+) -> DataFrame:
+    """Nearest-neighbor image resize as a ``mapInPandas`` kernel — the
+    thumbnail/normalize stage of a multimodal training pipeline.  REAL
+    pixel path for PNG (8-bit non-interlaced, stdlib inflate + unfilter)
+    and uncompressed BMP (8/24/32 bpp, padding and bottom-up row order
+    undone); resampling is one numpy integer-grid gather per image
+    (``src[y*H//H'][x*W//W']``), and every output re-encodes as PNG
+    (:func:`encode_png`) — pipelines normalize to one codec at this
+    stage.  Other formats raise inside the kernel (the honest contract:
+    this container ships no codec libs; swap the decode calls for
+    PIL/ffmpeg in production — the Spark dataflow is identical).
+
+    Output: ``(id, payload, media_meta)`` with dimensions/format updated —
+    the same (payload, meta) convention :func:`attach_media` produces, so
+    resize composes with decode/feature/phash stages.  Blobs never leave
+    the executors; the batch shape is one Arrow batch in, one out."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be positive, got {width}×{height}")
+    out_schema = f"{id_col} bigint, payload binary, media_meta {MEDIA_META_SCHEMA}"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, fmt in zip(pdf[id_col], pdf["payload"], pdf["_fmt"]):
+                b = bytes(payload)
+                if fmt == "png":
+                    w, h, c, pix = HeaderDecoder._png_pixels(b)
+                    if pix is None:
+                        raise ValueError(f"{id_col}={doc_id}: header-only PNG")
+                elif fmt == "bmp":
+                    w, h, c, pix = HeaderDecoder._bmp_pixels(b)
+                else:
+                    raise NotImplementedError(
+                        f"resize_images: format {fmt!r} needs a codec decoder "
+                        "(inject PIL/ffmpeg in production)"
+                    )
+                arr = np.frombuffer(bytes(pix), np.uint8).reshape(h, w, c)
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out = np.ascontiguousarray(arr[yi][:, xi])
+                rows.append({
+                    id_col: doc_id,
+                    "payload": encode_png(out.tobytes(), width, height, c),
+                    "media_meta": {
+                        "media_type": "image", "format": "png",
+                        "width": width, "height": height, "duration_ms": None,
+                    },
+                })
+            yield pd.DataFrame(rows, columns=[id_col, "payload", "media_meta"])
+
+    return df.select(
+        id_col, "payload", F.col(f"{fmt_col}.format").alias("_fmt")
+    ).mapInPandas(kernel, schema=out_schema)

@@ -302,3 +302,103 @@ def test_png_interlaced_or_16bit_refuses_loudly():
         HeaderDecoder().decode(build(16, 0), "png")
     with pytest.raises(NotImplementedError, match="interlace"):
         HeaderDecoder().decode(build(8, 1), "png")
+
+
+def test_resize_images_png_golden(spark):
+    """Nearest-neighbor resize of a known 4×4 gray PNG to 2×2: the output
+    pixels must be exactly src[(y*4)//2][(x*4)//2] = {0,2,8,10}, the
+    payload must re-decode as a real 2×2 PNG, and metadata must carry the
+    new dimensions."""
+    from python_async_sample_spark.operators.multimodal import (
+        HeaderDecoder,
+        attach_media,
+        encode_png,
+        resize_images,
+    )
+
+    src = bytes(range(16))  # 4x4 gray, pixel value = row*4+col
+    payload = encode_png(src, 4, 4, 1)
+    df = attach_media(
+        spark.createDataFrame([(1, payload)], "doc_id bigint, p binary"),
+        "p", "image", "png",
+    )
+    out = resize_images(df, "doc_id", 2, 2).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["media_meta"]["width"] == 2 and row["media_meta"]["height"] == 2
+    assert row["media_meta"]["format"] == "png"
+    w, h, c, pix = HeaderDecoder._png_pixels(bytes(row["payload"]))
+    assert (w, h, c) == (2, 2, 1)
+    assert list(pix) == [0, 2, 8, 10]
+
+    # upscale replicates on the integer grid: 2x2 -> 4x4
+    small = encode_png(bytes([10, 20, 30, 40]), 2, 2, 1)
+    df2 = attach_media(
+        spark.createDataFrame([(2, small)], "doc_id bigint, p binary"),
+        "p", "image", "png",
+    )
+    up = resize_images(df2, "doc_id", 4, 4).collect()[0]
+    _, _, _, pix4 = HeaderDecoder._png_pixels(bytes(up["payload"]))
+    assert list(pix4) == [10, 10, 20, 20, 10, 10, 20, 20,
+                          30, 30, 40, 40, 30, 30, 40, 40]
+
+
+def test_resize_images_bmp_golden(spark):
+    """BMP path: the kernel must undo 4-byte row padding and bottom-up
+    row order before resampling — a 2×2 24-bpp BMP downsized to 1×1 must
+    yield the TOP-LEFT pixel, not the bottom-left the raw byte order
+    would suggest."""
+    import struct
+
+    from python_async_sample_spark.operators.multimodal import (
+        HeaderDecoder,
+        attach_media,
+        resize_images,
+    )
+
+    # 2x2 BGR, rows stored bottom-up with 8-byte stride (2*3 padded to 8)
+    top = [(1, 2, 3), (4, 5, 6)]      # logical top row, pixels (B,G,R)
+    bot = [(7, 8, 9), (10, 11, 12)]   # logical bottom row
+    rows_on_disk = [bot, top]         # bottom-up storage
+    pix = b""
+    for r in rows_on_disk:
+        line = b"".join(bytes(p) for p in r)
+        pix += line + b"\x00" * (8 - len(line))
+    header = (
+        b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pix), 0, 0, 0, 0)
+    )
+    payload = header + pix
+    # sanity: the pixel reader sees the logical TOP row first
+    w, h, c, flat = HeaderDecoder._bmp_pixels(payload)
+    assert (w, h, c) == (2, 2, 3)
+    assert list(flat[:3]) == [1, 2, 3]
+
+    df = attach_media(
+        spark.createDataFrame([(3, payload)], "doc_id bigint, p binary"),
+        "p", "image", "bmp",
+    )
+    out = resize_images(df, "doc_id", 1, 1).collect()[0]
+    _, _, _, one = HeaderDecoder._png_pixels(bytes(out["payload"]))
+    assert list(one) == [1, 2, 3]  # top-left pixel, channels preserved
+
+
+def test_resize_images_refuses_codec_formats(spark):
+    """Formats needing real codec libs raise inside the kernel — the
+    honest stub contract the brief requires (plumbing real, decode
+    swappable)."""
+    import pytest as _p
+
+    from python_async_sample_spark.operators.multimodal import (
+        attach_media,
+        resize_images,
+    )
+
+    df = attach_media(
+        spark.createDataFrame([(4, b"\xff\xd8rest")], "doc_id bigint, p binary"),
+        "p", "image", "jpeg",
+    )
+    with _p.raises(Exception, match="codec|NotImplemented"):
+        resize_images(df, "doc_id", 2, 2).collect()
+    with _p.raises(ValueError, match="positive"):
+        resize_images(df, "doc_id", 0, 2)
