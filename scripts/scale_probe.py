@@ -78,6 +78,10 @@ DRIVER_ROW_CAPS = {
     # (3 stages × ~30 one-day windows × 2 phases, a few rows each) — a
     # constant of the CHUNKING, independent of events-per-day
     "watermark_cascade": 1200,
+    # PQ driver state is hyperparameter-sized, corpus-blind: the md5 init
+    # (ksub=16 rows), dim×ksub=1024 mean cells per fit iteration ×2, the
+    # dim probe (1), and the fixed 64-query matrix twice (ADC + re-rank)
+    "pq_refined_ann": 4096,
 }
 
 
@@ -303,6 +307,24 @@ def probed_paths(spark):
         return QUERIES["q211_watermark_cascade"].fn(spark, sf_dir)
 
     paths.append(("watermark_cascade", _cascade))
+
+    def _pq(sf_dir):
+        # q223's components with the probe's FIXED 64-query set: fit is
+        # iters corpus scans (linear), encode one scan (linear), ADC one
+        # codes scan emitting <= k per (query, batch), re-rank a bounded
+        # Q × shortlist point-lookup — total time must track the corpus
+        # linearly and driver rows stay hyperparameter-sized.
+        from python_async_sample_spark.operators.pq import (
+            pq_encode, pq_fit, pq_topk_refined,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        queries = emb.where(F.col("vec_id") < 64)
+        cbs = pq_fit(emb, "vec_id", "embedding", m=8, ksub=16, iters=2)
+        codes = pq_encode(emb, "vec_id", "embedding", cbs)
+        return pq_topk_refined(codes, queries, cbs, emb, k=10, shortlist=100)
+
+    paths.append(("pq_refined_ann", _pq))
     return paths
 
 
