@@ -57,9 +57,15 @@ from python_async_sample_spark.operators.kmeans import init_centroids
 def _assign_codes(xs: np.ndarray, cb: np.ndarray, dsub: int) -> np.ndarray:
     """Nearest-centroid code per (row, subspace): argmin of the squared
     distance quantized to the 1e-9 grid, ties to the LOWEST code
-    (``argmin`` takes the first hit) — the same cross-engine determinism
-    contract as ``operators/kmeans.assign_clusters`` (see its docstring for
-    why the grid exists; the oracle rounds its ``d2`` identically)."""
+    (``argmin`` takes the first hit) — the same grid-quantized argmin
+    strategy as ``operators/kmeans.assign_clusters`` (see its docstring for
+    why the grid exists; the oracle rounds its ``d2`` to the same grid).
+    One honest difference from the kmeans characterization: this side
+    rounds with ``np.round`` (half-to-even) where kmeans used F.round
+    (HALF_UP) — vs DuckDB's half-away ``round`` that is a different
+    rounding PAIR but the same residual class (divergence needs a sum
+    within an ulp of a half-grid boundary; exact halves are not
+    representable doubles)."""
     m = len(cb)
     codes = np.empty((len(xs), m), dtype=np.int32)
     for s in range(m):
@@ -186,6 +192,20 @@ def pq_encode(
     )
 
 
+def _collect_queries_raw(
+    queries: DataFrame, id_col: str, vec_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side (ids, RAW double matrix) of the query set — the L2-metric
+    sibling of ``similarity._collect_query_matrix`` (which L2-normalizes for
+    cosine). The query set is small by the same bounded-driver contract."""
+    qrows = (
+        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    return qids, np.vstack([r[1] for r in qrows])
+
+
 def pq_topk_adc(
     codes: DataFrame,
     queries: DataFrame,
@@ -202,15 +222,17 @@ def pq_topk_adc(
     squared distances (quantized to 1e-9, matching the oracle's per-entry
     rounding); the kernel gathers+sums ``m`` LUT entries per corpus row —
     no float vectors are read — and emits its local top-k per query, so the
-    global-merge shuffle carries <= k rows per (query, batch)."""
+    global-merge shuffle carries <= k rows per (query, batch).
+
+    Rounding residual, stated precisely: the kernel quantizes with
+    ``np.round`` (half-to-even) while DuckDB's ``round`` is half-away — a
+    DIFFERENT rounding pair than the F.round-vs-DuckDB one characterized in
+    ``kmeans.assign_clusters``, but the same residual class: engines can
+    disagree only for sums landing within an ulp of a half-grid boundary
+    (no finite double is exactly k.5e-9, so exact halves cannot occur)."""
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
-    qrows = (
-        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.vstack([r[1] for r in qrows])  # Q x dim
+    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
     cb = np.asarray(codebooks, dtype=np.float64)  # m x ksub x dsub
     # lut[q, s, j] = round(||q_s - c_{s,j}||^2, 9): entries land on the same
     # 1e-9 grid the oracle's per-(query, s, cluster) sums round to
@@ -275,52 +297,46 @@ def pq_topk_refined(
     re-scored exactly. Returns (query_id, neighbor_id, d2, rank) with EXACT
     squared L2 distances, ascending, ties to the lower neighbor id.
 
-    100 TB posture: the float store is touched by a bounded point-lookup
-    (semi-join on <= Q x shortlist ids), never scanned; the exact re-score
-    kernel emits one row per (query, candidate) — bounded by contract, not
-    by data size."""
+    100 TB posture: the float store is read by ONE narrow scan filtered
+    through the broadcast (query_id, neighbor_id) shortlist — emitting
+    <= Q x shortlist rows, no shuffle of the corpus — and each shortlist
+    pair is scored exactly once, rowwise against its OWN query (the earlier
+    shape that scored every candidate against every query and joined
+    afterwards did Q x the kernel work and shuffled the excess away)."""
     short = pq_topk_adc(codes, queries, codebooks, id_col, vec_col, k=shortlist)
     short = short.select("query_id", "neighbor_id").localCheckpoint(eager=True)
-    cand_ids = short.select(F.col("neighbor_id").alias(id_col)).distinct()
-    cands = corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
+    qidx = {int(q): i for i, q in enumerate(qids)}
 
-    qrows = (
-        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
+    # one row per shortlist pair, carrying the candidate's float vector
+    pairs = F.broadcast(short).join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        ),
+        "neighbor_id",
     )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.vstack([r[1] for r in qrows])
 
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            nids = pdf["_id"].to_numpy()
             xs = np.vstack(pdf["_v"].to_numpy())
+            qrows_ = qmat[[qidx[int(q)] for q in pdf["query_id"]]]
             # direct sum-of-squared-diffs (not the expanded x2-2xq+q2 form)
             # so the arithmetic matches the oracle's per-dim sum modulo
             # ordering, which the 1e-9 rounding absorbs
-            diff = xs[:, None, :] - qmat[None, :, :]
-            d2 = np.round((diff * diff).sum(axis=2), 9)  # n x Q
-            rows = []
-            for j in range(len(qids)):
-                rows.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": np.full(len(nids), qids[j], dtype=np.int64),
-                            "neighbor_id": nids,
-                            "d2": d2[:, j],
-                        }
-                    )
-                )
-            yield pd.concat(rows, ignore_index=True)
+            d2 = np.round(((xs - qrows_) ** 2).sum(axis=1), 9)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "d2": d2,
+                }
+            )
 
-    scored = (
-        cands.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v")
-        )
-        .mapInPandas(kernel, schema="query_id bigint, neighbor_id bigint, d2 double")
-        .join(short, ["query_id", "neighbor_id"])  # keep each query's OWN candidates
+    scored = pairs.mapInPandas(
+        kernel, schema="query_id bigint, neighbor_id bigint, d2 double"
     )
     w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
@@ -337,13 +353,13 @@ def brute_force_topk_l2(
 ) -> DataFrame:
     """Exact squared-L2 top-k (excluding self) — the float ground truth PQ's
     recall guard compares against. Same one-GEMM-per-batch kernel shape and
-    <= k-per-(query, batch) shuffle bound as ``brute_force_topk``."""
-    qrows = (
-        queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.vstack([r[1] for r in qrows])
+    <= k-per-(query, batch) shuffle bound as ``brute_force_topk``. Distances
+    ride the expanded ``x2 - 2xq + q2`` GEMM form (the scalable one: no
+    n x Q x d intermediate), clamped at 0 — cancellation can push a
+    near-duplicate pair a few ulps negative; fine for a recall guard whose
+    denominator is the fixed Q*k, but do NOT oracle this form against a
+    per-dim SQL sum."""
+    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
     qsq = (qmat * qmat).sum(axis=1)
 
     def kernel(batches):
@@ -352,7 +368,10 @@ def brute_force_topk_l2(
                 continue
             nids = pdf["_id"].to_numpy()
             xs = np.vstack(pdf["_v"].to_numpy())
-            d2 = (xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ qmat.T) + qsq[None, :]
+            d2 = np.maximum(
+                (xs * xs).sum(axis=1)[:, None] - 2.0 * (xs @ qmat.T) + qsq[None, :],
+                0.0,
+            )
             d2[nids[:, None] == qids[None, :]] = np.inf
             kk = min(k, len(nids))
             out_q, out_n, out_d = [], [], []

@@ -187,8 +187,9 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # Still never-driver-checked after this rotation (oracled): q217
 # (relation-keyed DELETE), q218 (Spearman), q219 (embargo split), q220
 # (clone divergence), q221 (dropped-column travel), q222 (streaming CDC
-# source), q223 (product-quantization ANN + exact re-rank) — all new
-# this round — then q81, q85, q86, q90, q93, q97,
+# source), q223 (product-quantization ANN + exact re-rank), q224
+# (incremental PQ ingest) — all new this round — then q81, q85, q86,
+# q90, q93, q97,
 # q98, q103, q108, q111 — ROUND-8 CANDIDATES in that order — plus
 # the deliberate _TAIL (q19/q40/q44/q45: §2 coverage duplicated by
 # in-window queries) and the rows-only tail, all verified every round by

@@ -1016,7 +1016,7 @@ def q223_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with exact re-ranking (FAISS IndexPQ +
     refine): train 8 subspace codebooks (16 centroids, 2 quantized Lloyd
     iterations, shared-scan fit), ENCODE the corpus to 8 codes per vector
-    (pure expression tree — the 8-bytes-per-vector relation a 100 TB index
+    (one narrow Arrow scan — the 8-bytes-per-vector relation a 100 TB index
     scans), nominate 100 candidates per query by asymmetric distance (a
     Q x 8 x 16 LUT gathered per corpus row, local top-k per batch), then
     re-score ONLY the shortlist against the float store (bounded semi-join
