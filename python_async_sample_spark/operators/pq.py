@@ -263,6 +263,8 @@ def pq_topk_adc(
                 out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
                 out_n.append(nids[keep])
                 out_d.append(scores[j, keep])
+            if sum(len(a) for a in out_q) == 0:
+                continue  # e.g. a batch whose only rows are the queries themselves
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
@@ -304,7 +306,9 @@ def pq_topk_refined(
     shape that scored every candidate against every query and joined
     afterwards did Q x the kernel work and shuffled the excess away)."""
     short = pq_topk_adc(codes, queries, codebooks, id_col, vec_col, k=shortlist)
-    short = short.select("query_id", "neighbor_id").localCheckpoint(eager=True)
+    # exactly one consumer (the broadcast build side below) — no
+    # materialization barrier needed
+    short = short.select("query_id", "neighbor_id")
     qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
     qidx = {int(q): i for i, q in enumerate(qids)}
 
@@ -381,6 +385,8 @@ def brute_force_topk_l2(
                 out_q.append(np.full(len(keep), qids[j], dtype=np.int64))
                 out_n.append(nids[keep])
                 out_d.append(d2[keep, j])
+            if sum(len(a) for a in out_q) == 0:
+                continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
