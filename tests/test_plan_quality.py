@@ -491,3 +491,43 @@ def test_relation_verb_anti_join_broadcasts_victims(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pq_encode_has_no_exchange(spark, sf_dir):
+    """q223/q224's encode is one narrow Arrow scan — codes must come off the
+    corpus with NO shuffle (the relation a 100 TB index persists)."""
+    from python_async_sample_spark.operators.pq import pq_encode, pq_fit
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_fit(emb, "vec_id", "embedding", m=8, ksub=16, iters=0)
+    plan = plan_str(pq_encode(emb, "vec_id", "embedding", cbs), "simple")
+    assert "Exchange" not in plan, f"encode shuffles:\n{plan}"
+
+
+def test_pq_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
+    """The exact re-rank joins the ADC shortlist to the float store: the
+    SHORTLIST (Q x shortlist pairs, bounded by contract) must be the
+    broadcast build side — never the corpus — and the join must be a hash
+    join, not a nested loop."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk_refined,
+    )
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    cbs = pq_fit(emb, "vec_id", "embedding", m=8, ksub=16, iters=0)
+    codes = pq_encode(emb, "vec_id", "embedding", cbs)
+    out = pq_topk_refined(codes, queries, cbs, emb, k=5, shortlist=20)
+    plan = plan_str(out, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # build side: the broadcast exchange must sit under the shortlist's
+    # window (rank <= shortlist), not under the bare embeddings scan — the
+    # formatted plan renders the join's BuildLeft with the shortlist branch
+    assert "BuildLeft" in plan_str(out), plan_str(out)
