@@ -61,13 +61,19 @@ def assign_shards(
     """Assign each packed document to one of ``n_shards`` output shards.
 
     Precondition: documents are pre-chunked to at most the packing budget
-    (the standard pipeline order — chunk, pack, shard). Under it every
-    chunk hosts at least one document start and carries under two budgets
-    of starting mass, so round-robin over the chunk index keeps shard
-    token sums within a few budgets of each other — no second pass, no
-    driver-side greedy bin-packing, no shuffle beyond the write's own
-    partitioning. Documents spanning a chunk boundary follow their first
-    token's chunk so a document is never split across shards."""
+    (the standard pipeline order — chunk, pack, shard). The HARD guarantee
+    is structural: chunk COUNTS per shard differ by at most one (round-robin
+    over the chunk index), each chunk carries under two budgets of starting
+    mass, and a document always follows its first token's chunk so it is
+    never split across shards — no second pass, no driver-side greedy
+    bin-packing, no shuffle beyond the write's own partitioning. Token-sum
+    balance is STATISTICAL, not worst-case: chunk masses concentrate near
+    one budget for real corpora, but a periodic adversarial stream (e.g.
+    doc sizes 15,16,1 repeating against budget 16 and 2 shards) aligns
+    heavy chunks with one residue class and skews token sums linearly in
+    stream length. Callers needing a worst-case token bound should shard
+    on a decorrelated key (hash of content) at the cost of determinism
+    under re-packing."""
     return packed.withColumn(
         "shard_id", (F.col(pack_col) % n_shards).cast("bigint")
     )
