@@ -53,18 +53,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # 3 significant figures, no spaces: the driver captures stdout with a
+    # bounded tail, so every byte of this line counts (round-7 verdict: the
+    # 214-entry map overflowed the capture and the record parsed as null).
+    timings = {n: float(f"{t:.3g}") for n, t in timings.items()}
     result = {
         "metric": "total_query_wall_time",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
-    line = json.dumps(result)
+    line = json.dumps(result, separators=(",", ":"))
     print(line)
-    # File-durable copy: the driver captures stdout with a bounded tail, so
-    # the JSON line can be cut off by Spark log noise. BENCH_SELF.json next
-    # to this script is the canonical machine-readable record.
+    # Totals-last fallback: if the bounded tail still cuts the full line,
+    # this final compact summary (no per-query map) survives on its own and
+    # parses as the same schema minus "queries".
+    summary = {
+        "metric": "total_query_wall_time",
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_SELF.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
+    # File-durable copy: BENCH_SELF.json next to this script is the
+    # canonical machine-readable record with the full per-query map.
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
             f.write(line + "\n")

@@ -544,6 +544,59 @@ def media_phash(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(kernel, schema=out_schema)
 
 
+def media_ahash_portable(df: DataFrame, id_col: str, blob_col: str = "blob") -> DataFrame:
+    """INTEGER-exact 64-bit aHash over REAL decoded PNG pixels — the
+    oracled twin of :func:`media_phash` (q225, the aHash analog of what
+    q187 did for SimHash).
+
+    Differences from ``media_phash`` that buy cross-engine replay:
+
+    * pixels come from a genuine PNG decode (``HeaderDecoder._png_pixels``:
+      IDAT inflate + unfilter), not the raw payload bytes — so the oracle
+      certifies the decode path too, exactly like q176;
+    * the pixel count must be a MULTIPLE OF 64 (equal-size blocks; no
+      edge-padding, which SQL cannot replay cheaply);
+    * the threshold is pure integer arithmetic: with 64 equal blocks,
+      ``mean(block_i) > mean(all)``  ⟺  ``64 * sum_i > total`` — no float
+      mean, no rounding, no summation-order hazard. Ties (equality) are 0
+      bits on both engines by the strict ``>``.
+
+    Returns (id, phash long) — signed two's-complement 64-bit, the same
+    convention as ``media_phash``, so ``simhash_near_pairs``'s 4 × 16-bit
+    chunk blocking applies unchanged."""
+    import numpy as np
+
+    out_schema = f"{id_col} bigint, phash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                _w, _h, ch, px = HeaderDecoder._png_pixels(bytes(blob))
+                if px is None or ch != 1:
+                    raise ValueError(
+                        f"media_ahash_portable needs decodable 8-bit gray PNG "
+                        f"pixels (id={doc_id})"
+                    )
+                b = np.frombuffer(bytes(px), dtype=np.uint8).astype(np.int64)
+                if len(b) == 0 or len(b) % 64 != 0:
+                    raise ValueError(
+                        f"pixel count {len(b)} not a positive multiple of 64 "
+                        f"(id={doc_id}) — pre-crop the image"
+                    )
+                bsums = b.reshape(64, -1).sum(axis=1)
+                total = int(b.sum())
+                h = 0
+                for i, s in enumerate(bsums):
+                    if 64 * int(s) > total:
+                        h |= 1 << i
+                ids.append(doc_id)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({id_col: ids, "phash": hashes})
+
+    return df.select(id_col, blob_col).mapInPandas(kernel, schema=out_schema)
+
+
 MEDIA_META_SCHEMA = (
     "struct<media_type string, format string, width int, height int, "
     "duration_ms bigint>"

@@ -53,6 +53,24 @@ from pyspark.sql.window import Window as W
 
 from python_async_sample_spark.operators.kmeans import init_centroids
 
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+
+
+def _require_integral_id(df: DataFrame, id_col: str, where: str) -> None:
+    """The PQ relations carry ids as ``bigint`` end to end (codes schema,
+    LUT kernels, oracle CTEs) — an explicit contract, checked up front so a
+    string/UUID corpus fails with THIS message instead of an opaque Arrow
+    cast error deep inside a kernel. Callers with non-integral ids should
+    zip a surrogate ``bigint`` id first (e.g. ``monotonically_increasing_id``
+    joined back, or a dictionary-encoded key relation)."""
+    dtype = dict(df.dtypes).get(id_col)
+    if dtype not in _INTEGRAL:
+        raise TypeError(
+            f"{where}: id column {id_col!r} must be an integral type "
+            f"(one of {_INTEGRAL}), got {dtype!r}; map non-integral ids to a "
+            "surrogate bigint key before PQ"
+        )
+
 
 def _assign_codes(xs: np.ndarray, cb: np.ndarray, dsub: int) -> np.ndarray:
     """Nearest-centroid code per (row, subspace): argmin of the squared
@@ -102,15 +120,18 @@ def pq_fit(
     ``kmeans_fit``) so the full trajectory is engine-reproducible. Empty
     clusters keep their previous centroid.
     """
+    _require_integral_id(df, id_col, "pq_fit")
     vecs = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v")
     )
-    # each iteration re-reads the vector relation; cut lineage once
-    vecs = vecs.localCheckpoint(eager=True)
+    # probe dim and validate BEFORE the checkpoint below: an invalid m must
+    # fail on this one-row job, not after a full corpus materialization
     dim = len(vecs.select("__v").first()["__v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible into {m} subspaces")
     dsub = dim // m
+    # each iteration re-reads the vector relation; cut lineage once
+    vecs = vecs.localCheckpoint(eager=True)
     seeds = init_centroids(vecs, "__id", "__v", ksub)
     ksub = len(seeds)  # inputs smaller than ksub seed fewer centroids
     codebooks = [[seed[s * dsub : (s + 1) * dsub] for seed in seeds] for s in range(m)]
@@ -169,6 +190,7 @@ def pq_encode(
     """(id, codes) — ``codes[s]`` is the nearest-centroid index of subspace
     ``s``. One narrow Arrow-batched scan, no shuffle; this is the relation a
     100 TB deployment would persist (``m`` bytes per vector)."""
+    _require_integral_id(df, id_col, "pq_encode")
     dsub = len(codebooks[0][0])
     cb = np.asarray(codebooks, dtype=np.float64)
 
@@ -198,6 +220,7 @@ def _collect_queries_raw(
     """Driver-side (ids, RAW double matrix) of the query set — the L2-metric
     sibling of ``similarity._collect_query_matrix`` (which L2-normalizes for
     cosine). The query set is small by the same bounded-driver contract."""
+    _require_integral_id(queries, id_col, "pq query set")
     qrows = (
         queries.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .collect()
@@ -213,6 +236,7 @@ def pq_topk_adc(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    _precollected: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k: rank the ENCODED corpus against raw query
     vectors. Returns (query_id, neighbor_id, approx_d2, rank), distance
@@ -230,9 +254,16 @@ def pq_topk_adc(
     ``kmeans.assign_clusters``, but the same residual class: engines can
     disagree only for sums landing within an ulp of a half-grid boundary
     (no finite double is exactly k.5e-9, so exact halves cannot occur)."""
+    _require_integral_id(codes, id_col, "pq_topk_adc codes")
     m, ksub = len(codebooks), len(codebooks[0])
     dsub = len(codebooks[0][0])
-    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
+    # ``_precollected`` lets pq_topk_refined run the query-set collect job
+    # ONCE and thread (qids, qmat) into both its ADC and re-rank stages
+    qids, qmat = (
+        _precollected
+        if _precollected is not None
+        else _collect_queries_raw(queries, id_col, vec_col)
+    )
     cb = np.asarray(codebooks, dtype=np.float64)  # m x ksub x dsub
     # lut[q, s, j] = round(||q_s - c_{s,j}||^2, 9): entries land on the same
     # 1e-9 grid the oracle's per-(query, s, cluster) sums round to
@@ -290,7 +321,7 @@ def pq_topk_refined(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    shortlist: int = 100,
+    shortlist: int = 400,
 ) -> DataFrame:
     """ADC shortlist + exact re-rank — the production PQ serving shape
     (FAISS's ``IndexRefineFlat`` over ``IndexPQ``): the compressed codes
@@ -299,17 +330,32 @@ def pq_topk_refined(
     re-scored exactly. Returns (query_id, neighbor_id, d2, rank) with EXACT
     squared L2 distances, ascending, ties to the lower neighbor id.
 
+    ``shortlist`` is FAISS's ``k_factor * k``: since re-ranking is exact,
+    recall@k equals the probability the true top-k land in the shortlist,
+    so it rises monotonically in ``shortlist`` while the re-rank cost is
+    Q x shortlist point-lookups — measured FLAT in wall time on the
+    synthetic corpora (fit+encode dominate; see q223's recorded curve).
+    The default 400 = 40x the usual k=10, chosen where that curve passes
+    0.89 at the worst measured scale. Recall at FIXED shortlist decays
+    slowly as the corpus grows (more code collisions), so a deployment
+    re-measures the curve at its own N rather than scaling shortlist
+    with N — the re-rank stays O(Q x shortlist), never O(Q x N).
+
     100 TB posture: the float store is read by ONE narrow scan filtered
     through the broadcast (query_id, neighbor_id) shortlist — emitting
     <= Q x shortlist rows, no shuffle of the corpus — and each shortlist
     pair is scored exactly once, rowwise against its OWN query (the earlier
     shape that scored every candidate against every query and joined
     afterwards did Q x the kernel work and shuffled the excess away)."""
-    short = pq_topk_adc(codes, queries, codebooks, id_col, vec_col, k=shortlist)
+    # one collect job over the bounded query set, threaded into BOTH stages
+    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
+    short = pq_topk_adc(
+        codes, queries, codebooks, id_col, vec_col, k=shortlist,
+        _precollected=(qids, qmat),
+    )
     # exactly one consumer (the broadcast build side below) — no
     # materialization barrier needed
     short = short.select("query_id", "neighbor_id")
-    qids, qmat = _collect_queries_raw(queries, id_col, vec_col)
     qidx = {int(q): i for i, q in enumerate(qids)}
 
     # one row per shortlist pair, carrying the candidate's float vector

@@ -473,7 +473,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
-    n_centroids: int = 32,
+    n_centroids: int | str = 32,
     n_probe: int = 8,
     sample_size: int = 4096,
     train_iters: int = 5,
@@ -490,8 +490,22 @@ def ivf_topk(
     merges scores across probed cells. Recall is tuned by
     ``n_probe/n_centroids``; cost per query drops from O(N) to
     O(N·n_probe/n_centroids).
-    """
+
+    ``n_centroids="auto"``: ``max(32, round(sqrt(N)))`` — the classical
+    IVF sizing rule. At FIXED cell count the probed fraction is constant,
+    so per-query scan cost grows LINEARLY with the corpus (the round-7
+    SCALE probe measured exactly that: time 4.3x at x10 with cells that
+    the round-8 audit showed were already balanced — scanned rows were
+    1.00x the uniform expectation, so balance was not the problem; the
+    fixed 32-cell fraction was). With cells ∝ sqrt(N) the probed-cell
+    scan is O(n_probe·sqrt(N)) per query; recall holds because finer
+    cells localize the true neighbors at the same n_probe. The extra
+    count() to size the index is one cheap job at build time."""
     cd = as_double(corpus, vec_col)
+    if n_centroids == "auto":
+        n_centroids = max(32, int(round(float(np.sqrt(cd.count())))))
+    elif not isinstance(n_centroids, int):
+        raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     sample = np.vstack(
         [r[0] for r in cd.select(vec_col).limit(sample_size).collect()]
     )
@@ -730,4 +744,190 @@ def all_pairs_topk_gemm(
     return (
         local.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Certified IVF: deterministic coarse quantizer + exact in-cell scoring,
+# fully replayable in DuckDB (the IVF analog of pq_oracle_sql — round 8)
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk_certified(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF top-k whose ENTIRE trajectory replays in SQL — the
+    hash-certification twin of :func:`ivf_topk` (which stays the
+    production path: sampled spherical k-means, GEMM kernels, sqrt-N
+    auto sizing), the same twin strategy as q212-for-SemDeDup and
+    q223-for-PQ.
+
+    Deterministic pieces, each already proven portable elsewhere:
+
+    * coarse quantizer = quantized Lloyd's (``operators/kmeans.kmeans_fit``
+      with content-addressed md5 init and means rounded to 6 digits);
+    * corpus cell assignment = expression-tree argmin of the squared
+      distance QUANTIZED to 1e-9, ties to the lowest cell
+      (``assign_clusters`` — JVM codegen, no Python, no shuffle);
+    * query probe set = the ``n_probe`` cells with smallest quantized
+      distance, ties to the lowest cell (a Q x n_cells relation — Q
+      bounded by the query-set contract, n_cells a hyperparameter);
+    * scoring = EXACT squared L2 between query and every member of its
+      probed cells, rounded to 1e-9 (zip_with fold — JVM), ranked by
+      (d2, neighbor_id).
+
+    Metric is squared L2 on raw vectors, like the PQ family — cosine's
+    normalization fold would reintroduce the summation-order hazard.
+
+    Scale shape: ONE shuffle of the corpus on cell id into the probed-cell
+    join; the probe relation (Q x n_probe) and the query vectors (Q rows)
+    are broadcast. Returns (query_id, neighbor_id, d2, rank)."""
+    from python_async_sample_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+
+    cents, _ = kmeans_fit(corpus, id_col, vec_col, k=n_cells, iters=iters, round_digits=6)
+    vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    assigned = assign_clusters(vecs, "_cv", cents).select(
+        "neighbor_id", "_cv", F.col("cluster").alias("cell")
+    )
+
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+
+    def _d2(vec_col_name: str, cent: list[float]) -> F.Column:
+        c = F.array(*[F.lit(float(x)) for x in cent])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col(vec_col_name), c, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+
+    qcells = qv.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("cell"), _d2("_qv", cent).alias("qd2"))
+                    for c, cent in enumerate(cents)
+                ]
+            )
+        ).alias("cd"),
+    ).select("query_id", "cd.cell", "cd.qd2")
+    wq = W.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell"))
+    probed = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", "cell")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probed), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("_cv"), F.col("_qv"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        ).alias("d2"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )
+
+
+def ivf_certified_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    iters: int,
+    n_probe: int,
+    query_pred: str,
+    k: int,
+    out_round: int = 6,
+) -> str:
+    """DuckDB replay of :func:`ivf_topk_certified`: quantized-Lloyd's fit
+    (``kmeans_cte_parts`` — shared with q127/q212, so the certification
+    strategy transfers), per-query probe ranking on the 1e-9 grid with
+    lowest-cell ties, exact in-cell squared distances, (d2, neighbor)
+    ranking."""
+    from python_async_sample_spark.operators.kmeans import kmeans_cte_parts
+
+    parts = kmeans_cte_parts(table, id_col, vec_col, n_cells, iters)
+    parts.append(
+        f"""qc AS (
+          SELECT qd.id AS query_id, c.cluster,
+                 round(sum((qd.val - c.val) * (qd.val - c.val)), 9) AS d2
+          FROM (SELECT * FROM dims
+                WHERE id IN (SELECT id FROM pts WHERE {query_pred})) qd
+          JOIN cd{iters} c ON c.dim = qd.dim
+          GROUP BY 1, 2
+        )"""
+    )
+    parts.append(
+        f"""probed AS (
+          SELECT query_id, cluster FROM (
+            SELECT query_id, cluster,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY d2, cluster) AS rn
+            FROM qc
+          ) WHERE rn <= {n_probe}
+        )"""
+    )
+    parts.append(
+        """cand AS (
+          SELECT p.query_id, a.id AS neighbor_id
+          FROM probed p JOIN afin a ON a.cluster = p.cluster
+          WHERE a.id <> p.query_id
+        )"""
+    )
+    parts.append(
+        """ex AS (
+          SELECT c.query_id, c.neighbor_id,
+                 round(sum((qd.val - pd.val) * (qd.val - pd.val)), 9) AS d2
+          FROM cand c
+          JOIN dims qd ON qd.id = c.query_id
+          JOIN dims pd ON pd.id = c.neighbor_id AND pd.dim = qd.dim
+          GROUP BY 1, 2
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+        SELECT query_id, neighbor_id, round(d2, {out_round}) AS d2, rank
+        FROM (
+          SELECT query_id, neighbor_id, d2,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+          FROM ex
+        ) WHERE rank <= {k}
+        ORDER BY query_id, rank"""
     )

@@ -2047,3 +2047,170 @@ def q214_restored_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rollup(read_version(spark, root), 2))  # head == restored
         .orderBy("version", "o_orderstatus")
     )
+
+
+@query(
+    "q228_catalog_travel_join",
+    oracle="""
+    WITH hdr0 AS MATERIALIZED (
+      SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 4 = 0
+    ),
+    det0 AS MATERIALIZED (
+      SELECT l_orderkey, l_linenumber,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+      FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2
+    ),
+    hdr1 AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN 'M' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM hdr0
+    ),
+    det1 AS MATERIALIZED (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 97 = 0 THEN qty + 5 ELSE qty END AS qty
+      FROM det0
+    ),
+    -- the uncoordinated writer: ONLY the header advances (status 'X')
+    hdr2 AS MATERIALIZED (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM hdr1
+    ),
+    r AS (
+      SELECT 'catalog_v0' AS source, h.o_orderstatus,
+             CAST(count(*) AS BIGINT) AS n_detail,
+             CAST(sum(d.qty) AS DOUBLE) AS sum_qty
+      FROM hdr0 h JOIN det0 d ON d.l_orderkey = h.o_orderkey GROUP BY 2
+      UNION ALL
+      SELECT 'catalog_v1', h.o_orderstatus, CAST(count(*) AS BIGINT),
+             CAST(sum(d.qty) AS DOUBLE)
+      FROM hdr1 h JOIN det1 d ON d.l_orderkey = h.o_orderkey GROUP BY 2
+      UNION ALL
+      -- catalog head still resolves to the v1 pins: the orphan header
+      -- commit is invisible through the catalog
+      SELECT 'catalog_head', h.o_orderstatus, CAST(count(*) AS BIGINT),
+             CAST(sum(d.qty) AS DOUBLE)
+      FROM hdr1 h JOIN det1 d ON d.l_orderkey = h.o_orderkey GROUP BY 2
+      UNION ALL
+      -- bypassing the catalog joins the NEW header against the v1 detail:
+      -- the torn state only a catalog-less reader can see
+      SELECT 'bypass_head', h.o_orderstatus, CAST(count(*) AS BIGINT),
+             CAST(sum(d.qty) AS DOUBLE)
+      FROM hdr2 h JOIN det1 d ON d.l_orderkey = h.o_orderkey GROUP BY 2
+    )
+    SELECT source, o_orderstatus, n_detail, sum_qty FROM r
+    ORDER BY source, o_orderstatus
+    """,
+    ref=(
+        "S9 snapshot ISOLATION (round 8, the read-side complement of "
+        "q207's atomic flip): catalog pins shield a reader from a table "
+        "whose head advanced WITHOUT a catalog commit — the racing-writer "
+        "semantics the new test_catalog race tests pin at the API level"
+    ),
+    tags=("incremental", "versioned", "scale"),
+)
+def q228_catalog_travel_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table time travel UNDER a racing uncoordinated writer: after
+    the coordinated batch (q207's flip, catalog v1), a second writer
+    advances ONLY the header table's head (status 'X' on the %89 keys) and
+    crashes before the catalog commit. The output joins header<->detail
+    four ways — through catalog v0, catalog v1, the catalog HEAD (which
+    must still resolve to the v1 pins: the orphan commit is invisible),
+    and BYPASSING the catalog at the table heads (the torn new-header/
+    old-detail state a catalog-less reader would see). The oracle
+    recomputes all four states; a catalog that leaked the orphan header
+    into its head rows, or time travel that lost v0, hash-mismatches.
+    The %4 subset keeps the fixture light; decimals keep the rollup
+    exact."""
+    from python_async_sample_spark.sources.catalog import (
+        catalog_commit,
+        catalog_create,
+        catalog_read,
+    )
+    from python_async_sample_spark.sources.versioned import (
+        create_table,
+        merge_into_versioned,
+        read_version,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="spark_graft_cattravel_")
+    hdr_root, det_root, cat_root = f"{tmp}/header", f"{tmp}/detail", f"{tmp}/cat"
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 4 == 0)
+        .select("o_orderkey", "o_orderstatus")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 4 == 0)
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("qty")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("l_key"),
+            "qty",
+        )
+    )
+    create_table(spark, hdr_root, orders, n_files=4)
+    create_table(spark, det_root, lineitem, n_files=4)
+    catalog_create(cat_root, {"header": hdr_root, "detail": det_root})
+
+    # coordinated batch: both tables commit, ONE catalog flip (q207)
+    hdr_batch = orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_orderstatus", F.lit("M")
+    )
+    det_batch = lineitem.where(F.col("l_orderkey") % 97 == 0).withColumn(
+        "qty", F.col("qty") + F.lit(5).cast("decimal(18,2)")
+    )
+    h1 = merge_into_versioned(spark, hdr_root, hdr_batch, "o_orderkey")["version"]
+    d1 = merge_into_versioned(spark, det_root, det_batch, "l_key")["version"]
+    catalog_commit(cat_root, {"header": h1, "detail": d1})
+
+    # the racing writer: header-only commit, crash before the catalog flip
+    hdr1 = read_version(spark, hdr_root, h1)
+    orphan = (
+        hdr1.where(F.col("o_orderkey") % 89 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    merge_into_versioned(spark, hdr_root, orphan, "o_orderkey")
+
+    def rollup(h: DataFrame, d: DataFrame, source: str) -> DataFrame:
+        return (
+            h.join(d, h["o_orderkey"] == d["l_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_detail"),
+                F.sum("qty").cast("double").alias("sum_qty"),
+            )
+            .select(
+                F.lit(source).alias("source"),
+                "o_orderstatus",
+                "n_detail",
+                "sum_qty",
+            )
+        )
+
+    via_cat = lambda name, v: catalog_read(spark, cat_root, name, v)  # noqa: E731
+    out = (
+        rollup(via_cat("header", 0), via_cat("detail", 0), "catalog_v0")
+        .unionByName(rollup(via_cat("header", 1), via_cat("detail", 1), "catalog_v1"))
+        .unionByName(
+            rollup(via_cat("header", None), via_cat("detail", None), "catalog_head")
+        )
+        .unionByName(
+            # bypass: table HEADS — the torn pair the catalog exists to hide
+            rollup(
+                read_version(spark, hdr_root, None),
+                via_cat("detail", None),
+                "bypass_head",
+            )
+        )
+    )
+    return out.orderBy("source", "o_orderstatus")

@@ -184,16 +184,36 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   q189 hierarchy / q192 interval coalesce: r6 rows + parity;
 #   q173 association rules: earned its de-zeroed driver row in r6
 #   (132 rows), family stays via q124 (PMI co-occurrence) rotating IN.
-# Still never-driver-checked after this rotation (oracled): q217
-# (relation-keyed DELETE), q218 (Spearman), q219 (embargo split), q220
-# (clone divergence), q221 (dropped-column travel), q222 (streaming CDC
-# source), q223 (product-quantization ANN + exact re-rank), q224
-# (incremental PQ ingest) — all new this round — then q81, q85, q86,
-# q90, q93, q97,
-# q98, q103, q108, q111 — ROUND-8 CANDIDATES in that order — plus
-# the deliberate _TAIL (q19/q40/q44/q45: §2 coverage duplicated by
-# in-window queries) and the rows-only tail, all verified every round by
-# scripts/driver_sim.py + tests/test_oracle_parity.
+# After the round-7 rotation the never-driver-checked oracled set was:
+# q217-q224 (the eight round-7 additions), q81, q85, q86, q90, q93, q97,
+# q98, q103, q108, q111, plus the deliberate §2-duplicated tail quartet
+# q19/q40/q44/q45.
+# ROUND-8 ROTATION (executes VERDICT r7 item 1): the 24 residents stay
+# (23 §2-critical + q211 as the only I7 cascade face); the 26 swap slots
+# land on ALL 18 round-8 candidates in the recorded order (q223/q224
+# first — q223's recall floor was raised this round, so its new contract
+# is driver-checked the round it changed — then q217-q222, then
+# q81/q85/q86/q90/q93/q97/q98/q103/q108/q111), PLUS the deliberate
+# §2-duplicated tail quartet q19/q40/q44/q45 (their coverage is
+# duplicated in-window, but 26 slots ≥ 22 candidates, so the quartet
+# earns driver rows too — after this rotation EVERY oracled query has
+# had a driver CORRECTNESS row at least once), PLUS the round-8
+# additions (in-window the round they ship, same posture as q216 in r7).
+# Coverage bookkeeping for the 26 rotated-out round-7 occupants (each
+# has a green CORRECTNESS_r07.json row plus ongoing driver_sim/pytest
+# parity), by §2 family face left in-window:
+#   SemDeDup twins (q212/q213): embedding-similarity family stays via
+#   q223/q224 (PQ ANN) and q86 (int8 ANN) rotating IN;
+#   versioned storage (q214 RESTORE, q216 relation purge): family stays
+#   via q217 (relation DELETE), q220 (clone), q221 (DROP COLUMN), q222
+#   (streaming CDC source) rotating IN; S11/S12/I3 stay via q17;
+#   training/statistics (q215 isotonic, q168/q169/q171 screens, q113,
+#   q124, q116, q114, q120, q110, q109): family stays via q218
+#   (Spearman) + q219 (embargo split) rotating IN;
+#   analytics (q107, q100, q101, q126, q128, q134, q137, q138,
+#   q117/q118/q119): §2 faces all duplicated by residents (A5/O5/O7/
+#   R4/null-handling); window family stays via q81 (window suite) +
+#   q93 (sliding windows) rotating IN.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
@@ -233,41 +253,40 @@ _PRIORITY: tuple[str, ...] = (
     "q83_set_operations",
     # ---- 24th resident: the only driver face for §2.9's I7 cascade row --
     "q211_watermark_cascade",
-    # ---- 26 round-7 rotations: the round-6 additions, the new q216
-    # ---- relation-keyed purge, and the strongest never-checked
-    # ---- stragglers per the r6 candidate order --------------------------
-    "q212_semdedup_kmeans",
-    "q213_incremental_semdedup",
-    "q214_restored_time_travel",
-    "q215_isotonic_calibration",
-    "q216_purged_relation_travel",
-    "q168_dow_uniformity_chi2",
-    "q169_benford_screen",
-    "q171_revenue_gini",
-    "q113_touch_attribution",
-    "q124_cooccurrence_pmi",
-    "q116_corpus_health_report",
-    "q114_quality_classifier",
-    "q120_leakage_safe_split",
-    "q110_groupwise_zscore",
-    "q109_decile_binning",
-    "q107_partial_agg_merge",
-    "q100_topk_per_group",
-    "q101_revenue_share",
-    "q126_skew_report",
-    "q128_cumulative_distinct_users",
-    "q134_variant_extract",
-    "q137_null_safe_join",
-    "q138_try_functions",
-    "q117_document_chunking",
-    "q118_temperature_mixing",
-    "q119_hard_negative_mining",
+    # ---- 26 round-8 rotations: all 18 recorded candidates, the
+    # ---- §2-duplicated tail quartet, and the round-8 additions ----------
+    "q223_pq_ann_topk",
+    "q224_incremental_pq_encode",
+    "q217_relation_delete_travel",
+    "q218_spearman_length_vocab",
+    "q219_embargo_label_windows",
+    "q220_cloned_divergence",
+    "q221_dropped_column_travel",
+    "q222_stream_cdc_source",
+    "q81_window_suite",
+    "q85_stream_static_enrich",
+    "q86_ann_quantized_topk",
+    "q90_orc_source",
+    "q93_sliding_windows",
+    "q97_json_extract",
+    "q98_array_agg",
+    "q103_stream_bounded_dedup",
+    "q108_zorder_curve",
+    "q111_incremental_dedup",
+    "q19_sessionization",
+    "q40_text_stats",
+    "q44_token_counts",
+    "q45_vocab_stats",
+    # ---- round-8 additions (in-window the round they ship) --------------
+    "q225_ahash_near_pairs",
+    "q226_hash_sharding",
+    "q227_ivf_certified_topk",
+    "q228_catalog_travel_join",
 )
 
 _TAIL: tuple[str, ...] = (
     "q30_exact_dedup",
     "q05_semi_join_urgent_buyers",
-    "q19_sessionization",
     "q07_full_outer_nation_counts",
     "q09_distinct_flags",
     "q13_pivot_events_wide",
@@ -281,12 +300,9 @@ _TAIL: tuple[str, ...] = (
     "q62_rollup_revenue",
     "q65_range_join_errors_in_windows",
     "q68_train_test_split",
-    "q45_vocab_stats",
     "q03_top_orders_by_revenue",
     "q20_rot_fit_closed_form",
     "q28_rot_pipeline_detail",
-    "q40_text_stats",
-    "q44_token_counts",
     "q52_media_catalog",
     "q08_cross_join_grid",
     "q21_rot_apply_affine",

@@ -164,14 +164,21 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer top-k: spherical-kmeans cells, each query scores
-    only its n_probe nearest cells — per-query cost O(N·n_probe/n_cells).
-    Recall vs the exact GEMM top-k is computed in-plan; below 0.5 the query
-    raises instead of returning plausible garbage (probing 8 of 32 cells
-    lands 0.58–0.70 on the synthetic corpus across scales; the floor
-    catches collapse, tests pin the tighter half-probe level)."""
+    only its n_probe nearest cells. Round 8 switched the cell count to the
+    classical ``sqrt(N)`` auto-sizing (VERDICT r7 item 5): at FIXED cells
+    the probed fraction is constant and per-query scan cost grows linearly
+    with the corpus — the round-7 SCALE probe measured exactly that 4.3x
+    at x10, with cells the audit showed already balanced — while cells ∝
+    sqrt(N) make it O(n_probe·sqrt(N)). Recall vs the exact GEMM top-k is
+    computed in-plan; below 0.5 the query raises instead of returning
+    plausible garbage (auto-sized measured recall: 0.70/0.58/0.56 at
+    sf0.001/0.01/0.1 and 0.96 on the x10 probe corpus; tests pin the
+    tighter half-probe level at fixed small indexes)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    out = ivf_topk(emb, queries, "vec_id", "embedding", k=10, n_centroids=32, n_probe=8)
+    out = ivf_topk(
+        emb, queries, "vec_id", "embedding", k=10, n_centroids="auto", n_probe=8
+    )
     exact = brute_force_topk(emb, queries, "vec_id", "embedding", k=10)
     out = _with_recall_guard(out, exact, floor=0.5, what="IVF ANN")
     return out.select(
@@ -1007,7 +1014,7 @@ from python_async_sample_spark.operators.pq import pq_oracle_sql as _pq_oracle
     "q223_pq_ann_topk",
     oracle=_pq_oracle(
         "embeddings", "vec_id", "embedding",
-        m=8, ksub=16, iters=2, query_pred="id % 100 = 0", k=10, refine=100,
+        m=8, ksub=16, iters=2, query_pred="id % 100 = 0", k=10, refine=400,
     ),
     ref="similarity-product-quantization (beyond reference; the 32x-compression ANN tier above q86's int8 and q37's IVF)",
     tags=("llm-data", "similarity"),
@@ -1017,14 +1024,19 @@ def q223_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     refine): train 8 subspace codebooks (16 centroids, 2 quantized Lloyd
     iterations, shared-scan fit), ENCODE the corpus to 8 codes per vector
     (one narrow Arrow scan — the 8-bytes-per-vector relation a 100 TB index
-    scans), nominate 100 candidates per query by asymmetric distance (a
+    scans), nominate 400 candidates per query by asymmetric distance (a
     Q x 8 x 16 LUT gathered per corpus row, local top-k per batch), then
     re-score ONLY the shortlist against the float store (bounded semi-join
     point-lookup) for the exact top-10. The full trajectory — init, every
     assignment/update round, encode, LUT, shortlist, exact re-rank —
     replays in DuckDB (``pq_oracle_sql``), the same certification strategy
-    as q127's k-means; measured recall@10 vs the float exact L2 top-k
-    (0.76-0.88 across scales) stays in-plan with a loud 0.5 floor."""
+    as q127's k-means. Shortlist multiple: the round-8 measured curve
+    (recall@10 vs the float exact top-k, deterministic given the
+    content-addressed init) is 0.88/1.00 at sf0.01 and 0.57/0.74/0.83/
+    0.89/0.94 at sf0.1 for shortlist 100/200/300/400/600, with wall time
+    FLAT in the shortlist (fit+encode dominate) — so the FAISS-style
+    ``k_factor=40`` (shortlist 400) buys 0.89+ for free and the in-plan
+    floor rises 0.5 → 0.7 with 0.19 margin at the worst measured scale."""
     from python_async_sample_spark.operators.pq import (
         brute_force_topk_l2,
         pq_encode,
@@ -1037,10 +1049,10 @@ def q223_pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cbs = pq_fit(emb, "vec_id", "embedding", m=8, ksub=16, iters=2)
     codes = pq_encode(emb, "vec_id", "embedding", cbs)
     out = pq_topk_refined(
-        codes, queries, cbs, emb, "vec_id", "embedding", k=10, shortlist=100
+        codes, queries, cbs, emb, "vec_id", "embedding", k=10, shortlist=400
     )
     exact = brute_force_topk_l2(emb, queries, "vec_id", "embedding", k=10)
-    out = _with_recall_guard(out, exact, floor=0.5, what="PQ refined ANN")
+    out = _with_recall_guard(out, exact, floor=0.7, what="PQ refined ANN")
     return out.select(
         "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rank"
     ).orderBy("query_id", "rank")
@@ -1083,3 +1095,43 @@ def q224_incremental_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "vec_id", F.posexplode("codes").alias("s", "code")
     ).orderBy("vec_id", "s")
+
+
+from python_async_sample_spark.operators.similarity import (
+    ivf_certified_oracle_sql as _ivf_cert_oracle,
+)
+
+
+@query(
+    "q227_ivf_certified_topk",
+    oracle=_ivf_cert_oracle(
+        "embeddings", "vec_id", "embedding",
+        n_cells=16, iters=2, n_probe=4, query_pred="id % 100 = 0", k=10,
+    ),
+    ref="certified IVF twin (round 8): q37's coarse-quantizer ANN with a fully DuckDB-replayed trajectory — the IVF analog of q212-for-SemDeDup and q223-for-PQ",
+    tags=("llm-data", "similarity"),
+)
+def q227_ivf_certified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, hash-CERTIFIED end to end: the coarse quantizer is
+    quantized Lloyd's (content-addressed md5 init, means rounded to 6
+    digits — q127's portable k-means), corpus cells and the per-query
+    4-of-16 probe ranking both argmin/rank on the 1e-9 distance grid with
+    lowest-cell ties, and every probed candidate is scored with the EXACT
+    squared L2 distance — so DuckDB replays init, both Lloyd rounds, the
+    cell index, the probe choice, and the final (d2, neighbor) ranking
+    from first principles. q37 stays the production face (sampled
+    spherical k-means + GEMM kernels + sqrt-N auto sizing, recall-guarded);
+    this face certifies the IVF ALGEBRA — a drifted centroid, a wrong
+    probe order, or a candidate leaking from an unprobed cell all
+    hash-mismatch. One corpus shuffle on cell id; probe set and query
+    vectors broadcast."""
+    from python_async_sample_spark.operators.similarity import ivf_topk_certified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk_certified(
+        emb, queries, "vec_id", "embedding", k=10, n_cells=16, n_probe=4, iters=2
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rank"
+    ).orderBy("query_id", "rank")

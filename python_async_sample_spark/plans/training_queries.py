@@ -1358,3 +1358,52 @@ def q219_embargo_label_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _hash_shard_oracle() -> str:
+    from python_async_sample_spark.operators.sketches import portable_hash_sql
+
+    h = portable_hash_sql("CAST(floor(cum_before / 512) AS BIGINT)", 0)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(floor(cum_before / 512) AS BIGINT) AS pack_id,
+           CAST(({h}) % 8 AS BIGINT) AS shard_id
+    FROM c ORDER BY lang, doc_id
+    """
+
+
+@query(
+    "q226_hash_sharding",
+    oracle=_hash_shard_oracle(),
+    ref="decorrelated-hash shard assignment (VERDICT r7 item 4: the escape hatch from round 7's assign_shards hypothesis counterexample, now a real mode)",
+    tags=("llm-data", "packing"),
+)
+def q226_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's packing with the round-8 ``shard_key="hash"`` mode: shards are
+    assigned by the portable 32-bit mixer over the chunk index instead of
+    ``pack % n``, which breaks the periodic-stream adversary that skews
+    round-robin token sums linearly (see assign_shards' docstring and the
+    property test pinning the 15,16,1 counterexample's collapse). The
+    mixer is the same engine-portable hash the sketch family certifies, so
+    DuckDB replays every (doc -> pack -> shard) assignment exactly —
+    decorrelation does not cost oracle coverage."""
+    from python_async_sample_spark.operators.packing import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    packed = pack_sequences(docs, ["lang"], "doc_id", "n_tokens", budget=512)
+    sharded = assign_shards(packed, n_shards=8, shard_key="hash")
+    return sharded.select("doc_id", "lang", "pack_id", "shard_id").orderBy(
+        "lang", "doc_id"
+    )

@@ -259,7 +259,9 @@ def probed_paths(spark):
     paths.append(("ann_lsh_topk", _ann(
         lambda e, q, i, v, k: lsh_topk(e, q, i, v, k=k, n_planes=6, dim=64))))
     paths.append(("ann_ivf_topk", _ann(
-        lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k))))
+        # sqrt(N) auto cell sizing (VERDICT r7 item 5): fixed 32 cells made
+        # the probed-cell scan linear in N (4.3x at x10 in round 7)
+        lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k, n_centroids="auto"))))
 
     def _semdedup(sf_dir):
         # Probes the REGISTERED q200 (round-6: the hyperplane-quantizer
@@ -322,7 +324,8 @@ def probed_paths(spark):
         queries = emb.where(F.col("vec_id") < 64)
         cbs = pq_fit(emb, "vec_id", "embedding", m=8, ksub=16, iters=2)
         codes = pq_encode(emb, "vec_id", "embedding", cbs)
-        return pq_topk_refined(codes, queries, cbs, emb, k=10, shortlist=100)
+        # shortlist mirrors q223's k_factor=40 (round-8 recall-floor raise)
+        return pq_topk_refined(codes, queries, cbs, emb, k=10, shortlist=400)
 
     paths.append(("pq_refined_ann", _pq))
     return paths

@@ -158,3 +158,94 @@ def test_vacuum_honors_catalog_pins(spark, roots):
     res = vacuum(hdr_root, keep_last=1, grace_seconds=0, keep_versions={1, 2})
     assert table_versions(hdr_root) == [1, 2]
     assert read_version(spark, hdr_root, 2).count() == 2
+
+
+def _state_pair(spark, roots):
+    """header/detail tables whose every row carries a batch-state integer;
+    a coordinated batch k moves BOTH tables' every key to state k, so any
+    snapshot's consistency is checkable as 'one state, same on both'."""
+    hdr_root, det_root, cat_root = roots
+    hdr = spark.createDataFrame([(1, 0), (2, 0)], "k bigint, state int")
+    det = spark.createDataFrame([(1, 0), (2, 0)], "k bigint, state int")
+    create_table(spark, hdr_root, hdr, n_files=1)
+    create_table(spark, det_root, det, n_files=1)
+    catalog_create(cat_root, {"header": hdr_root, "detail": det_root})
+    return hdr_root, det_root, cat_root
+
+
+def _states(spark, cat_root, version=None):
+    h = {r["state"] for r in catalog_read(spark, cat_root, "header", version).collect()}
+    d = {r["state"] for r in catalog_read(spark, cat_root, "detail", version).collect()}
+    return h, d
+
+
+def _assert_consistent(h, d, where):
+    assert len(h) == 1 and h == d, f"torn pair {where}: header={h} detail={d}"
+
+
+def test_catalog_reader_consistent_at_every_interleaving_point(spark, roots):
+    """VERDICT r7 item 8 (deterministic sweep): a reader resolving through
+    the catalog must see a consistent header/detail pair at EVERY point of
+    the writer protocol — after the header table commits, after the detail
+    table commits, and after the flip — across several rounds. The
+    pre-flip points are exactly the states a racing reader can land on."""
+    hdr_root, det_root, cat_root = _state_pair(spark, roots)
+    for k in range(1, 5):
+        batch = spark.createDataFrame([(1, k), (2, k)], "k bigint, state int")
+        h_v = merge_into_versioned(spark, hdr_root, batch, "k")["version"]
+        _assert_consistent(*_states(spark, cat_root), where=f"round {k} after header commit")
+        d_v = merge_into_versioned(spark, det_root, batch, "k")["version"]
+        _assert_consistent(*_states(spark, cat_root), where=f"round {k} after detail commit")
+        # pre-flip, the pair must still be the PREVIOUS round's state
+        h, d = _states(spark, cat_root)
+        assert h == {k - 1}, f"round {k}: pre-flip reader saw {h}"
+        catalog_commit(cat_root, {"header": h_v, "detail": d_v})
+        h, d = _states(spark, cat_root)
+        _assert_consistent(h, d, where=f"round {k} after flip")
+        assert h == {k}
+    # and travel: every retained catalog version replays its own pair
+    for v in catalog_versions(cat_root):
+        h, d = _states(spark, cat_root, v)
+        _assert_consistent(h, d, where=f"catalog v{v}")
+        assert h == {v}
+
+
+def test_catalog_racing_reader_thread_never_sees_torn_pair(spark, roots):
+    """VERDICT r7 item 8 (live race): a reader thread hammering
+    catalog_read(current) while the writer runs coordinated rounds must
+    never observe header state != detail state — the S9 analog of the
+    round-7 restore-race test. Each observation pins (version, header
+    states, detail states); all are asserted after the writer finishes so
+    a torn read cannot hide behind thread timing."""
+    import threading
+
+    hdr_root, det_root, cat_root = _state_pair(spark, roots)
+    observations: list[tuple[int, frozenset, frozenset]] = []
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def reader():
+        try:
+            while not stop.is_set():
+                v = catalog_current(cat_root)
+                h, d = _states(spark, cat_root, v)
+                observations.append((v, frozenset(h), frozenset(d)))
+        except BaseException as e:  # surface in the main thread
+            errors.append(e)
+
+    t = threading.Thread(target=reader, daemon=True)
+    t.start()
+    try:
+        for k in range(1, 4):
+            batch = spark.createDataFrame([(1, k), (2, k)], "k bigint, state int")
+            h_v = merge_into_versioned(spark, hdr_root, batch, "k")["version"]
+            d_v = merge_into_versioned(spark, det_root, batch, "k")["version"]
+            catalog_commit(cat_root, {"header": h_v, "detail": d_v})
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not errors, errors
+    assert observations, "reader thread never completed a read"
+    for v, h, d in observations:
+        assert len(h) == 1 and h == d, f"torn pair at catalog v{v}: {h} vs {d}"
+        assert h == {v}, f"catalog v{v} served state {h}"

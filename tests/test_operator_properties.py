@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -192,6 +193,54 @@ def test_shard_assignment_structural_guarantees(spark, toks, n_shards):
     for r in rows:
         per_pack[r["pack_id"]] = per_pack.get(r["pack_id"], 0) + r["n_tokens"]
     assert all(m < 2 * budget for m in per_pack.values()), per_pack
+
+
+def test_hash_sharding_collapses_periodic_adversary(spark):
+    """Round-8 mode for round 7's hypothesis counterexample: sizes 15,16,1
+    repeating against budget 16 and 2 shards put every heavy chunk (31
+    tokens) on one residue class — round-robin spread grows LINEARLY in
+    stream length (3000 tokens here). ``shard_key="hash"`` decorrelates
+    shard from residue: the same stream's spread must collapse while the
+    structural guarantees (doc follows its first token's chunk, chunk
+    never split across shards, shard ids in range, deterministic) hold."""
+    from python_async_sample_spark.operators.packing import assign_shards
+
+    budget, n_shards = 16, 2
+    toks = [15, 16, 1] * 100  # 200 packs: evens carry 31 tokens, odds 1
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+    ).withColumn("stream", F.lit(1))
+    packed = pack_sequences(df, ["stream"], "doc_id", "n_tokens", budget)
+
+    def token_spread(mode: str) -> int:
+        per = {
+            r["shard_id"]: r["toks"]
+            for r in assign_shards(packed, n_shards, shard_key=mode)
+            .groupBy("shard_id")
+            .agg(F.sum("n_tokens").alias("toks"))
+            .collect()
+        }
+        return max(per.values()) - (min(per.values()) if len(per) == n_shards else 0)
+
+    s_pack = token_spread("pack")
+    assert s_pack == 100 * 31 - 100 * 1  # the adversary really is linear
+    s_hash = token_spread("hash")
+    assert s_hash <= s_pack / 4, (s_hash, s_pack)
+
+    rows = assign_shards(packed, n_shards, shard_key="hash").collect()
+    # structural: every row of a pack lands on ONE shard (never split),
+    # ids in range, and the assignment is a pure function of pack_id
+    by_pack: dict[int, set[int]] = {}
+    for r in rows:
+        by_pack.setdefault(r["pack_id"], set()).add(r["shard_id"])
+        assert 0 <= r["shard_id"] < n_shards
+    assert all(len(s) == 1 for s in by_pack.values())
+    again = assign_shards(packed, n_shards, shard_key="hash").collect()
+    assert {(r["doc_id"], r["shard_id"]) for r in rows} == {
+        (r["doc_id"], r["shard_id"]) for r in again
+    }
+    with pytest.raises(ValueError, match="shard_key"):
+        assign_shards(packed, n_shards, shard_key="greedy")
 
 
 def test_shard_assignment_balances_uniform_stream(spark):

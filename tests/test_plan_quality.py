@@ -525,9 +525,24 @@ def test_pq_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
     codes = pq_encode(emb, "vec_id", "embedding", cbs)
     out = pq_topk_refined(codes, queries, cbs, emb, k=5, shortlist=20)
     plan = plan_str(out, "simple")
-    assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    # build side: the broadcast exchange must sit under the shortlist's
-    # window (rank <= shortlist), not under the bare embeddings scan — the
-    # formatted plan renders the join's BuildLeft with the shortlist branch
-    assert "BuildLeft" in plan_str(out), plan_str(out)
+    # anchor BuildLeft to the join node itself (not anywhere in the plan:
+    # another left-building join elsewhere must not satisfy this)
+    import re
+
+    join_lines = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert join_lines, plan
+    assert any(re.search(r"BroadcastHashJoin .*BuildLeft", l) for l in join_lines), plan
+    # and the BroadcastExchange must sit over the WINDOWED shortlist branch
+    # (rank <= shortlist), not the bare embeddings scan: the left-branch
+    # gutter lines (':') under the exchange must contain the shortlist's
+    # WindowGroupLimit before the branch ends
+    lines = plan.splitlines()
+    i = next(idx for idx, l in enumerate(lines) if "BroadcastExchange" in l)
+    branch = []
+    for l in lines[i + 1 :]:
+        if re.match(r"^\s*:", l):
+            branch.append(l)
+        else:
+            break
+    assert any("WindowGroupLimit" in l for l in branch), plan

@@ -110,11 +110,11 @@ def test_refined_recall_beats_floor_and_pure_adc(spark, fitted):
     exact = brute_force_topk_l2(emb, queries, k=10).select("query_id", "neighbor_id")
     total = exact.count()
 
-    refined = pq_topk_refined(codes, queries, cbs, emb, k=10, shortlist=100)
+    refined = pq_topk_refined(codes, queries, cbs, emb, k=10, shortlist=400)
     hits = refined.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"], "left_semi"
     ).count()
-    assert hits / total >= 0.5  # the q223 in-plan floor, asserted tighter here
+    assert hits / total >= 0.7  # the q223 in-plan floor (round-8 raise)
 
     adc = pq_topk_adc(codes, queries, cbs, k=10)
     adc_hits = adc.select("query_id", "neighbor_id").join(
@@ -142,6 +142,24 @@ def test_dim_not_divisible_raises(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
         pq_fit(emb, "vec_id", "embedding", m=7, ksub=4, iters=0)
+
+
+def test_non_integral_id_fails_loud(spark, sf_dir):
+    """The bigint-id contract must fail with a clear TypeError up front,
+    not an opaque Arrow cast error inside a kernel (round-8 ADVICE)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "vec_id", F.concat(F.lit("doc-"), F.col("vec_id"))
+    )
+    with pytest.raises(TypeError, match="integral"):
+        pq_fit(emb, "vec_id", "embedding", m=8, ksub=4, iters=0)
+    with pytest.raises(TypeError, match="integral"):
+        pq_encode(emb, "vec_id", "embedding", [[[0.0] * 8] * 4] * 8)
+    with pytest.raises(TypeError, match="integral"):
+        pq_topk_adc(
+            emb.select("vec_id").withColumn("codes", F.array(F.lit(0))),
+            emb,
+            [[[0.0] * 8] * 4] * 8,
+        )
 
 
 def test_incremental_encode_is_batch_local(spark, fitted):

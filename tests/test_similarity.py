@@ -281,3 +281,21 @@ def test_cosine_pairs_requires_blocking_and_plans_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     got = {(r["d1"], r["d2"]) for r in pairs.collect()}
     assert got == {(0, 1), (2, 3)}  # cross-bucket pairs never compared
+
+
+def test_ivf_auto_cell_sizing(spark, sf_dir):
+    """n_centroids="auto" sizes the index at max(32, sqrt(N)) — the scale
+    rule that keeps the probed-cell scan O(n_probe*sqrt(N)) instead of
+    linear (round-8 SCALE fix) — and must keep recall above the q37
+    floor on every test corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10))
+    auto = _topk_sets(
+        ivf_topk(emb, queries, k=10, n_centroids="auto", n_probe=8)
+    )
+    assert _recall(auto, exact) >= 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivf_topk(emb, queries, k=10, n_centroids="sqrt")
