@@ -22,7 +22,12 @@ path the Python DataSource API added for exactly this).  The driver never
 touches a data row.  Same vacuum caveat as Delta CDF: a CDC stream must
 stay within the retention window — a removed file reclaimed by
 :func:`versioned.vacuum` before the stream reads it fails loudly, never
-silently skips.
+silently skips.  Retention must cover the stream's COMMITTED OFFSET
+version itself, not merely the unread versions: ``partitions(start, end)``
+diffs each manifest against its parent, so resuming from offset v needs
+manifest v as the delta BASE (the round-8 scale probe pinned this —
+``vacuum(keep_last=1)`` after a drain at offset v1 with head v2 fails the
+resume loudly; ``keep_last=2`` reclaims v0 and resumes cleanly).
 
 Usage:
     spark.dataSource.register(VersionedCDCDataSource)

@@ -7,7 +7,11 @@ sf0.1), so regressions are judged PER QUERY against the committed
 filters sub-second jitter and first-call codegen).
 
 Usage:
-    python bench.py | tail -1 > /tmp/bench.json
+    python bench.py && cp BENCH_SELF.json /tmp/bench.json
+    # (bench.py prints the full per-query line FIRST and a compact
+    #  totals-only summary line LAST — round 8, so the driver's bounded
+    #  tail capture always retains something parseable; the file-mode
+    #  input here must be the full line, i.e. BENCH_SELF.json)
     python scripts/bench_compare.py /tmp/bench.json
     python scripts/bench_compare.py --run        # runs bench.py itself
     python scripts/bench_compare.py /tmp/bench.json --refresh \

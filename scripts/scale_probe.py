@@ -353,6 +353,15 @@ VERB_DRIVER_ROW_CAPS = {
     # the streaming CDC source plans from manifest JSON (no collects);
     # the drain's foreachBatch counts rows via one scalar agg per batch
     "cdc_stream_drain": 200,
+    # round-8 verbs (VERDICT r7 item 6): delete_relation plans via the
+    # same range join as MERGE (victims never collected), clone_table is
+    # pure os.link O(files) with zero Spark collects, drop_column is a
+    # metadata-only commit, and the vacuum-pressure CDC drain counts one
+    # scalar per batch
+    "delete_relation": 200,
+    "clone_diverge": 100,
+    "drop_column": 100,
+    "cdc_drain_vacuum": 200,
 }
 
 
@@ -466,12 +475,122 @@ def probed_verbs(spark):
         assert n >= orders.count()  # v0 inserts + the merge's file deltas
         return {"rows": n}
 
+    def delete_relation_verb(sf_dir):
+        from python_async_sample_spark.sources.versioned import delete_relation
+
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("delrel")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        victims = orders.where(F.col("o_orderkey") % 211 == 0).select("o_orderkey")
+        res = delete_relation(spark, root, "o_orderkey", victims)
+        assert res["deleted_rows"] > 0
+        # head-only: history (v0) keeps the victims
+        assert read_version(spark, root, 0).count() == orders.count()
+        return {"rows": res["deleted_rows"]}
+
+    def clone_verb(sf_dir):
+        from python_async_sample_spark.sources.versioned import clone_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        src = fresh_root("clone_src")
+        dst = fresh_root("clone_dst")
+        create_table(spark, src, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        upd = orders.where(F.col("o_orderkey") % 101 == 0).withColumn(
+            "o_orderstatus", F.lit("M"))
+        merge_into_versioned(spark, src, upd, "o_orderkey")      # src v1
+        clone_table(src, dst)                                    # dst v0 = src v1
+        # diverge the SOURCE after the clone: the clone must not move
+        merge_into_versioned(
+            spark, src,
+            orders.where(F.col("o_orderkey") % 103 == 0).withColumn(
+                "o_orderstatus", F.lit("X")), "o_orderkey",
+        )
+        n = read_version(spark, dst, 0).count()
+        assert n == orders.count()
+        assert read_version(spark, dst, 0).where("o_orderstatus = 'X'").count() == 0
+        return {"rows": n}
+
+    def drop_column_verb(sf_dir):
+        from python_async_sample_spark.sources.versioned import drop_column
+
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("drop")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        drop_column(spark, root, "o_orderpriority")              # O(1) commit
+        append_versioned(
+            spark, root,
+            read_version(spark, root, 1).limit(1000), n_files=1,
+        )
+        head = read_version(spark, root, current_version(root))
+        assert "o_orderpriority" not in head.columns
+        # travel: the pre-drop version still serves the column
+        assert "o_orderpriority" in read_version(spark, root, 0).columns
+        return {"rows": head.count()}
+
+    def cdc_vacuum_verb(sf_dir):
+        """q222's drain UNDER VACUUM PRESSURE: the checkpointed stream
+        consumes v0+v1, a vacuum reclaims everything BEFORE its committed
+        offset (keep_last=2 retains v1+v2: the offset manifest is the
+        delta BASE partitions() diffs against, so keep_last=1 correctly
+        fails the resume loudly — this probe's first run proved that),
+        and the RESUMED drain must still deliver v2's delta. The
+        vacuumed-file loud-failure path is pinned in
+        tests/test_cdc_source.py."""
+        from python_async_sample_spark.streaming.cdc_source import (
+            VersionedCDCDataSource,
+        )
+
+        orders = load_table(spark, sf_dir, "orders")
+        root = fresh_root("cdcvac")
+        create_table(spark, root, orders, n_files=VERB_N_FILES,
+                     layout_col="o_orderkey")
+        merge_into_versioned(
+            spark, root,
+            orders.where(F.col("o_orderkey") % 97 == 0).withColumn(
+                "o_orderstatus", F.lit("M")), "o_orderkey",
+        )                                                        # v1
+        spark.dataSource.register(VersionedCDCDataSource)
+        seen = []
+
+        def count_batch(b, _e):
+            seen.append(b.count())
+
+        def drain():
+            q = (
+                spark.readStream.format("versioned_cdc").option("path", root)
+                .load()
+                .writeStream.foreachBatch(count_batch)
+                .option("checkpointLocation", f"{root}_ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        drain()                                                  # v0+v1 consumed
+        merge_into_versioned(
+            spark, root,
+            orders.where(F.col("o_orderkey") % 89 == 0).withColumn(
+                "o_orderstatus", F.lit("X")), "o_orderkey",
+        )                                                        # v2
+        vacuum(root, keep_last=2, grace_seconds=0)               # v0 reclaimed
+        drain()                                                  # must still work
+        n = sum(seen)
+        assert n > orders.count()  # v0 inserts + both merges' file deltas
+        return {"rows": n}
+
     return [
         ("merge_into", merge_verb),
         ("purge_relation", purge_verb),
         ("restore_vacuum", restore_vacuum_verb),
         ("catalog_atomic_pair", catalog_verb),
         ("cdc_stream_drain", cdc_stream_verb),
+        ("delete_relation", delete_relation_verb),
+        ("clone_diverge", clone_verb),
+        ("drop_column", drop_column_verb),
+        ("cdc_drain_vacuum", cdc_vacuum_verb),
     ]
 
 

@@ -162,3 +162,42 @@ def test_cdc_stream_null_fills_pre_evolution_files(spark, sf_dir, tmp_path):
     assert v2.where(F.col("o_channel") == "web").count() == 6
     # v1 was metadata-only: no file changed, no CDC rows
     assert cdc.where(F.col("_commit_version") == 1).count() == 0
+
+
+def test_cdc_resume_retention_needs_committed_offset_manifest(spark, sf_dir, tmp_path):
+    """Round-8 sharpening of the vacuum contract: ``partitions(start, end)``
+    diffs each manifest against its PARENT, so a stream resuming from
+    committed offset v needs manifest v retained as the delta base.
+    vacuum(keep_last=2) after a drain at offset v1 (head v2) reclaims v0
+    and the resume delivers exactly v2's delta; vacuum(keep_last=1) — one
+    version too aggressive — must fail the resume loudly."""
+    from python_async_sample_spark.sources.versioned import vacuum
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+
+    def build(tag):
+        root = str(tmp_path / tag)
+        create_table(spark, root, orders.limit(50), n_files=2)           # v0
+        merge_into_versioned(
+            spark, root,
+            orders.limit(5).withColumn("o_orderstatus", F.lit("M")),
+            "o_orderkey",
+        )                                                                # v1
+        _drain(spark, root, f"{root}_ck", f"{root}_out")                 # offset=v1
+        merge_into_versioned(
+            spark, root,
+            orders.limit(3).withColumn("o_orderstatus", F.lit("X")),
+            "o_orderkey",
+        )                                                                # v2
+        return root
+
+    ok = build("ok")
+    vacuum(ok, keep_last=2, grace_seconds=0)                             # v0 gone
+    _drain(spark, ok, f"{ok}_ck", f"{ok}_out")                           # resumes
+    resumed = spark.read.parquet(f"{ok}_out")
+    assert resumed.where(F.col("_commit_version") == 2).count() > 0
+
+    bad = build("bad")
+    vacuum(bad, keep_last=1, grace_seconds=0)                            # v1 gone too
+    with pytest.raises(Exception, match="vacuumed|STREAM_FAILED|FileNotFound"):
+        _drain(spark, bad, f"{bad}_ck", f"{bad}_out")

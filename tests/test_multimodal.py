@@ -402,3 +402,44 @@ def test_resize_images_refuses_codec_formats(spark):
         resize_images(df, "doc_id", 2, 2).collect()
     with _p.raises(ValueError, match="positive"):
         resize_images(df, "doc_id", 0, 2)
+
+
+def test_media_ahash_portable_golden_and_contracts(spark):
+    """Integer-exact aHash (q225's kernel): a hand-computable 128-byte
+    image must produce the exactly-predicted signature through the REAL
+    PNG encode→decode path, and the contract violations (pixel count not
+    a multiple of 64, non-gray PNG) must fail loudly."""
+    import pytest
+
+    from python_async_sample_spark.operators.multimodal import (
+        encode_png,
+        media_ahash_portable,
+    )
+
+    # blocks of 2 bytes: block i = bytes (2i, 2i+1). Make blocks 0..31
+    # carry value 10 and blocks 32..63 carry value 20 -> total = 64*30,
+    # threshold 64*sum_b > 64*30 <=> sum_b > 30: exactly the high half.
+    px = bytes([10] * 64 + [20] * 64)
+    expected = sum(1 << i for i in range(32, 64))
+    expected_signed = expected - (1 << 64) if expected >= (1 << 63) else expected
+    blob = encode_png(px, 16, 8, channels=1)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, blob binary")
+    [row] = media_ahash_portable(df, "doc_id").collect()
+    assert row["phash"] == expected_signed
+
+    # all-equal pixels: strict > means NO bit is set (mean ties are 0)
+    flat = encode_png(bytes([7] * 128), 16, 8, channels=1)
+    df2 = spark.createDataFrame([(2, bytearray(flat))], "doc_id long, blob binary")
+    assert media_ahash_portable(df2, "doc_id").collect()[0]["phash"] == 0
+
+    # pixel count not a multiple of 64 fails loudly
+    bad = encode_png(bytes([1] * 90), 10, 9, channels=1)
+    df3 = spark.createDataFrame([(3, bytearray(bad))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="multiple of 64"):
+        media_ahash_portable(df3, "doc_id").collect()
+
+    # non-gray (RGB) PNG fails loudly
+    rgb = encode_png(bytes([1] * 192), 8, 8, channels=3)
+    df4 = spark.createDataFrame([(4, bytearray(rgb))], "doc_id long, blob binary")
+    with pytest.raises(Exception, match="gray"):
+        media_ahash_portable(df4, "doc_id").collect()

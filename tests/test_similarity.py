@@ -299,3 +299,52 @@ def test_ivf_auto_cell_sizing(spark, sf_dir):
 
     with pytest.raises(ValueError):
         ivf_topk(emb, queries, k=10, n_centroids="sqrt")
+
+
+def test_ivf_certified_full_probe_matches_brute_force_l2(spark, sf_dir):
+    """q227's operator: probing EVERY cell degrades certified IVF to the
+    exact L2 top-k (the same exactness sanity as the cosine IVF), and the
+    result is invariant under input repartitioning (determinism is the
+    whole point of the certified face)."""
+    from python_async_sample_spark.operators.pq import brute_force_topk_l2
+    from python_async_sample_spark.operators.similarity import ivf_topk_certified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    full = ivf_topk_certified(
+        emb, queries, k=5, n_cells=8, n_probe=8, iters=1
+    )
+    exact = brute_force_topk_l2(emb, queries, k=5)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert got == want
+
+    again = ivf_topk_certified(
+        emb.repartition(13), queries, k=5, n_cells=8, n_probe=8, iters=1
+    )
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in again.collect()} == got
+
+
+def test_ivf_certified_candidates_only_from_probed_cells(spark, sf_dir):
+    """At n_probe=1 every neighbor must share the query's own cell — a
+    candidate from an unprobed cell means the blocking leaked."""
+    from python_async_sample_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from python_async_sample_spark.operators.similarity import ivf_topk_certified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    cents, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, iters=1, round_digits=6)
+    cells = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(
+            emb.select("vec_id", F.col("embedding").cast("array<double>").alias("__v")),
+            "__v",
+            cents,
+        ).collect()
+    }
+    out = ivf_topk_certified(emb, queries, k=10, n_cells=8, n_probe=1, iters=1)
+    for r in out.collect():
+        assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
