@@ -330,7 +330,12 @@ def q225_ahash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     pngs = docs.mapInPandas(encode_kernel, schema="doc_id bigint, blob binary")
-    sig = media_ahash_portable(pngs, "doc_id")
+    # materialize the (doc_id, hash) relation ONCE: the pair join consumes
+    # it on both sides, and without the barrier Spark re-runs the PNG
+    # encode+decode kernel chain per side (plan showed 4 MapInPandas) —
+    # at 100 TB the signature relation is the thing you persist, never
+    # the blobs
+    sig = media_ahash_portable(pngs, "doc_id").localCheckpoint(eager=True)
     pairs = simhash_near_pairs(
         sig.withColumnRenamed("phash", "simhash"), "doc_id", max_hamming=3
     )

@@ -217,15 +217,16 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
-# EXISTS-semi, J5 via q26; q19→sessionization via q60 (same oracle,
-# streaming surface); q30→dedup-exact via q88's composition oracle;
+# EXISTS-semi, J5 via q26; q30→dedup-exact via q88's composition oracle;
 # q20→A7/kernel via q22, closed-form≡lstsq property-tested; q28→S9 via
-# q27/q72; q40/q44/q45→text row via q41 and q47's token accounting;
-# q52→multimodal via q50; q08→J10 via q23, q21→R4 via q72, q51→via q50,
-# q67→via q66, q69→via q74, q70→via q82), then the rows-only checks
-# (q33/q36/q37/q63 — `no_oracle` by design, their invariants asserted in
-# tests/).  Queries registered but listed in neither group slot in between:
-# after the gate-critical prefix, before the deliberate tail.
+# q27/q72; q52→multimodal via q50; q08→J10 via q23, q21→R4 via q72,
+# q51→via q50, q67→via q66, q69→via q74, q70→via q82), then the rows-only
+# checks (q33/q36/q37/q63 — `no_oracle` by design, their invariants
+# asserted in tests/).  The former never-checked quartet q19/q40/q44/q45
+# rotated INTO the round-8 window, so every _TAIL member now has a driver
+# row from some past round.  Queries registered but listed in neither
+# group slot in between: after the gate-critical prefix, before the
+# deliberate tail.
 _PRIORITY: tuple[str, ...] = (
     # ---- 23 §2-critical residents (every SURVEY §2 row stays in-window) --
     "q01_pricing_summary",

@@ -53,8 +53,10 @@ fi
 
 if [ "$SKIP_BENCH" = 0 ]; then
   step "bench @ sf0.1 + per-query regression gate"
-  python bench.py > /tmp/round_check_bench.json 2>/dev/null || fail=1
-  python scripts/bench_compare.py /tmp/round_check_bench.json | tail -4 || fail=1
+  # bench.py prints the full line + a totals-last summary line (round 8);
+  # compare against BENCH_SELF.json, the single-JSON durable copy
+  python bench.py > /dev/null 2>&1 || fail=1
+  python scripts/bench_compare.py BENCH_SELF.json | tail -4 || fail=1
 fi
 
 echo

@@ -546,3 +546,65 @@ def test_pq_rerank_broadcasts_shortlist_not_corpus(spark, sf_dir):
         else:
             break
     assert any("WindowGroupLimit" in l for l in branch), plan
+
+
+def test_ahash_pair_join_is_chunk_equi_join_no_python_hashing(spark, sf_dir):
+    """q225: signatures come from two Arrow kernels (encode, decode+hash) —
+    the PAIR MINING after them must be the chunk-equality shuffle join,
+    never a cartesian/nested loop, and the Hamming distance is JVM
+    bit_count, not Python."""
+    df = SPECS["q225_ahash_near_pairs"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the signature relation is MATERIALIZED before the self-join (else
+    # Spark re-runs the PNG encode+decode kernel chain once PER SIDE —
+    # the pre-barrier plan showed 4 MapInPandas); downstream of the
+    # barrier everything — chunk explode, join, bit_count — is JVM
+    assert "MapInPandas" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_hash_sharding_adds_no_shuffle_over_packing(spark, sf_dir):
+    """q226: shard assignment (portable-hash mixer over pack_id) is a pure
+    projection — the sharded plan must carry exactly the same Exchange
+    count as the packed plan it wraps (the packing window's shuffle and
+    nothing else), and no Python anywhere."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.packing import (
+        assign_shards,
+        pack_sequences,
+    )
+    from python_async_sample_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("bigint")
+    )
+    packed = pack_sequences(docs, ["lang"], "doc_id", "n_tokens", budget=512)
+    sharded = assign_shards(packed, n_shards=8, shard_key="hash")
+    p_packed = plan_str(packed, "simple")
+    p_sharded = plan_str(sharded, "simple")
+    assert p_sharded.count("Exchange") == p_packed.count("Exchange"), p_sharded
+    assert "BatchEvalPython" not in p_sharded and "ArrowEvalPython" not in p_sharded
+
+
+def test_ivf_certified_scoring_broadcasts_probe_and_queries(spark, sf_dir):
+    """q227's scoring stage: the corpus-side cell relation joins the
+    (Q x n_probe) probe set and the Q-row query vectors as BROADCAST hash
+    joins — the corpus is never the build side, never nested-looped, and
+    the distance arithmetic is a JVM expression fold (no Python)."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.similarity import ivf_topk_certified
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = ivf_topk_certified(emb, queries, k=5, n_cells=8, n_probe=2, iters=0)
+    plan = plan_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" not in plan, plan  # scoring is pure expression tree
