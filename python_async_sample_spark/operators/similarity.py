@@ -500,10 +500,22 @@ def ivf_topk(
     fixed 32-cell fraction was). With cells ∝ sqrt(N) the probed-cell
     scan is O(n_probe·sqrt(N)) per query; recall holds because finer
     cells localize the true neighbors at the same n_probe. The extra
-    count() to size the index is one cheap job at build time."""
+    count() to size the index is one cheap job at build time.
+
+    The BOUNDED training sample also bounds the auto cell count: Lloyd's
+    needs several points per centroid, so auto caps at
+    ``sample_size // 4`` (4096 // 4 = 1024 cells by default, reached
+    around N ≈ 1M). Past that the per-query scan grows linearly again at
+    a 1/1024 constant unless the caller raises ``sample_size`` — the
+    honest trade of a driver-side trainer; scaling the sample with
+    sqrt(N) unboundedly would put O(sqrt(N)·d) vectors on the driver.
+    The silent alternative (let sqrt(N) exceed the sample and seed one
+    degenerate centroid per sample row) is refused by construction."""
     cd = as_double(corpus, vec_col)
     if n_centroids == "auto":
-        n_centroids = max(32, int(round(float(np.sqrt(cd.count())))))
+        n_centroids = max(
+            32, min(int(round(float(np.sqrt(cd.count())))), sample_size // 4)
+        )
     elif not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     sample = np.vstack(
@@ -808,23 +820,20 @@ def ivf_topk_certified(
         F.col(vec_col).cast("array<double>").alias("_qv"),
     )
 
-    def _d2(vec_col_name: str, cent: list[float]) -> F.Column:
-        c = F.array(*[F.lit(float(x)) for x in cent])
-        return F.round(
-            F.aggregate(
-                F.zip_with(F.col(vec_col_name), c, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        )
+    # the probe ranking MUST use the same distance fold + 1e-9 grid as the
+    # cell assignment it is certified against — one shared helper, never a
+    # re-implementation that could drift (round-8 review)
+    from python_async_sample_spark.operators.kmeans import _sq_dist
 
     qcells = qv.select(
         "query_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(c).alias("cell"), _d2("_qv", cent).alias("qd2"))
+                    F.struct(
+                        F.lit(c).alias("cell"),
+                        F.round(_sq_dist("_qv", cent), 9).alias("qd2"),
+                    )
                     for c, cent in enumerate(cents)
                 ]
             )

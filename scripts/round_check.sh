@@ -53,10 +53,12 @@ fi
 
 if [ "$SKIP_BENCH" = 0 ]; then
   step "bench @ sf0.1 + per-query regression gate"
-  # bench.py prints the full line + a totals-last summary line (round 8);
-  # compare against BENCH_SELF.json, the single-JSON durable copy
-  python bench.py > /dev/null 2>&1 || fail=1
-  python scripts/bench_compare.py BENCH_SELF.json | tail -4 || fail=1
+  # bench.py prints the full per-query line FIRST and a totals-last
+  # summary line LAST (round 8); gate on THIS run's stdout, never the
+  # committed BENCH_SELF.json (bench.py tolerates a failed self-write on
+  # read-only checkouts, so the repo file can be stale)
+  python bench.py 2>/dev/null | head -1 > /tmp/round_check_bench.json || fail=1
+  python scripts/bench_compare.py /tmp/round_check_bench.json | tail -4 || fail=1
 fi
 
 echo

@@ -509,6 +509,9 @@ def probed_verbs(spark):
         )
         n = read_version(spark, dst, 0).count()
         assert n == orders.count()
+        # the clone must pin src@HEAD (v1, which HAS the 'M' updates) —
+        # a clone wrongly pinned at v0 matches on count alone
+        assert read_version(spark, dst, 0).where("o_orderstatus = 'M'").count() > 0
         assert read_version(spark, dst, 0).where("o_orderstatus = 'X'").count() == 0
         return {"rows": n}
 
@@ -570,6 +573,7 @@ def probed_verbs(spark):
             q.awaitTermination()
 
         drain()                                                  # v0+v1 consumed
+        first = sum(seen)
         merge_into_versioned(
             spark, root,
             orders.where(F.col("o_orderkey") % 89 == 0).withColumn(
@@ -578,7 +582,11 @@ def probed_verbs(spark):
         vacuum(root, keep_last=2, grace_seconds=0)               # v0 reclaimed
         drain()                                                  # must still work
         n = sum(seen)
-        assert n > orders.count()  # v0 inserts + both merges' file deltas
+        assert first >= orders.count()  # v0 inserts + v1's file delta
+        # the RESUMED drain specifically must deliver v2's delta — an
+        # offset mishandled under vacuum (empty second drain) must FAIL
+        # here, not hide inside the first drain's volume
+        assert n > first, (first, n)
         return {"rows": n}
 
     return [
