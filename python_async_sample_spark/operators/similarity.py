@@ -34,6 +34,23 @@ def cosine_col(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def sq_dist_cols(a, b) -> F.Column:
+    """Squared L2 distance of two array<double> COLUMNS quantized to the
+    1e-9 grid — the two-column sibling of ``kmeans._sq_dist`` (literal
+    centroid) and the shared scoring fold of the certified ANN twins
+    (q227 IVF, q229 LSH): a JVM zip_with/aggregate expression, no Python,
+    rounded so DuckDB's differently-ordered per-dim sum lands on the same
+    grid (see ``kmeans.assign_clusters`` for the residual-class note)."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
 def as_double(df: DataFrame, vec_col: str) -> DataFrame:
     """float32 arrays upcast once so all arithmetic is double (stable across
     engines and summation orders)."""
@@ -399,7 +416,12 @@ def cosine_pairs_blocked_gemm_incremental(
 
 
 def portable_hyperplane_buckets(
-    df: DataFrame, id_col: str, vec_col: str, n_planes: int, dim: int = 64
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int = 64,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Sign-bit hyperplane codes whose plane coefficients come from the
     PORTABLE 32-bit mixer (operators.sketches.portable_hash_py) instead of
@@ -408,7 +430,10 @@ def portable_hyperplane_buckets(
     bucketing, making the quantizer hash-oracle-able, not just
     error-banded.  One (id, bucket) row per vector; the projections run
     as a single Arrow GEMM per batch, same scale shape as
-    :func:`hyperplane_buckets`.
+    :func:`hyperplane_buckets`.  ``keep_vec=True`` carries the (already
+    double-cast) vector through the kernel as ``_v`` so a downstream
+    scorer avoids a corpus self-join back onto the vectors (q229's
+    certified LSH uses this).
 
     Cross-engine caveat: the dot products are float sums whose order
     differs between numpy's GEMM and SQL's sequential sum, so a
@@ -426,9 +451,31 @@ def portable_hyperplane_buckets(
             ]
             for j in range(n_planes)
         ]
-    )
+    ).reshape(n_planes, dim)  # keeps (0, dim) shape at n_planes=0 (one bucket)
     weights = np.power(2, np.arange(n_planes), dtype=np.int64)
     d = as_double(df, vec_col)
+
+    if keep_vec:
+
+        def kernel_v(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                xs = np.vstack(pdf["_v"].to_numpy())
+                bits = (xs @ planes.T >= 0).astype(np.int64)
+                yield pd.DataFrame(
+                    {
+                        "_id": pdf["_id"].to_numpy(),
+                        "bucket": bits @ weights,
+                        "_v": pdf["_v"],
+                    }
+                )
+
+        return (
+            d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+            .mapInPandas(kernel_v, schema="_id bigint, bucket bigint, _v array<double>")
+            .select(F.col("_id").alias(id_col), "bucket", "_v")
+        )
 
     def kernel(batches):
         for pdf in batches:
@@ -854,16 +901,7 @@ def ivf_topk_certified(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.col("_cv"), F.col("_qv"), lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-            9,
-        ).alias("d2"),
+        sq_dist_cols(F.col("_cv"), F.col("_qv")).alias("d2"),
     )
     w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
@@ -940,3 +978,133 @@ def ivf_certified_oracle_sql(
         ) WHERE rank <= {k}
         ORDER BY query_id, rank"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Certified LSH: portable hyperplane buckets + exact in-bucket scoring,
+# fully replayable in DuckDB (the LSH analog of ivf_topk_certified — round 8)
+# ---------------------------------------------------------------------------
+
+
+def lsh_topk_certified(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH top-k whose ENTIRE trajectory replays in SQL — the
+    hash-certification twin of :func:`lsh_topk` (which stays the
+    production face: numpy-seeded planes, GEMM scoring, recall-guarded in
+    q36), completing the certified-twin ladder: SimHash→q187,
+    SemDeDup→q212, PQ→q223, aHash→q225, IVF→q227, LSH→here.
+
+    Deterministic pieces: plane coefficients from the portable 32-bit
+    mixer (``p(j,d) = h(j·dim+d)/2^32·2−1`` — DuckDB regenerates every
+    coefficient, the q200 oracle's proven fragment), sign-bit bucket
+    codes, candidates = same-bucket corpus rows (self excluded), scored
+    with the EXACT squared L2 on the 1e-9 grid (``sq_dist_cols``), ranked
+    by (d2, neighbor_id).
+
+    The sign-bit ulp caveat of :func:`portable_hyperplane_buckets`
+    applies (a projection within ~1e-16 of exactly 0 could flip a bit);
+    the same residual class every float oracle here accepts.
+
+    Scale shape: the corpus keeps its vector THROUGH the bucketing kernel
+    (``keep_vec`` — no self-join back onto the float store), one shuffle
+    on bucket id; the query-side bucket codes and vectors broadcast."""
+    indexed = portable_hyperplane_buckets(
+        corpus, id_col, vec_col, n_planes, dim, keep_vec=True
+    ).select(F.col(id_col).alias("neighbor_id"), "bucket", F.col("_v").alias("_cv"))
+    qcodes = portable_hyperplane_buckets(
+        queries, id_col, vec_col, n_planes, dim
+    ).select(F.col(id_col).alias("query_id"), "bucket")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    cand = (
+        indexed.join(F.broadcast(qcodes), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        sq_dist_cols(F.col("_cv"), F.col("_qv")).alias("d2"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= k
+    )
+
+
+def lsh_certified_oracle_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    dim: int,
+    query_pred: str,
+    k: int,
+    out_round: int = 6,
+) -> str:
+    """DuckDB replay of :func:`lsh_topk_certified`: regenerate the plane
+    coefficients from the portable mixer, rebuild every sign-bit bucket
+    code, mine same-bucket candidates, score exactly on the 1e-9 grid,
+    rank by (d2, neighbor_id) — the q200 oracle's quantizer fragment with
+    a fixed plane count and an exact-distance ranking tail."""
+    from python_async_sample_spark.operators.sketches import portable_hash_sql
+
+    p_expr = portable_hash_sql(f"j * {dim} + (i - 1)", 0)
+    return f"""
+    WITH pts AS MATERIALIZED (
+      SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
+    ),
+    dimspine AS (SELECT unnest(generate_series(1, {dim})) AS i),
+    planes AS MATERIALIZED (
+      SELECT j, i - 1 AS dim,
+             ({p_expr}) / 4294967296.0 * 2 - 1 AS p
+      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS j)
+      CROSS JOIN dimspine
+    ),
+    dims AS MATERIALIZED (
+      SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
+      WHERE i <= len(v)
+    ),
+    codes AS MATERIALIZED (
+      SELECT id,
+             CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM (
+        SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
+        FROM dims d JOIN planes pl ON pl.dim = d.dim
+        GROUP BY 1, 2
+      ) GROUP BY id
+    ),
+    q AS (
+      SELECT c.id AS query_id, c.bucket FROM codes c
+      WHERE c.id IN (SELECT id FROM pts WHERE {query_pred})
+    ),
+    cand AS (
+      SELECT q.query_id, c.id AS neighbor_id
+      FROM q JOIN codes c ON c.bucket = q.bucket AND c.id <> q.query_id
+    ),
+    ex AS (
+      SELECT c.query_id, c.neighbor_id,
+             round(sum((qd.val - pd.val) * (qd.val - pd.val)), 9) AS d2
+      FROM cand c
+      JOIN dims qd ON qd.id = c.query_id
+      JOIN dims pd ON pd.id = c.neighbor_id AND pd.dim = qd.dim
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(d2, {out_round}) AS d2, rank
+    FROM (
+      SELECT query_id, neighbor_id, d2,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY d2, neighbor_id) AS BIGINT) AS rank
+      FROM ex
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank"""

@@ -1135,3 +1135,42 @@ def q227_ivf_certified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rank"
     ).orderBy("query_id", "rank")
+
+
+from python_async_sample_spark.operators.similarity import (
+    lsh_certified_oracle_sql as _lsh_cert_oracle,
+)
+
+
+@query(
+    "q229_lsh_certified_topk",
+    oracle=_lsh_cert_oracle(
+        "embeddings", "vec_id", "embedding",
+        n_planes=4, dim=64, query_pred="id % 100 = 0", k=10,
+    ),
+    ref="certified LSH twin (round 8): q36's hyperplane ANN with a fully DuckDB-replayed trajectory — completes the certified-twin ladder (SimHash q187, SemDeDup q212, PQ q223, aHash q225, IVF q227)",
+    tags=("llm-data", "similarity"),
+)
+def q229_lsh_certified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN, hash-CERTIFIED end to end: plane coefficients come from
+    the portable 32-bit mixer (q200's proven quantizer fragment — DuckDB
+    regenerates every coefficient), every corpus and query vector gets a
+    sign-bit bucket code, candidates are same-bucket rows, and each is
+    scored with the EXACT squared L2 on the 1e-9 grid, ranked by
+    (d2, neighbor_id). A drifted plane, a flipped sign-bit convention, a
+    candidate from a foreign bucket, or a ranking tie-break divergence
+    all hash-mismatch. q36 stays the production face (numpy-seeded
+    planes, GEMM scoring, in-plan recall floor); this face certifies the
+    LSH ALGEBRA. The corpus keeps its vector through the bucketing
+    kernel (no self-join back onto the float store); one shuffle on
+    bucket id; query codes and vectors broadcast."""
+    from python_async_sample_spark.operators.similarity import lsh_topk_certified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = lsh_topk_certified(
+        emb, queries, "vec_id", "embedding", k=10, n_planes=4, dim=64
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.round("d2", 6).alias("d2"), "rank"
+    ).orderBy("query_id", "rank")

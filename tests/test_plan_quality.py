@@ -608,3 +608,24 @@ def test_ivf_certified_scoring_broadcasts_probe_and_queries(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
     assert "MapInPandas" not in plan, plan  # scoring is pure expression tree
+
+
+def test_lsh_certified_no_vector_self_join(spark, sf_dir):
+    """q229's scoring: the corpus vector rides THROUGH the bucketing
+    kernel (exactly one MapInPandas over the corpus side), the query-side
+    code/vector relations broadcast, and nothing nested-loops."""
+    from pyspark.sql import functions as F
+
+    from python_async_sample_spark.operators.similarity import lsh_topk_certified
+    from python_async_sample_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = lsh_topk_certified(emb, queries, k=5, n_planes=4)
+    plan = plan_str(out, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # corpus bucketing + query bucketing: two kernels, no third pass
+    # (no self-join back onto the float store)
+    assert plan.count("MapInPandas") == 2, plan

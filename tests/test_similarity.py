@@ -348,3 +348,40 @@ def test_ivf_certified_candidates_only_from_probed_cells(spark, sf_dir):
     out = ivf_topk_certified(emb, queries, k=10, n_cells=8, n_probe=1, iters=1)
     for r in out.collect():
         assert cells[r["neighbor_id"]] == cells[r["query_id"]], r
+
+
+def test_lsh_certified_zero_planes_matches_brute_force_l2(spark, sf_dir):
+    """q229's operator: 0 planes = one bucket = every candidate scored —
+    certified LSH degrades to the exact L2 top-k, and the result is
+    invariant under repartitioning."""
+    from python_async_sample_spark.operators.pq import brute_force_topk_l2
+    from python_async_sample_spark.operators.similarity import lsh_topk_certified
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    full = lsh_topk_certified(emb, queries, k=5, n_planes=0)
+    exact = brute_force_topk_l2(emb, queries, k=5)
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in full.collect()}
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in exact.collect()}
+    assert got == want
+    again = lsh_topk_certified(emb.repartition(7), queries, k=5, n_planes=0)
+    assert {(r["query_id"], r["neighbor_id"], r["rank"]) for r in again.collect()} == got
+
+
+def test_lsh_certified_candidates_share_bucket(spark, sf_dir):
+    """Every q229 neighbor must carry the query's own bucket code — a
+    foreign-bucket candidate means the blocking leaked."""
+    from python_async_sample_spark.operators.similarity import (
+        lsh_topk_certified,
+        portable_hyperplane_buckets,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    codes = {
+        r["vec_id"]: r["bucket"]
+        for r in portable_hyperplane_buckets(emb, "vec_id", "embedding", 4).collect()
+    }
+    out = lsh_topk_certified(emb, queries, k=10, n_planes=4)
+    for r in out.collect():
+        assert codes[r["neighbor_id"]] == codes[r["query_id"]], r
