@@ -214,6 +214,10 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 #   q117/q118/q119): §2 faces all duplicated by residents (A5/O5/O7/
 #   R4/null-handling); window family stays via q81 (window suite) +
 #   q93 (sliding windows) rotating IN.
+# After this rotation the ONLY oracled query without a driver row is
+# q229 (certified LSH twin, added mid-round-8 after the window was
+# sized; green in driver_sim at sf0.001/0.01/0.1 + TZ) — ROUND-9
+# CANDIDATE #1, plus whatever round 9 adds.
 #
 # _TAIL holds, in order: oracled queries whose §2 coverage is duplicated by
 # an in-window query (q03→J1 via q04, O7 via q46's LIMIT; q05→J3 via q66's
