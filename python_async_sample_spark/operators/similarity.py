@@ -455,42 +455,26 @@ def portable_hyperplane_buckets(
     weights = np.power(2, np.arange(n_planes), dtype=np.int64)
     d = as_double(df, vec_col)
 
-    if keep_vec:
-
-        def kernel_v(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
-                    continue
-                xs = np.vstack(pdf["_v"].to_numpy())
-                bits = (xs @ planes.T >= 0).astype(np.int64)
-                yield pd.DataFrame(
-                    {
-                        "_id": pdf["_id"].to_numpy(),
-                        "bucket": bits @ weights,
-                        "_v": pdf["_v"],
-                    }
-                )
-
-        return (
-            d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-            .mapInPandas(kernel_v, schema="_id bigint, bucket bigint, _v array<double>")
-            .select(F.col("_id").alias(id_col), "bucket", "_v")
-        )
-
     def kernel(batches):
+        # one kernel for both shapes — the flag only decides whether the
+        # (already double-cast) vector is echoed through (round-8 review:
+        # two near-identical kernels would fork on the next shared fix)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             xs = np.vstack(pdf["_v"].to_numpy())
             bits = (xs @ planes.T >= 0).astype(np.int64)
-            yield pd.DataFrame(
-                {"_id": pdf["_id"].to_numpy(), "bucket": bits @ weights}
-            )
+            out = {"_id": pdf["_id"].to_numpy(), "bucket": bits @ weights}
+            if keep_vec:
+                out["_v"] = pdf["_v"]
+            yield pd.DataFrame(out)
 
+    schema = "_id bigint, bucket bigint" + (", _v array<double>" if keep_vec else "")
+    cols = [F.col("_id").alias(id_col), "bucket"] + (["_v"] if keep_vec else [])
     return (
         d.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-        .mapInPandas(kernel, schema="_id bigint, bucket bigint")
-        .select(F.col("_id").alias(id_col), "bucket")
+        .mapInPandas(kernel, schema=schema)
+        .select(*cols)
     )
 
 
@@ -1018,17 +1002,14 @@ def lsh_topk_certified(
     indexed = portable_hyperplane_buckets(
         corpus, id_col, vec_col, n_planes, dim, keep_vec=True
     ).select(F.col(id_col).alias("neighbor_id"), "bucket", F.col("_v").alias("_cv"))
-    qcodes = portable_hyperplane_buckets(
-        queries, id_col, vec_col, n_planes, dim
-    ).select(F.col(id_col).alias("query_id"), "bucket")
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-    )
-    cand = (
-        indexed.join(F.broadcast(qcodes), "bucket")
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .join(F.broadcast(qv), "query_id")
+    # ONE query-side pass: codes AND vectors from the same kernel, so the
+    # scoring needs a single broadcast join (round-8 review — the earlier
+    # shape scanned the query source twice and joined twice)
+    qside = portable_hyperplane_buckets(
+        queries, id_col, vec_col, n_planes, dim, keep_vec=True
+    ).select(F.col(id_col).alias("query_id"), "bucket", F.col("_v").alias("_qv"))
+    cand = indexed.join(F.broadcast(qside), "bucket").where(
+        F.col("neighbor_id") != F.col("query_id")
     )
     scored = cand.select(
         "query_id",
@@ -1039,6 +1020,50 @@ def lsh_topk_certified(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
         F.col("rank") <= k
     )
+
+
+def hyperplane_cte_parts(n_planes_expr: str, dim: int = 64) -> list[str]:
+    """The ``dimspine``/``planes``/``dims``/``codes`` CTE definitions (no
+    ``WITH``) shared by EVERY portable-hyperplane oracle — q200's SemDeDup
+    quantizer, q213's incremental face, q229's certified LSH. One place
+    for the mixer fragment, the coefficient map, the ``>= 0`` sign
+    convention and the ``i <= len(v)`` guard, so a change cannot silently
+    fork (the ``kmeans_cte_parts``/``pq_cte_parts`` discipline).
+
+    Callers define ``pts(id, v[, extras])`` first and pass the plane
+    count as SQL — a literal (``"4"``) or a scalar subquery
+    (``"(SELECT np FROM pn)"``).  ``codes`` LEFT-joins ``pts`` so zero
+    planes yields bucket 0 for every row (one bucket — matching
+    :func:`portable_hyperplane_buckets`' degenerate exact mode) instead
+    of an empty relation."""
+    from python_async_sample_spark.operators.sketches import portable_hash_sql
+
+    p_expr = portable_hash_sql(f"j * {dim} + (i - 1)", 0)
+    return [
+        f"dimspine AS (SELECT unnest(generate_series(1, {dim})) AS i)",
+        f"""planes AS MATERIALIZED (
+          SELECT j, i - 1 AS dim,
+                 ({p_expr}) / 4294967296.0 * 2 - 1 AS p
+          FROM (SELECT unnest(generate_series(0, ({n_planes_expr}) - 1)) AS j)
+          CROSS JOIN dimspine
+        )""",
+        """dims AS MATERIALIZED (
+          SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
+          WHERE i <= len(v)
+        )""",
+        """codes AS MATERIALIZED (
+          SELECT p.id,
+                 CAST(coalesce(sum(CASE WHEN s.dot >= 0
+                                        THEN CAST(1 AS BIGINT) << s.j
+                                        ELSE 0 END), 0) AS BIGINT) AS bucket
+          FROM pts p LEFT JOIN (
+            SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
+            FROM dims d JOIN planes pl ON pl.dim = d.dim
+            GROUP BY 1, 2
+          ) s ON s.id = p.id
+          GROUP BY p.id
+        )""",
+    ]
 
 
 def lsh_certified_oracle_sql(
@@ -1054,36 +1079,15 @@ def lsh_certified_oracle_sql(
     """DuckDB replay of :func:`lsh_topk_certified`: regenerate the plane
     coefficients from the portable mixer, rebuild every sign-bit bucket
     code, mine same-bucket candidates, score exactly on the 1e-9 grid,
-    rank by (d2, neighbor_id) — the q200 oracle's quantizer fragment with
-    a fixed plane count and an exact-distance ranking tail."""
-    from python_async_sample_spark.operators.sketches import portable_hash_sql
-
-    p_expr = portable_hash_sql(f"j * {dim} + (i - 1)", 0)
+    rank by (d2, neighbor_id) — the shared :func:`hyperplane_cte_parts`
+    quantizer with a fixed plane count and an exact-distance ranking
+    tail."""
+    parts = ",\n".join(hyperplane_cte_parts(str(n_planes), dim))
     return f"""
     WITH pts AS MATERIALIZED (
       SELECT {id_col} AS id, CAST({vec_col} AS DOUBLE[]) AS v FROM {table}
     ),
-    dimspine AS (SELECT unnest(generate_series(1, {dim})) AS i),
-    planes AS MATERIALIZED (
-      SELECT j, i - 1 AS dim,
-             ({p_expr}) / 4294967296.0 * 2 - 1 AS p
-      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS j)
-      CROSS JOIN dimspine
-    ),
-    dims AS MATERIALIZED (
-      SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
-      WHERE i <= len(v)
-    ),
-    codes AS MATERIALIZED (
-      SELECT id,
-             CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM (
-        SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
-        FROM dims d JOIN planes pl ON pl.dim = d.dim
-        GROUP BY 1, 2
-      ) GROUP BY id
-    ),
+    {parts},
     q AS (
       SELECT c.id AS query_id, c.bucket FROM codes c
       WHERE c.id IN (SELECT id FROM pts WHERE {query_pred})

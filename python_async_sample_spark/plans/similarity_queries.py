@@ -596,9 +596,9 @@ def q178_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_hyperplane_oracle() -> str:
-    from python_async_sample_spark.operators.sketches import portable_hash_sql
+    from python_async_sample_spark.operators.similarity import hyperplane_cte_parts
 
-    p_expr = portable_hash_sql("j * 64 + (i - 1)", 0)
+    hp_parts = ",\n".join(hyperplane_cte_parts("(SELECT np FROM pn)"))
     return f"""
     WITH RECURSIVE
     pts AS MATERIALIZED (
@@ -608,27 +608,7 @@ def _semdedup_hyperplane_oracle() -> str:
       SELECT greatest(3, CAST(ceil(log2(greatest(2, count(*) // 312))) AS INT)) AS np
       FROM pts
     ),
-    dimspine AS (SELECT unnest(generate_series(1, 64)) AS i),
-    planes AS MATERIALIZED (
-      SELECT j, i - 1 AS dim,
-             ({p_expr}) / 4294967296.0 * 2 - 1 AS p
-      FROM (SELECT unnest(generate_series(0, (SELECT np - 1 FROM pn))) AS j)
-      CROSS JOIN dimspine
-    ),
-    dims AS MATERIALIZED (
-      SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
-      WHERE i <= len(v)
-    ),
-    codes AS MATERIALIZED (
-      SELECT id,
-             CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM (
-        SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
-        FROM dims d JOIN planes pl ON pl.dim = d.dim
-        GROUP BY 1, 2
-      ) GROUP BY id
-    ),
+    {hp_parts},
     emb2 AS MATERIALIZED (
       SELECT c.id AS vec_id, c.bucket, p.v FROM codes c JOIN pts p USING (id)
     ),
@@ -864,9 +844,9 @@ def q212_semdedup_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _incremental_semdedup_oracle() -> str:
-    from python_async_sample_spark.operators.sketches import portable_hash_sql
+    from python_async_sample_spark.operators.similarity import hyperplane_cte_parts
 
-    p_expr = portable_hash_sql("j * 64 + (i - 1)", 0)
+    hp_parts = ",\n".join(hyperplane_cte_parts("(SELECT np FROM pn)"))
     return f"""
     WITH RECURSIVE
     pts AS MATERIALIZED (
@@ -878,27 +858,7 @@ def _incremental_semdedup_oracle() -> str:
       SELECT greatest(3, CAST(ceil(log2(greatest(2, count(*) // 312))) AS INT)) AS np
       FROM pts
     ),
-    dimspine AS (SELECT unnest(generate_series(1, 64)) AS i),
-    planes AS MATERIALIZED (
-      SELECT j, i - 1 AS dim,
-             ({p_expr}) / 4294967296.0 * 2 - 1 AS p
-      FROM (SELECT unnest(generate_series(0, (SELECT np - 1 FROM pn))) AS j)
-      CROSS JOIN dimspine
-    ),
-    dims AS MATERIALIZED (
-      SELECT id, i - 1 AS dim, v[i] AS val FROM pts CROSS JOIN dimspine
-      WHERE i <= len(v)
-    ),
-    codes AS MATERIALIZED (
-      SELECT id,
-             CAST(sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END)
-                  AS BIGINT) AS bucket
-      FROM (
-        SELECT d.id, pl.j, sum(d.val * pl.p) AS dot
-        FROM dims d JOIN planes pl ON pl.dim = d.dim
-        GROUP BY 1, 2
-      ) GROUP BY id
-    ),
+    {hp_parts},
     emb2 AS MATERIALIZED (
       SELECT c.id AS vec_id, c.bucket, p.v, p.is_new
       FROM codes c JOIN pts p USING (id)

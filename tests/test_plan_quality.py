@@ -625,7 +625,9 @@ def test_lsh_certified_no_vector_self_join(spark, sf_dir):
     plan = plan_str(out, "simple")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    # ONE broadcast join: the query side carries codes AND vectors out of
+    # a single kernel pass (round-8 review — was two scans + two joins)
+    assert plan.count("BroadcastHashJoin") == 1, plan
     # corpus bucketing + query bucketing: two kernels, no third pass
     # (no self-join back onto the float store)
     assert plan.count("MapInPandas") == 2, plan
