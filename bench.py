@@ -4,6 +4,10 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 
 Execution is forced with the noop sink (full plan runs, nothing collected to
 the driver) — the same way you'd smoke a plan on a cluster.
+
+The durable per-query record goes to BENCH_SELF.run.json (gitignored) so a
+driver bench run leaves ``git status`` clean; pass ``--refresh`` to update
+the committed BENCH_SELF.json instead (round-9 verdict item 4).
 """
 
 from __future__ import annotations
@@ -70,19 +74,21 @@ def main() -> None:
     # Totals-last fallback: if the bounded tail still cuts the full line,
     # this final compact summary (no per-query map) survives on its own and
     # parses as the same schema minus "queries".
+    # File-durable copy with the full per-query map. Default target is the
+    # gitignored .run file so an external (driver) bench run never dirties
+    # the working tree; --refresh updates the committed canonical record.
+    self_name = "BENCH_SELF.json" if "--refresh" in sys.argv else "BENCH_SELF.run.json"
     summary = {
         "metric": "total_query_wall_time",
         "value": result["value"],
         "unit": "sec",
         "sf": sf_val,
         "n_queries": len(timings),
-        "queries_file": "BENCH_SELF.json",
+        "queries_file": self_name,
     }
     print(json.dumps(summary, separators=(",", ":")))
-    # File-durable copy: BENCH_SELF.json next to this script is the
-    # canonical machine-readable record with the full per-query map.
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"), "w") as f:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), self_name), "w") as f:
             f.write(line + "\n")
     except OSError:
         pass  # read-only checkout: stdout line still carries the result

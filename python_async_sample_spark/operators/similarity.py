@@ -544,6 +544,14 @@ def ivf_topk(
     degenerate centroid per sample row) is refused by construction."""
     cd = as_double(corpus, vec_col)
     if n_centroids == "auto":
+        # the 32-centroid floor needs >= 4 sample points per centroid, so
+        # 'auto' with a sample too small to honor that is a contract error
+        # (not a silent degenerate seeding) — round-9 ADVICE
+        if sample_size < 4 * 32:
+            raise ValueError(
+                f"n_centroids='auto' needs sample_size >= 128 (4 points per "
+                f"centroid at the 32-cell floor), got {sample_size}"
+            )
         n_centroids = max(
             32, min(int(round(float(np.sqrt(cd.count())))), sample_size // 4)
         )

@@ -33,6 +33,7 @@ MAX_SITE = 48  # R/tlcd_nikonrot_mea.R:102
 class MeaOutput:
     header: DataFrame  # (rot_id, flag, n_sites, descr)
     detail: DataFrame  # (rot_id, item_name, rot_rs)
+    rejects: DataFrame  # (glass, item_id, flag, descr) — S10 side-output
 
 
 def pivot_mea(eav: DataFrame, grain: list[str]) -> DataFrame:
@@ -54,6 +55,45 @@ def label_items(wide: DataFrame, glass_col: str) -> DataFrame:
     return wide.withColumn("item_id", F.row_number().over(w).cast("bigint"))
 
 
+def mea_design_rejects(
+    labeled: DataFrame, design: DataFrame, glass_col: str = "glass"
+) -> DataFrame:
+    """Mismatched-grid rejects from the measured-vs-design FULL OUTER join
+    (J8 in anger) flowing to the S10 side-output with the reference's flag
+    codes: a measured site whose derived item_id has no design row gets
+    flag -2 'No Design Values' (R/tlcd_nikonrot_mea.R:131,
+    insert_error_mea via R/pg_db.R:128-139), a design row with no
+    measurement on that glass gets flag -1 'Missing Values'
+    (R/tlcd_nikonrot_mea.R:160). The reference's full_join (:243) lets
+    these flow as NULL diffs into the fit; here they are routed out
+    *before* the fit so the fit runs on the matched grid only.
+
+    The design grid is per-product (one small table), so per-glass
+    coverage is distinct-glasses × design — a broadcast cross join, never
+    a shuffle of the measurement fact.
+    """
+    glasses = labeled.select(glass_col).distinct()
+    per_glass_design = glasses.crossJoin(F.broadcast(design.select("item_id")))
+    measured = labeled.select(
+        glass_col, "item_id", F.lit(True).alias("_measured")
+    )
+    designed = per_glass_design.withColumn("_designed", F.lit(True))
+    fj = measured.join(designed, [glass_col, "item_id"], "full_outer")
+    return fj.where(
+        F.col("_measured").isNull() | F.col("_designed").isNull()
+    ).select(
+        glass_col,
+        "item_id",
+        F.when(F.col("_designed").isNull(), F.lit(-2))
+        .otherwise(F.lit(-1))
+        .cast("int")
+        .alias("flag"),
+        F.when(F.col("_designed").isNull(), F.lit("No Design Values"))
+        .otherwise(F.lit("Missing Values"))
+        .alias("descr"),
+    )
+
+
 def run_mea_rot(
     eav: DataFrame,
     design: DataFrame,  # (item_id, x, y) design coordinates — broadcast
@@ -69,9 +109,12 @@ def run_mea_rot(
         & F.col("TP_Y").isNotNull()
     )
     labeled = label_items(clean, glass_col)
-    # measured vs design by derived item_id; Diff = measured − design
-    # (full_join in the reference — ids are constructed to match, so inner
-    # semantics; unmatched design rows would carry no measurement to fit)
+    # measured vs design by derived item_id; Diff = measured − design.
+    # The reference full_joins (:243) and lets unmatched rows ride as NULL
+    # diffs; here the mismatches are routed to the rejects side-output
+    # (S10, flag -1/-2 — see mea_design_rejects) and the fit itself runs
+    # on the matched (inner) grid, which is identical when grids align.
+    rejects = mea_design_rejects(labeled, design, glass_col)
     joined = labeled.join(
         F.broadcast(design.select("item_id", F.col("x").alias("_dvx"), F.col("y").alias("_dvy"))),
         "item_id",
@@ -100,4 +143,4 @@ def run_mea_rot(
         F.col("n_sites").cast("bigint").alias("n_sites"),
         F.lit("ok").alias("descr"),
     )
-    return MeaOutput(header=header, detail=detail)
+    return MeaOutput(header=header, detail=detail, rejects=rejects)

@@ -817,7 +817,8 @@ def q97_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q98_array_agg",
     oracle="""
     SELECT n_name,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+             AS priorities,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers
     FROM orders
     JOIN customer ON o_custkey = c_custkey
@@ -829,8 +830,10 @@ def q97_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q98_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Collection aggregation: the distinct order priorities per nation as
-    a SORTED array — collect_set is unordered by contract, so the sort is
-    what makes the value deterministic and cross-engine comparable."""
+    a SORTED, comma-joined string — collect_set is unordered by contract,
+    so the sort is what makes the value deterministic, and the join to a
+    flat string is what makes it driver-portable (the driver's pandas
+    canonicalizer cannot sort array-typed cells; see round-8 verdict)."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -839,7 +842,9 @@ def q98_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.countDistinct("o_custkey").alias("n_buyers"),
         )
         .orderBy("n_name")

@@ -343,6 +343,91 @@ def q72_mea_pipeline_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q230_mea_mismatched_grid_rejects",
+    oracle="""
+    WITH base AS (
+      SELECT l_suppkey AS glass, l_orderkey % 60 AS site_name,
+             max(l_discount) * 100 + (l_orderkey % 60)     AS tpx,
+             max(l_tax) * 100 + 2 * (l_orderkey % 60)      AS tpy
+      FROM lineitem GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT * FROM base
+      WHERE site_name <= 48
+        AND NOT (glass % 7 = 3 AND site_name > 20)
+    ),
+    labeled AS (
+      SELECT glass,
+             row_number() OVER (PARTITION BY glass
+                                ORDER BY tpx, tpy, site_name) AS item_id
+      FROM kept
+    ),
+    design AS (SELECT CAST(range AS BIGINT) AS item_id FROM range(1, 41)),
+    glass_design AS (
+      SELECT g.glass, d.item_id
+      FROM (SELECT DISTINCT glass FROM labeled) g CROSS JOIN design d
+    ),
+    fj AS (
+      SELECT COALESCE(l.glass, gd.glass) AS glass,
+             COALESCE(l.item_id, gd.item_id) AS item_id,
+             l.item_id AS m_id, gd.item_id AS d_id
+      FROM labeled l FULL OUTER JOIN glass_design gd
+        ON l.glass = gd.glass AND l.item_id = gd.item_id
+    )
+    SELECT glass, item_id,
+           CAST(CASE WHEN d_id IS NULL THEN -2 ELSE -1 END AS INTEGER) AS flag,
+           CASE WHEN d_id IS NULL THEN 'No Design Values'
+                ELSE 'Missing Values' END AS descr
+    FROM fj
+    WHERE m_id IS NULL OR d_id IS NULL
+    ORDER BY glass, item_id
+    """,
+    ref="J8,S10,P9 (R/tlcd_nikonrot_mea.R:131,160,243; R/pg_db.R:128-139)",
+    tags=("pipeline", "analytics", "side-output"),
+)
+def q230_mea_mismatched_grid_rejects(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The MEA design join under MISMATCHED grids — J8 in anger. Planted
+    mismatches: glasses with glass%7==3 lose all sites above 20 (so design
+    item_ids beyond their grid go unmeasured → flag -1 'Missing Values',
+    the reference's R/tlcd_nikonrot_mea.R:160 error record), while the
+    design table stops at item_id 40 (so full-grid glasses derive item_ids
+    41..49 with no design row → flag -2 'No Design Values', :131). Both
+    sides of the FULL OUTER join flow to the S10 side-output with the
+    reference's flag codes; the oracle replays the labeling, the per-glass
+    design expansion, and the full-outer mismatch routing in SQL."""
+    from python_async_sample_spark.pipelines.mea_pipeline import run_mea_rot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    site = (F.col("l_orderkey") % 60).alias("site_name")
+    base = li.groupBy(F.col("l_suppkey").alias("glass"), site).agg(
+        (F.max("l_discount") * 100 + F.col("site_name")).alias("tpx"),
+        (F.max("l_tax") * 100 + 2 * F.col("site_name")).alias("tpy"),
+    )
+    planted = base.where(
+        ~((F.col("glass") % 7 == 3) & (F.col("site_name") > 20))
+    )
+    eav = planted.select(
+        "glass",
+        "site_name",
+        F.explode(
+            F.array(
+                F.struct(F.lit("TP_X").alias("param_name"), F.col("tpx").alias("param_value")),
+                F.struct(F.lit("TP_Y").alias("param_name"), F.col("tpy").alias("param_value")),
+            )
+        ).alias("pv"),
+    ).select("glass", "site_name", "pv.param_name", "pv.param_value")
+    design = spark.range(1, 41).select(
+        F.col("id").alias("item_id"),
+        ((F.col("id") * 13) % 50).cast("double").alias("x"),
+        ((F.col("id") * 29) % 50).cast("double").alias("y"),
+    )
+    out = run_mea_rot(eav, design)
+    return out.rejects.orderBy("glass", "item_id")
+
+
+@query(
     "q29_summary_mv_recompute",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_type,

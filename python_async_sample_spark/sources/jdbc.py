@@ -325,6 +325,19 @@ def _staged_replace_jdbc(
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
+        # SERIALIZABLE, not the engine default (usually READ COMMITTED):
+        # under READ COMMITTED two overlapping windows can BOTH run their
+        # DELETE before either INSERT commits — neither sees the other's
+        # rows, both insert, and the overlap region ends up duplicated
+        # (caught by tests/test_jdbc.py's concurrent-writers race, round
+        # 9). Serializable range-locks the DELETE's window until commit,
+        # so overlapping deliveries serialize to last-commit-wins; an
+        # engine that aborts a victim instead (Derby 40001 deadlock, PG
+        # serialization_failure) rolls back cleanly and the re-delivery
+        # converges — the same idempotency contract as a crash.
+        conn.setTransactionIsolation(
+            jvm.java.sql.Connection.TRANSACTION_SERIALIZABLE
+        )
         st = conn.createStatement()
         try:
             if not _jdbc_table_exists(conn, table):

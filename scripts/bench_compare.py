@@ -7,11 +7,12 @@ sf0.1), so regressions are judged PER QUERY against the committed
 filters sub-second jitter and first-call codegen).
 
 Usage:
-    python bench.py && cp BENCH_SELF.json /tmp/bench.json
+    python bench.py && cp BENCH_SELF.run.json /tmp/bench.json
     # (bench.py prints the full per-query line FIRST and a compact
     #  totals-only summary line LAST — round 8, so the driver's bounded
     #  tail capture always retains something parseable; the file-mode
-    #  input here must be the full line, i.e. BENCH_SELF.json)
+    #  input here must be the full line, i.e. BENCH_SELF(.run).json —
+    #  feeding the summary line is rejected with a pointed error)
     python scripts/bench_compare.py /tmp/bench.json
     python scripts/bench_compare.py --run        # runs bench.py itself
     python scripts/bench_compare.py /tmp/bench.json --refresh \
@@ -59,10 +60,24 @@ def load_current(args) -> dict:
                 continue
             if isinstance(parsed, dict) and "queries" in parsed:
                 return parsed
-        with open(os.path.join(REPO, "BENCH_SELF.json")) as f:
-            return json.load(f)
+        # the fresh run's durable copy first (gitignored), then the
+        # committed canonical record
+        for name in ("BENCH_SELF.run.json", "BENCH_SELF.json"):
+            path = os.path.join(REPO, name)
+            if os.path.exists(path):
+                with open(path) as f:
+                    return json.load(f)
+        raise FileNotFoundError("no parseable bench output and no BENCH_SELF*.json")
     with open(args.bench_json) as f:
-        return json.load(f)
+        doc = json.load(f)
+    if "queries" not in doc and "queries_file" in doc:
+        sys.exit(
+            "input is bench.py's totals-only SUMMARY line (no 'queries' map) — "
+            "bench.py prints the full per-query line FIRST and the summary "
+            "LAST; feed the first stdout line or BENCH_SELF(.run).json, "
+            "never `bench.py | tail -1`"
+        )
+    return doc
 
 
 def refresh_baseline(

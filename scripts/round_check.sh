@@ -20,6 +20,11 @@ done
 fail=0
 step() { echo; echo "==== $* ===="; }
 
+# Every driver_sim pass below runs the replica compare through BOTH the
+# string-keyed multiset check AND the driver's exact pandas-canonicalization
+# (sort_values over all columns, complex-typed schemas rejected up front) —
+# oracle_check.compare() since round 9, so the full registry gets the
+# driver-shaped canon pass the round-8 q98 gate failure called for.
 step "driver_sim @ sf0.01 (the driver's correctness scale)"
 python scripts/driver_sim.py /root/testdata/sf0.01 | tail -2 || fail=1
 
@@ -56,8 +61,12 @@ if [ "$SKIP_BENCH" = 0 ]; then
   # bench.py prints the full per-query line FIRST and a totals-last
   # summary line LAST (round 8); gate on THIS run's stdout, never the
   # committed BENCH_SELF.json (bench.py tolerates a failed self-write on
-  # read-only checkouts, so the repo file can be stale)
-  python bench.py 2>/dev/null | head -1 > /tmp/round_check_bench.json || fail=1
+  # read-only checkouts, so the repo file can be stale). Capture to a file
+  # FIRST so bench.py's own exit code is observed and `head` can never
+  # SIGPIPE it mid-run (round-9 ADVICE: `bench.py | head -1` reported
+  # head's status and could kill bench before its self-write finished).
+  python bench.py >/tmp/round_check_bench_full.out 2>/dev/null || fail=1
+  head -1 /tmp/round_check_bench_full.out > /tmp/round_check_bench.json
   python scripts/bench_compare.py /tmp/round_check_bench.json | tail -4 || fail=1
 fi
 

@@ -11,6 +11,7 @@ from __future__ import annotations
 import math
 
 import duckdb
+import pandas as pd
 
 from python_async_sample_spark.sources.readers import TABLES
 
@@ -34,8 +35,44 @@ def _norm_cell(v):
     return v
 
 
+def _assert_driver_portable_schema(spark_df) -> None:
+    """Reject array/map/struct result columns up front.
+
+    The driver's canonicalizer pandas-sorts result rows over ALL columns;
+    complex-typed cells are unhashable/unorderable there and error at the
+    gate even when the values are right (round-8 q98 postmortem). This is
+    an oracle-portability rule exactly like the rounding/TZ rules: a gate
+    query must return only scalar columns — flatten collections with
+    array_join/to_json before returning.
+    """
+    from pyspark.sql import types as T
+
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not complex_cols, (
+        f"driver-unportable result schema: columns {complex_cols} are "
+        "array/map/struct typed — the driver's pandas canonicalizer cannot "
+        "sort them; return array_join(...)/to_json(...) strings instead"
+    )
+
+
+def _driver_canon(cols, rows) -> pd.DataFrame:
+    """The driver's exact canonicalization: a pandas frame with columns
+    sorted by name, rows sorted by ``sort_values`` over every column.
+    Anything this throws on (e.g. unhashable list cells) fails at the real
+    gate too — do NOT soften it with stringified sort keys."""
+    order = sorted(cols)
+    df = pd.DataFrame(rows, columns=list(cols))[order]
+    df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
+    return df
+
+
 def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     """Assert Spark result == DuckDB oracle result (order-insensitive)."""
+    _assert_driver_portable_schema(spark_df)
     con = duckdb_connect(sf_dir)
     oracle_rows = con.execute(oracle_sql).fetchall()
     oracle_cols = [d[0] for d in con.description]
@@ -67,3 +104,22 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     )
     mismatches = [(a, b) for a, b in zip(s_set, o_set) if a != b]
     assert not mismatches, f"value mismatch ({len(mismatches)} rows): first={mismatches[:3]}"
+
+    # Driver-shaped canonicalization pass: replay the driver's own pandas
+    # sort_values canon on both sides. The multiset compare above localizes
+    # value diffs; THIS pass is what proves the result survives the gate's
+    # exact code path (q98 was green on the multiset and red at the gate).
+    s_canon = _driver_canon(spark_cols, spark_rows)
+    o_canon = _driver_canon(oracle_cols, oracle_rows)
+    s_vals = [
+        tuple(_norm_cell(v) for v in r)
+        for r in s_canon.itertuples(index=False, name=None)
+    ]
+    o_vals = [
+        tuple(_norm_cell(v) for v in r)
+        for r in o_canon.itertuples(index=False, name=None)
+    ]
+    assert s_vals == o_vals, (
+        "driver-canon mismatch after multiset match — row ordering under "
+        "pandas sort_values diverges between the two sides"
+    )

@@ -23,6 +23,22 @@ def test_query_matches_oracle(spark, sf_dir, name):
         compare(df, spec.oracle, sf_dir)
 
 
+def test_complex_typed_gate_result_rejected(spark):
+    """Oracle-portability rule (round-8 q98 postmortem): a gate query must
+    return only scalar columns — the driver's pandas canonicalizer throws
+    on array/map/struct cells. compare() must refuse such schemas up front
+    so the divergence can never again be green locally and red at the gate."""
+    from tests.oracle_check import _assert_driver_portable_schema
+
+    bad = spark.createDataFrame(
+        [(1, ["a", "b"])], "id: bigint, priorities: array<string>"
+    )
+    with pytest.raises(AssertionError, match="driver-unportable"):
+        _assert_driver_portable_schema(bad)
+    good = spark.createDataFrame([(1, "a,b")], "id: bigint, priorities: string")
+    _assert_driver_portable_schema(good)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

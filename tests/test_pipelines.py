@@ -60,6 +60,43 @@ def test_rot_pipeline_flags_and_fit(spark):
             assert abs(detail[f"s{int(dx)}_{int(dy)}_y"]) < 1e-9
 
 
+def test_mea_mismatched_grid_rejects(spark):
+    """J8 in anger (VERDICT r8 item 8): measured sites with no design row
+    and design rows with no measurement both flow to the S10 side-output
+    with the reference's flag codes (-2 'No Design Values' at
+    R/tlcd_nikonrot_mea.R:131, -1 'Missing Values' at :160), and the fit
+    still runs — on the matched grid only."""
+    from python_async_sample_spark.pipelines.mea_pipeline import run_mea_rot
+
+    # glass 1 measures sites 1..4 (full grid), glass 2 measures only 1..2;
+    # design covers item_ids 1..3 → glass 1 plants one -2 (item 4), glass 2
+    # plants one -1 (item 3).
+    eav_rows = []
+    for glass, n_sites in ((1, 4), (2, 2)):
+        for s in range(1, n_sites + 1):
+            eav_rows.append((glass, s, "TP_X", float(s)))
+            eav_rows.append((glass, s, "TP_Y", 2.0 * s))
+    eav = spark.createDataFrame(
+        eav_rows,
+        "glass int, site_name int, param_name string, param_value double",
+    )
+    design = spark.createDataFrame(
+        [(i, float(i), 2.0 * i) for i in (1, 2, 3)],
+        "item_id bigint, x double, y double",
+    )
+    out = run_mea_rot(eav, design)
+    rejects = {(r.glass, r.item_id): (r.flag, r.descr) for r in out.rejects.collect()}
+    assert rejects == {
+        (1, 4): (-2, "No Design Values"),
+        (2, 3): (-1, "Missing Values"),
+    }
+    # the fit ran on the matched grid only: glass 1 fits 3 sites, glass 2
+    # fits 2 — and measured == design here, so every rotated diff is 0
+    header = {r.rot_id: r.n_sites for r in out.header.collect()}
+    assert header == {1: 3, 2: 2}
+    assert all(abs(r.rot_rs) < 1e-9 for r in out.detail.collect())
+
+
 def test_scatter_gather_modes_identical(spark):
     history = spark.createDataFrame(
         [(1, 10), (1, 11), (2, 12), (3, 13)], "k int, link int"

@@ -631,3 +631,18 @@ def test_lsh_certified_no_vector_self_join(spark, sf_dir):
     # corpus bucketing + query bucketing: two kernels, no third pass
     # (no self-join back onto the float store)
     assert plan.count("MapInPandas") == 2, plan
+
+
+def test_mea_rejects_broadcast_design_and_smj_full_outer(spark, sf_dir):
+    """q230's rejects path: the per-glass design expansion must be a
+    BROADCAST cross join (design is the tiny side — never a shuffle of
+    the measurement fact), and the measured-vs-design mismatch join must
+    be a shuffled SortMergeJoin FullOuter on (glass, item_id), not a
+    nested loop."""
+    df = SPECS["q230_mea_mismatched_grid_rejects"].fn(spark, sf_dir)
+    plan = plan_str(df)
+    assert "BroadcastNestedLoopJoin Cross BuildRight" in plan, plan
+    assert "SortMergeJoin FullOuter" in plan, plan
+    # exactly the one (deliberate, broadcast) nested-loop: the design
+    # cross-expansion; the full-outer itself must not degrade to one
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight (") == 1, plan
