@@ -544,17 +544,24 @@ def ivf_topk(
     degenerate centroid per sample row) is refused by construction."""
     cd = as_double(corpus, vec_col)
     if n_centroids == "auto":
-        # the 32-centroid floor needs >= 4 sample points per centroid, so
-        # 'auto' with a sample too small to honor that is a contract error
-        # (not a silent degenerate seeding) — round-9 ADVICE
-        if sample_size < 4 * 32:
-            raise ValueError(
-                f"n_centroids='auto' needs sample_size >= 128 (4 points per "
-                f"centroid at the 32-cell floor), got {sample_size}"
-            )
+        # the centroid count needs >= 4 ACTUAL sample points per centroid
+        # ('auto' with anything less is a contract error, not a silent
+        # degenerate seeding — round-9 ADVICE, tightened by review: the
+        # requested sample_size alone is not the bound when the corpus
+        # itself is smaller). Tiny corpora should pass an explicit
+        # n_centroids instead.
+        n = cd.count()
+        effective_sample = min(sample_size, n)
         n_centroids = max(
-            32, min(int(round(float(np.sqrt(cd.count())))), sample_size // 4)
+            32, min(int(round(float(np.sqrt(n)))), sample_size // 4)
         )
+        if effective_sample < 4 * n_centroids:
+            raise ValueError(
+                f"n_centroids='auto' sized {n_centroids} cells but only "
+                f"{effective_sample} sample rows are available (need 4 per "
+                f"centroid) — raise sample_size or pass an explicit "
+                f"n_centroids for a corpus of {n} rows"
+            )
     elif not isinstance(n_centroids, int):
         raise ValueError(f"n_centroids must be an int or 'auto', got {n_centroids!r}")
     sample = np.vstack(

@@ -325,22 +325,33 @@ def _staged_replace_jdbc(
     conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
     try:
         conn.setAutoCommit(False)
-        # SERIALIZABLE, not the engine default (usually READ COMMITTED):
-        # under READ COMMITTED two overlapping windows can BOTH run their
-        # DELETE before either INSERT commits — neither sees the other's
-        # rows, both insert, and the overlap region ends up duplicated
-        # (caught by tests/test_jdbc.py's concurrent-writers race, round
-        # 9). Serializable range-locks the DELETE's window until commit,
-        # so overlapping deliveries serialize to last-commit-wins; an
-        # engine that aborts a victim instead (Derby 40001 deadlock, PG
-        # serialization_failure) rolls back cleanly and the re-delivery
-        # converges — the same idempotency contract as a crash.
+        # Two defenses against concurrent overlapping deliveries (the
+        # round-9 race test caught real duplication): under READ COMMITTED
+        # two overlapping windows can BOTH run their DELETE before either
+        # INSERT commits — neither sees the other's rows, both insert, and
+        # the overlap region ends up duplicated.
+        # (1) SERIALIZABLE: on locking engines (Derby) the DELETE's range
+        # locks hold until commit, so deliveries serialize or a deadlock
+        # victim rolls back whole; PG's SSI aborts one writer. NOT enough
+        # on snapshot-isolation engines (Oracle's SERIALIZABLE): two
+        # first deliveries DELETE nothing, conflict on nothing, and both
+        # commit. Hence
+        # (2) LOCK TABLE ... IN EXCLUSIVE MODE as the transaction's first
+        # statement — supported with identical syntax by Derby, PG and
+        # Oracle — which pins writer-vs-writer serialization to an
+        # explicit lock on every engine at per-table granularity (the
+        # reference's per-window deliveries are serial anyway;
+        # correctness over concurrency here). A victim/timeout raises,
+        # rolls back whole, and the re-delivery converges — the same
+        # idempotency contract as a crash.
         conn.setTransactionIsolation(
             jvm.java.sql.Connection.TRANSACTION_SERIALIZABLE
         )
         st = conn.createStatement()
         try:
-            if not _jdbc_table_exists(conn, table):
+            if _jdbc_table_exists(conn, table):
+                st.executeUpdate(f"LOCK TABLE {table} IN EXCLUSIVE MODE")
+            else:
                 # first delivery bootstraps the target as an empty copy of
                 # staging, INSIDE the transaction (Derby and PG DDL are
                 # both transactional) — ANSI `WITH NO DATA`

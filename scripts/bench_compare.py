@@ -45,6 +45,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load_current(args) -> dict:
     if args.run:
+        import time
+
+        t0 = time.time()
         proc = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             capture_output=True, text=True, check=True,
@@ -60,14 +63,19 @@ def load_current(args) -> dict:
                 continue
             if isinstance(parsed, dict) and "queries" in parsed:
                 return parsed
-        # the fresh run's durable copy first (gitignored), then the
-        # committed canonical record
-        for name in ("BENCH_SELF.run.json", "BENCH_SELF.json"):
-            path = os.path.join(REPO, name)
-            if os.path.exists(path):
-                with open(path) as f:
-                    return json.load(f)
-        raise FileNotFoundError("no parseable bench output and no BENCH_SELF*.json")
+        # the fresh run's durable copy first — but ONLY if this run wrote
+        # it (a stale gitignored .run.json from an old session must not
+        # silently shadow the committed record; review finding, round 9) —
+        # then the committed canonical record
+        run_path = os.path.join(REPO, "BENCH_SELF.run.json")
+        if os.path.exists(run_path) and os.path.getmtime(run_path) >= t0:
+            with open(run_path) as f:
+                return json.load(f)
+        committed = os.path.join(REPO, "BENCH_SELF.json")
+        if os.path.exists(committed):
+            with open(committed) as f:
+                return json.load(f)
+        raise FileNotFoundError("no parseable bench output and no fresh BENCH_SELF*.json")
     with open(args.bench_json) as f:
         doc = json.load(f)
     if "queries" not in doc and "queries_file" in doc:

@@ -60,12 +60,19 @@ def _assert_driver_portable_schema(spark_df) -> None:
 
 
 def _driver_canon(cols, rows) -> pd.DataFrame:
-    """The driver's exact canonicalization: a pandas frame with columns
+    """The driver's canonicalization shape: a pandas frame with columns
     sorted by name, rows sorted by ``sort_values`` over every column.
     Anything this throws on (e.g. unhashable list cells) fails at the real
-    gate too — do NOT soften it with stringified sort keys."""
+    gate too — do NOT soften it with stringified sort keys.
+
+    Cells are ``_norm_cell``-normalized BEFORE the sort: both engines
+    already round computed floats in the queries themselves, and sorting
+    raw representation noise could order two rounding-identical rows
+    differently per engine — flipping the row pairing and failing a
+    value-correct query intermittently (review finding, round 9)."""
     order = sorted(cols)
-    df = pd.DataFrame(rows, columns=list(cols))[order]
+    norm_rows = [tuple(_norm_cell(v) for v in r) for r in rows]
+    df = pd.DataFrame(norm_rows, columns=list(cols))[order]
     df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
     return df
 
@@ -111,6 +118,9 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> None:
     # exact code path (q98 was green on the multiset and red at the gate).
     s_canon = _driver_canon(spark_cols, spark_rows)
     o_canon = _driver_canon(oracle_cols, oracle_rows)
+    # normalize AGAIN at extraction: pandas converts None to NaN inside
+    # float columns, and raw NaN compares unequal to itself — _norm_cell
+    # maps it to the comparable "NaN" sentinel (rounding is idempotent)
     s_vals = [
         tuple(_norm_cell(v) for v in r)
         for r in s_canon.itertuples(index=False, name=None)

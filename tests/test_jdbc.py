@@ -222,7 +222,13 @@ def test_jdbc_overwrite_window_concurrent_writers_derby(spark, sf_dir):
             for name, fut in (("A", fa), ("B", fb)):
                 try:
                     ok[name] = fut.result(timeout=300)
-                except Exception:  # deadlock victim: rolled back entirely
+                except Exception as ex:
+                    # ONLY a genuine concurrency abort counts as a rolled-
+                    # back victim (Derby deadlock 40001 / lock timeout
+                    # 40XL1-2); any other error is a real bug and must
+                    # fail the test, not masquerade as an abort
+                    msg = str(ex)
+                    assert any(s in msg for s in ("40001", "40XL1", "40XL2")), msg
                     ok[name] = False
         assert any(ok.values()), "both writers aborted — no interleaving exercised"
 

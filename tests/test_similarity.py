@@ -418,8 +418,14 @@ def test_ivf_auto_refuses_degenerate_sample(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    with pytest.raises(ValueError, match="sample_size >= 128"):
+    # requested sample too small for the 32-cell floor
+    with pytest.raises(ValueError, match="need 4 per"):
         ivf_topk(emb, queries, k=5, n_centroids="auto", sample_size=100)
+    # corpus itself too small: the ACTUAL sample is the bound, not the
+    # requested sample_size (review tightening)
+    tiny = emb.limit(40)
+    with pytest.raises(ValueError, match="need 4 per"):
+        ivf_topk(tiny, queries, k=5, n_centroids="auto", sample_size=4096)
 
 
 def test_certified_lsh_property_spark_equals_duckdb(spark):
