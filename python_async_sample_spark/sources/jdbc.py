@@ -348,25 +348,44 @@ def _staged_replace_jdbc(
             jvm.java.sql.Connection.TRANSACTION_SERIALIZABLE
         )
         st = conn.createStatement()
+        # The locking defenses do not cover the BOOTSTRAP branch: two
+        # concurrent first deliveries both see the target missing, both
+        # CREATE, and the loser gets a table-exists error (Derby X0Y32,
+        # PG 42P07, Oracle ORA-00955) — not a serialization victim. That
+        # loser retries ONCE: the second attempt finds the table and
+        # takes the LOCK path, restoring the serialize-or-converge
+        # contract (review finding, round 9).
+        _EXISTS_MARKERS = ("X0Y32", "42P07", "ORA-00955", "already exists")
         try:
-            if _jdbc_table_exists(conn, table):
-                st.executeUpdate(f"LOCK TABLE {table} IN EXCLUSIVE MODE")
-            else:
-                # first delivery bootstraps the target as an empty copy of
-                # staging, INSIDE the transaction (Derby and PG DDL are
-                # both transactional) — ANSI `WITH NO DATA`
-                st.executeUpdate(
-                    f"CREATE TABLE {table} AS SELECT {cols} FROM {staging} "
-                    "WITH NO DATA"
-                )
-            deleted = st.executeUpdate(delete_sql)
-            st.executeUpdate(
-                f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {staging}"
-            )
-            conn.commit()
-        except Exception:
-            conn.rollback()
-            raise
+            for attempt in (0, 1):
+                try:
+                    if _jdbc_table_exists(conn, table):
+                        st.executeUpdate(
+                            f"LOCK TABLE {table} IN EXCLUSIVE MODE"
+                        )
+                    else:
+                        # first delivery bootstraps the target as an empty
+                        # copy of staging, INSIDE the transaction (Derby
+                        # and PG DDL are both transactional) — ANSI
+                        # `WITH NO DATA`
+                        st.executeUpdate(
+                            f"CREATE TABLE {table} AS SELECT {cols} "
+                            f"FROM {staging} WITH NO DATA"
+                        )
+                    deleted = st.executeUpdate(delete_sql)
+                    st.executeUpdate(
+                        f"INSERT INTO {table} ({cols}) "
+                        f"SELECT {cols} FROM {staging}"
+                    )
+                    conn.commit()
+                    break
+                except Exception as ex:
+                    conn.rollback()
+                    lost_create_race = attempt == 0 and any(
+                        m in str(ex) for m in _EXISTS_MARKERS
+                    )
+                    if not lost_create_race:
+                        raise
         finally:
             # staging cleanup is best-effort housekeeping OUTSIDE the
             # window transaction: an orphaned staging table is inert

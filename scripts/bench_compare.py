@@ -63,19 +63,21 @@ def load_current(args) -> dict:
                 continue
             if isinstance(parsed, dict) and "queries" in parsed:
                 return parsed
-        # the fresh run's durable copy first — but ONLY if this run wrote
-        # it (a stale gitignored .run.json from an old session must not
-        # silently shadow the committed record; review finding, round 9) —
-        # then the committed canonical record
+        # the fresh run's durable copy — but ONLY if this run wrote it (a
+        # stale gitignored .run.json from an old session must not shadow
+        # anything). If neither stdout nor a fresh run file is usable,
+        # FAIL: gating an old record against the baseline would pass a
+        # genuinely regressed build (review findings, round 9 — never
+        # silently compare a stale file).
         run_path = os.path.join(REPO, "BENCH_SELF.run.json")
         if os.path.exists(run_path) and os.path.getmtime(run_path) >= t0:
             with open(run_path) as f:
                 return json.load(f)
-        committed = os.path.join(REPO, "BENCH_SELF.json")
-        if os.path.exists(committed):
-            with open(committed) as f:
-                return json.load(f)
-        raise FileNotFoundError("no parseable bench output and no fresh BENCH_SELF*.json")
+        sys.exit(
+            "--run produced no parseable per-query line on stdout and no "
+            "fresh BENCH_SELF.run.json — refusing to gate against a stale "
+            "record; inspect bench.py's output directly"
+        )
     with open(args.bench_json) as f:
         doc = json.load(f)
     if "queries" not in doc and "queries_file" in doc:

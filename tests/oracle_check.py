@@ -59,19 +59,35 @@ def _assert_driver_portable_schema(spark_df) -> None:
     )
 
 
+def _sort_cell(v):
+    """Pre-sort normalizer: round floats (so representation noise cannot
+    order two rounding-identical rows differently per engine) but KEEP
+    NaN as float NaN — pandas sorts NA natively (na_position last), while
+    the "NaN" string sentinel would make a mixed str/float column that
+    sort_values refuses. The string sentinel is applied at extraction
+    time only, where NaN != NaN would break the equality compare."""
+    if isinstance(v, float):
+        if math.isnan(v):
+            return v
+        return round(v, 6)
+    return v
+
+
 def _driver_canon(cols, rows) -> pd.DataFrame:
     """The driver's canonicalization shape: a pandas frame with columns
     sorted by name, rows sorted by ``sort_values`` over every column.
     Anything this throws on (e.g. unhashable list cells) fails at the real
     gate too — do NOT soften it with stringified sort keys.
 
-    Cells are ``_norm_cell``-normalized BEFORE the sort: both engines
-    already round computed floats in the queries themselves, and sorting
-    raw representation noise could order two rounding-identical rows
-    differently per engine — flipping the row pairing and failing a
-    value-correct query intermittently (review finding, round 9)."""
+    Scope note: cells are rounded (1e-6) before the sort, while the real
+    gate sorts raw values. A query emitting UNROUNDED computed floats
+    could therefore pair rows differently at the gate — but such a query
+    already fails the gate's raw value-hash compare outright, ordering
+    aside; the round-every-computed-double oracle rule is what guards
+    that class. This pass proves sortability (no complex types, no mixed
+    dtypes) and rounded-order stability."""
     order = sorted(cols)
-    norm_rows = [tuple(_norm_cell(v) for v in r) for r in rows]
+    norm_rows = [tuple(_sort_cell(v) for v in r) for r in rows]
     df = pd.DataFrame(norm_rows, columns=list(cols))[order]
     df = df.sort_values(by=order, kind="mergesort").reset_index(drop=True)
     return df

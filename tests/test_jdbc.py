@@ -224,11 +224,17 @@ def test_jdbc_overwrite_window_concurrent_writers_derby(spark, sf_dir):
                     ok[name] = fut.result(timeout=300)
                 except Exception as ex:
                     # ONLY a genuine concurrency abort counts as a rolled-
-                    # back victim (Derby deadlock 40001 / lock timeout
-                    # 40XL1-2); any other error is a real bug and must
-                    # fail the test, not masquerade as an abort
+                    # back victim — SQLState 40001 (deadlock) / 40XL1-2
+                    # (lock timeout), or Derby's message text for the same
+                    # (the py4j-wrapped exception does not always carry
+                    # the state code in str()); any other error is a real
+                    # bug and must fail the test, not masquerade as abort
                     msg = str(ex)
-                    assert any(s in msg for s in ("40001", "40XL1", "40XL2")), msg
+                    victim_markers = (
+                        "40001", "40XL1", "40XL2",
+                        "deadlock", "lock could not be obtained",
+                    )
+                    assert any(s in msg for s in victim_markers), msg
                     ok[name] = False
         assert any(ok.values()), "both writers aborted — no interleaving exercised"
 
