@@ -88,3 +88,83 @@ def decontaminate(
         .select(id_col)
     )
     return train_df.join(flagged, id_col, "left_anti")
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.30,
+    max_eval: int = 4096,
+) -> DataFrame:
+    """SEMANTIC decontamination screen: flag corpus vectors whose cosine to
+    ANY eval-set vector reaches ``threshold``, with the best-matching eval
+    id — the embedding-space analog of the n-gram screen above (paraphrased
+    or re-tokenized benchmark leaks share no exact n-grams but sit next to
+    the benchmark in embedding space).
+
+    Returns (corpus_id, matched_eval_id, cosine) for flagged rows only:
+    ``matched_eval_id`` is the eval vector with the HIGHEST cosine on the
+    1e-6 grid, ties to the lowest eval id — fully deterministic and
+    SQL-replayable (cosines rounded identically on both sides).
+
+    Scale shape: the eval side is benchmark-sized by construction and is
+    the ONLY driver-side state — collected once, sorted by id, capped at
+    ``max_eval`` rows (raise, never silently truncate), then closed over
+    by an Arrow kernel that scores each corpus batch against the whole
+    eval matrix in one GEMM. One corpus scan, zero shuffles, no corpus
+    row ever leaves its partition; the anti-join to drop flagged docs is
+    the caller's one shuffle, same as :func:`decontaminate`.
+    """
+    import numpy as np
+    import pandas as pd
+
+    ev_rows = (
+        eval_df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(id_col)
+        .limit(max_eval + 1)
+        .collect()
+    )
+    if len(ev_rows) > max_eval:
+        raise ValueError(
+            f"eval set exceeds max_eval={max_eval} rows — a benchmark suite "
+            "should be small; raise the cap explicitly if this is intended"
+        )
+    if not ev_rows:
+        raise ValueError("eval set is empty — nothing to screen against")
+    ev_ids = np.array([r[0] for r in ev_rows], dtype=np.int64)
+    ev = np.vstack([r[1] for r in ev_rows])
+    ev = ev / np.linalg.norm(ev, axis=1, keepdims=True)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xs = np.vstack(pdf["_v"].to_numpy())
+            xs = xs / np.linalg.norm(xs, axis=1, keepdims=True)
+            sims = np.round(xs @ ev.T, 6)
+            j = np.argmax(sims, axis=1)  # first max = lowest eval id
+            best = sims[np.arange(len(sims)), j]
+            mask = best >= threshold
+            yield pd.DataFrame(
+                {
+                    "corpus_id": pdf["_id"].to_numpy()[mask],
+                    "matched_eval_id": ev_ids[j[mask]],
+                    "cosine": best[mask],
+                }
+            )
+
+    return (
+        # cast BEFORE the kernel: the stored column is float32, and a
+        # float32 GEMM diverges from the oracle's double math at ~1e-7 —
+        # above the 1e-6 grid (caught by the sf0.1 portability pass)
+        corpus.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .mapInPandas(
+            kernel,
+            schema="corpus_id bigint, matched_eval_id bigint, cosine double",
+        )
+    )

@@ -304,6 +304,60 @@ def q49_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMANTIC_DECON_ORACLE = """
+    WITH ev AS (
+      SELECT vec_id AS eval_id, CAST(embedding AS DOUBLE[]) AS evv
+      FROM embeddings WHERE vec_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id % 97 <> 0
+    ),
+    scored AS (
+      SELECT c.vec_id, e.eval_id,
+             round(list_cosine_similarity(c.v, e.evv), 6) AS cos
+      FROM corpus c CROSS JOIN ev e
+    ),
+    best AS (
+      SELECT vec_id, eval_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, eval_id) AS rn
+      FROM scored
+    )
+    SELECT vec_id AS corpus_id, eval_id AS matched_eval_id, cos AS cosine
+    FROM best WHERE rn = 1 AND cos >= 0.30
+    ORDER BY corpus_id
+"""
+
+
+@query(
+    "q231_semantic_decontaminate",
+    oracle=_SEMANTIC_DECON_ORACLE,
+    ref="semantic (embedding-space) benchmark decontamination (beyond reference; the paraphrase-leak screen q49's exact n-grams cannot see)",
+    tags=("llm-data", "dedup", "similarity"),
+)
+def q231_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination: corpus vectors within cosine >= 0.30 of
+    any eval-set vector (vec_id % 97 == 0 plays the benchmark), each with
+    its best-matching eval id — the embedding-space screen that catches
+    paraphrased/re-tokenized benchmark leaks sharing no exact n-gram with
+    the eval text (q49's blind spot). Eval side is the only driver state
+    (benchmark-sized, capped, collected once); one Arrow GEMM pass over
+    the corpus, no shuffle. Cosines ride the 1e-6 grid with ties to the
+    lowest eval id, so DuckDB replays every flagged row exactly."""
+    from python_async_sample_spark.operators.decontaminate import (
+        semantic_contamination,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") % 97 == 0)
+    corpus = emb.where(F.col("vec_id") % 97 != 0)
+    return (
+        semantic_contamination(corpus, ev, "vec_id", "embedding", threshold=0.30)
+        .orderBy("corpus_id")
+    )
+
+
 _SALTED_ORACLE = """
     SELECT n.n_name, e.event_type,
            CAST(count(*) AS BIGINT) AS n_events,

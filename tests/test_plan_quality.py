@@ -646,3 +646,14 @@ def test_mea_rejects_broadcast_design_and_smj_full_outer(spark, sf_dir):
     # exactly the one (deliberate, broadcast) nested-loop: the design
     # cross-expansion; the full-outer itself must not degrade to one
     assert plan.count("BroadcastNestedLoopJoin Cross BuildRight (") == 1, plan
+
+
+def test_semantic_decontaminate_is_one_kernel_pass_no_joins(spark, sf_dir):
+    """q231: the eval matrix is driver-state closed over by the kernel, so
+    the plan must contain NO join operator of any kind and exactly one
+    MapInPandas over the corpus scan — the only exchange is the final
+    orderBy's sort."""
+    df = SPECS["q231_semantic_decontaminate"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "Join" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
