@@ -200,6 +200,89 @@ def q39_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs, "doc_id").orderBy("doc_id")
 
 
+_QUALITY_KEEP_ORACLE = f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    pairs AS (
+      SELECT d1, d2
+      FROM inter JOIN sizes s1 ON s1.doc_id = d1 JOIN sizes s2 ON s2.doc_id = d2
+      WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.8
+    ),
+    edges AS (
+      SELECT d1 AS n, d2 AS m FROM pairs UNION SELECT d2, d1 FROM pairs
+    ),
+    reach(n, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.n, reach.r FROM edges e JOIN reach ON e.m = reach.n
+    ),
+    comp AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+    scored AS (
+      SELECT c.doc_id, c.cluster_id,
+             CAST(len(list_distinct(list_filter(string_split(d.text, ' '),
+                                                x -> x <> ''))) AS BIGINT)
+               AS score
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, score,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS members
+      FROM scored
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, score AS keep_score,
+           CAST(members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+"""
+
+
+@query(
+    "q232_quality_dedup_keep",
+    oracle=_QUALITY_KEEP_ORACLE,
+    ref="quality-aware dedup representative selection (beyond reference; the keep-the-best-copy step after q39's cluster resolution)",
+    tags=("llm-data", "dedup"),
+)
+def q232_quality_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the BEST copy per near-dup cluster, not an arbitrary one:
+    resolve q39's exact-Jaccard pair graph to clusters, score every
+    member with an integer-exact quality proxy (distinct non-empty token
+    count — vocabulary richness survives truncation/boilerplate damage
+    that duplicates typically carry), and keep the argmax per cluster,
+    ties to the lowest doc_id. Returns the keep list with cluster size
+    and the winning score — the artifact a 100 TB dedup pipeline
+    materializes before the final corpus anti-join. The score is integer
+    (no rounding hazard); the oracle replays the closure with the same
+    recursive CTE as q39 plus the argmax window."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingles(spark, sf_dir, n=3)
+    pairs = jaccard_pairs(sh, threshold=0.8)
+    clusters = dedup_clusters(docs, pairs, "doc_id")
+    score = F.size(
+        F.array_distinct(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        )
+    ).cast("bigint")
+    scored = clusters.join(
+        docs.select("doc_id", score.alias("score")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    wc = W.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("score").alias("keep_score"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 @query(
     "q111_incremental_dedup",
     oracle="""

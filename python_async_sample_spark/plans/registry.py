@@ -220,13 +220,14 @@ def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, 
 # ROUND-9 ROTATION (executes VERDICT r8 item 2): q229 swaps IN for
 # q19_sessionization, the round-9 addition q230 (MEA mismatched-grid
 # full-outer rejects, VERDICT r8 item 8) swaps IN for q40_text_stats,
-# and the round-9 addition q231 (semantic decontamination) swaps IN for
-# q44_token_counts. All outgoing queries are from the deliberately
+# and the round-9 additions q231 (semantic decontamination) and q232
+# (quality-aware dedup keep) swap IN for q44_token_counts and
+# q45_vocab_stats. All outgoing queries are from the deliberately
 # §2-duplicated tail quartet (green driver rows in r8; their §2 faces
 # are duplicated by residents — sessionization by q93's windows, text
-# stats/token counts by q80/q45 which stay in-window). q98 stays
-# in-window to prove the round-9 portability fix (array_join'd
-# priorities column) at the real gate.
+# normalization/scalars by q80 in-window, grouped-count/LIMIT faces by
+# q16/q46). q98 stays in-window to prove the round-9 portability fix
+# (array_join'd priorities column) at the real gate.
 # After this rotation every oracled query has a driver row from some
 # round, and both round-9 changes (q98 fix, q229/q230 additions) are
 # driver-checked the round they ship.
@@ -290,7 +291,6 @@ _PRIORITY: tuple[str, ...] = (
     "q103_stream_bounded_dedup",
     "q108_zorder_curve",
     "q111_incremental_dedup",
-    "q45_vocab_stats",
     # ---- round-8 additions (in-window the round they shipped) -----------
     "q225_ahash_near_pairs",
     "q226_hash_sharding",
@@ -301,12 +301,14 @@ _PRIORITY: tuple[str, ...] = (
     "q229_lsh_certified_topk",
     "q230_mea_mismatched_grid_rejects",
     "q231_semantic_decontaminate",
+    "q232_quality_dedup_keep",
 )
 
 _TAIL: tuple[str, ...] = (
     "q19_sessionization",
     "q40_text_stats",
     "q44_token_counts",
+    "q45_vocab_stats",
     "q30_exact_dedup",
     "q05_semi_join_urgent_buyers",
     "q07_full_outer_nation_counts",

