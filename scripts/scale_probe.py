@@ -68,6 +68,8 @@ DRIVER_ROW_CAPS = {
     "q189_hierarchy_rollup": 200,
     "ann_lsh_topk": 6000,
     "ann_ivf_topk": 6000,
+    # q231's eval collect is the only driver state: 64 rows at every scale
+    "semantic_decontaminate": 200,
     # the LSH coarse quantizer collects nothing (one mapInPandas GEMM);
     # components' emptiness probes are 0-row driver touches
     "semdedup_prune": 200,
@@ -262,6 +264,26 @@ def probed_paths(spark):
         # sqrt(N) auto cell sizing (VERDICT r7 item 5): fixed 32 cells made
         # the probed-cell scan linear in N (4.3x at x10 in round 7)
         lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k, n_centroids="auto"))))
+
+    def _semdecon(sf_dir):
+        # q231's operator at a FIXED 64-vector eval set regardless of
+        # corpus size (benchmark suites don't grow with the corpus): one
+        # broadcast-free GEMM pass over the corpus, so time must track
+        # corpus N linearly and the ONLY driver state is the eval collect
+        # (64 rows, capped at max_eval). Threshold lowered to 0.20 so the
+        # flagged set stays non-empty on the jittered tiled copies.
+        from python_async_sample_spark.operators.decontaminate import (
+            semantic_contamination,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        ev = emb.where(F.col("vec_id") < 64)
+        corpus = emb.where(F.col("vec_id") >= 64)
+        return semantic_contamination(
+            corpus, ev, "vec_id", "embedding", threshold=0.20
+        )
+
+    paths.append(("semantic_decontaminate", _semdecon))
 
     def _semdedup(sf_dir):
         # Probes the REGISTERED q200 (round-6: the hyperplane-quantizer
