@@ -276,7 +276,6 @@ _PRIORITY: tuple[str, ...] = (
     "q223_pq_ann_topk",
     "q224_incremental_pq_encode",
     "q217_relation_delete_travel",
-    "q218_spearman_length_vocab",
     "q219_embargo_label_windows",
     "q220_cloned_divergence",
     "q221_dropped_column_travel",
@@ -296,12 +295,16 @@ _PRIORITY: tuple[str, ...] = (
     "q226_hash_sharding",
     "q227_ivf_certified_topk",
     "q228_catalog_travel_join",
-    # ---- round-9 rotations: q229 gets its first driver row; q230 is the
-    # ---- round-9 addition (in-window the round it ships) ----------------
+    # ---- round-9 rotations: q229 gets its first driver row; q230-q233
+    # ---- are the round-9 additions (in-window the round they ship).
+    # ---- q218_spearman_length_vocab rotated OUT to make the q233 slot:
+    # ---- green CORRECTNESS_r08 row, beyond-reference statistics family
+    # ---- keeps driver_sim/pytest parity every round. ---------------------
     "q229_lsh_certified_topk",
     "q230_mea_mismatched_grid_rejects",
     "q231_semantic_decontaminate",
     "q232_quality_dedup_keep",
+    "q233_dsir_selection",
 )
 
 _TAIL: tuple[str, ...] = (

@@ -1461,3 +1461,86 @@ def q226_hash_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.select("doc_id", "lang", "pack_id", "shard_id").orderBy(
         "lang", "doc_id"
     )
+
+
+_DSIR_HEX = "strpos('0123456789abcdef', substr(md5(gram), {j}, 1)) - 1"
+_DSIR_BUCKET_SQL = (
+    f"(({_DSIR_HEX.format(j=1)}) * 4096 + ({_DSIR_HEX.format(j=2)}) * 256 "
+    f"+ ({_DSIR_HEX.format(j=3)}) * 16 + ({_DSIR_HEX.format(j=4)})) % 1024"
+)
+
+_DSIR_ORACLE = f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, source, w[i.i] || ' ' || w[i.i + 1] AS gram
+      FROM w CROSS JOIN unnest(generate_series(1, len(w) - 1)) AS i(i)
+    ),
+    per AS (
+      SELECT doc_id, source, {_DSIR_BUCKET_SQL} AS bucket, count(*) AS cnt
+      FROM g GROUP BY 1, 2, 3
+    ),
+    tgt AS (
+      SELECT bucket, sum(cnt) AS t FROM per
+      WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    raw AS (
+      SELECT bucket, sum(cnt) AS r FROM per
+      WHERE source NOT IN ('src0', 'src1') GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT coalesce(sum(t), 0) FROM tgt) AS tt,
+             (SELECT coalesce(sum(r), 0) FROM raw) AS rr
+    ),
+    ratio AS (
+      SELECT bk.bucket,
+             CAST(round((ln((coalesce(t, 0) + 0.5) / (tt + 512.0))
+                       - ln((coalesce(r, 0) + 0.5) / (rr + 512.0)))
+                        * 1000000) AS BIGINT) AS lr
+      FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) bk
+      LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
+      CROSS JOIN tot
+    ),
+    sc AS (
+      SELECT per.doc_id, sum(per.cnt * ratio.lr) AS s,
+             sum(per.cnt) AS n
+      FROM per JOIN ratio USING (bucket)
+      WHERE per.source NOT IN ('src0', 'src1')
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams,
+           round(s * 1.0 / n / 1000000, 6) AS dsir_score
+    FROM sc ORDER BY s * 1.0 / n DESC, doc_id LIMIT 50
+"""
+
+
+@query(
+    "q233_dsir_selection",
+    oracle=_DSIR_ORACLE,
+    ref="DSIR hashed-ngram importance resampling, Xie et al. NeurIPS 2023 (beyond reference; domain-targeted data selection over the raw pool)",
+    tags=("llm-data", "sampling", "quality"),
+)
+def q233_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: the 50 raw-pool documents whose hashed-bigram
+    profile best resembles the src0/src1 target domain, scored by the
+    Laplace-smoothed average log importance ratio ln p_target - ln p_raw
+    over 1024 md5-hashed buckets.  One token-proportional explode + ONE
+    wide shuffle (per-doc bucket counts, map-side combined); both
+    distributions and the ratio table are 1024 fixed rows broadcast back
+    onto the counts, and the ratio rides a 1e-6 fixed-point BIGINT grid so
+    every per-doc score is exact integer arithmetic — DuckDB replays the
+    selection, scores included, bit-for-bit."""
+    from python_async_sample_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(
+        docs,
+        "doc_id",
+        "text",
+        F.col("source").isin("src0", "src1"),
+        k=50,
+        n=2,
+        n_buckets=1024,
+        alpha=0.5,
+    )

@@ -70,6 +70,9 @@ DRIVER_ROW_CAPS = {
     "ann_ivf_topk": 6000,
     # q231's eval collect is the only driver state: 64 rows at every scale
     "semantic_decontaminate": 200,
+    # q233 collects nothing: totals are an in-plan cross join, the ratio
+    # table is a broadcast relation, output is the fixed top-50
+    "dsir_selection": 200,
     # the LSH coarse quantizer collects nothing (one mapInPandas GEMM);
     # components' emptiness probes are 0-row driver touches
     "semdedup_prune": 200,
@@ -284,6 +287,21 @@ def probed_paths(spark):
         )
 
     paths.append(("semantic_decontaminate", _semdecon))
+
+    def _dsir(sf_dir):
+        # q233: hashed-bigram DSIR selection. The gram explode + per-doc
+        # bucket counts are token-proportional (the only wide shuffle);
+        # the two distributions and the log-ratio table are 1024 fixed
+        # rows broadcast back onto the counts — so time must track the
+        # corpus linearly while output stays top-50 and the plan collects
+        # NOTHING (totals ride an in-plan one-row cross join).
+        from python_async_sample_spark.plans.registry import QUERIES, load_all
+
+        if not QUERIES:
+            load_all()
+        return QUERIES["q233_dsir_selection"].fn(spark, sf_dir)
+
+    paths.append(("dsir_selection", _dsir))
 
     def _semdedup(sf_dir):
         # Probes the REGISTERED q200 (round-6: the hyperplane-quantizer

@@ -657,3 +657,19 @@ def test_semantic_decontaminate_is_one_kernel_pass_no_joins(spark, sf_dir):
     plan = plan_str(df, "simple")
     assert "Join" not in plan, plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_dsir_ratio_rides_broadcast_corpus_shuffles_once(spark, sf_dir):
+    """q233: the 1024-row log-ratio table must come back onto the per-doc
+    counts as a BroadcastHashJoin (the corpus is never re-shuffled for the
+    scoring join), the one-row totals must ride a broadcast nested loop
+    (never a real cartesian over data), and the gram aggregation must be a
+    two-phase HashAggregate so the wide shuffle carries per-(doc, bucket)
+    partials, not raw grams."""
+    df = SPECS["q233_dsir_selection"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+    # scoring path stays JVM expression-tree — no Python workers anywhere
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
