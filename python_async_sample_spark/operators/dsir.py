@@ -141,11 +141,19 @@ def dsir_select(
 ) -> DataFrame:
     """Top-``k`` raw-pool documents by average log importance ratio.
 
-    Returns (id, n_ngrams BIGINT, dsir_score DOUBLE) — ``dsir_score`` is
-    the length-normalized ratio in nats, rounded to 6 decimals (the
-    normalization removes the long-document bias of the raw log weight;
-    selection order is the exact integer-sum ratio, ties broken by id, so
-    the pick is deterministic and engine-portable).
+    Returns (id, n_ngrams BIGINT, dsir_score_micro BIGINT) —
+    ``dsir_score_micro`` is the length-normalized ratio in MICRO-nats
+    (the normalization removes the long-document bias of the raw log
+    weight), computed as half-away-from-zero integer rounding of the
+    exact rational s/n via pure int arithmetic: sign(s)·((2|s|+n) div 2n).
+    A double `round(s/n/1e6, 6)` here is NOT engine-portable — when s/n
+    lands on an exact 7th-decimal half (n divides s into .xxxxxx5), Spark
+    HALF_UPs the double's shortest decimal repr while DuckDB/Python round
+    its exact binary value, and the two sides differ by one ulp of output
+    (caught by the hypothesis reference at (s=-14875228, n=8)); integer
+    micro-nats make every emitted value exact.  Selection order is the
+    exact integer-sum ratio, ties broken by id, so the pick is
+    deterministic and engine-portable.
     """
     flagged = docs.select(
         F.col(id_col), F.col(text_col), is_target.alias("_is_target")
@@ -167,12 +175,16 @@ def dsir_select(
         )
     )
     avg = F.col("_s") * 1.0 / F.col("n_ngrams")  # exact ints -> one IEEE divide
+    micro = F.expr(
+        "CAST(CASE WHEN _s < 0 THEN -1 ELSE 1 END"
+        " * ((2 * abs(_s) + n_ngrams) div (2 * n_ngrams)) AS BIGINT)"
+    )
     return (
         scored.orderBy(avg.desc(), F.col(id_col))
         .limit(k)
         .select(
             id_col,
             F.col("n_ngrams").cast("bigint").alias("n_ngrams"),
-            F.round(avg / _LR_SCALE, 6).alias("dsir_score"),
+            micro.alias("dsir_score_micro"),
         )
     )

@@ -1510,7 +1510,8 @@ _DSIR_ORACLE = f"""
       GROUP BY 1
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_ngrams,
-           round(s * 1.0 / n / 1000000, 6) AS dsir_score
+           CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                * ((2 * abs(s) + n) // (2 * n)) AS BIGINT) AS dsir_score_micro
     FROM sc ORDER BY s * 1.0 / n DESC, doc_id LIMIT 50
 """
 
@@ -1528,9 +1529,11 @@ def q233_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     over 1024 md5-hashed buckets.  One token-proportional explode + ONE
     wide shuffle (per-doc bucket counts, map-side combined); both
     distributions and the ratio table are 1024 fixed rows broadcast back
-    onto the counts, and the ratio rides a 1e-6 fixed-point BIGINT grid so
-    every per-doc score is exact integer arithmetic — DuckDB replays the
-    selection, scores included, bit-for-bit."""
+    onto the counts, the ratio rides a 1e-6 fixed-point BIGINT grid, and
+    the emitted score is integer MICRO-nats (half-away int rounding of
+    s/n — a rounded double here differs by one ulp between engines on
+    exact 7th-decimal halves) — DuckDB replays the selection, scores
+    included, bit-for-bit."""
     from python_async_sample_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")

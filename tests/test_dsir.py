@@ -59,9 +59,9 @@ def test_dsir_ranks_target_resembling_docs_first(spark):
     out = dsir_select(
         docs, "doc_id", "text", F.col("grp") == "tgt", k=6, n_buckets=64
     ).collect()
-    ranked = [r.doc_id for r in sorted(out, key=lambda r: -r.dsir_score)]
+    ranked = [r.doc_id for r in sorted(out, key=lambda r: -r.dsir_score_micro)]
     assert set(ranked[:3]) == {10, 11, 12}
-    top_scores = {r.doc_id: r.dsir_score for r in out}
+    top_scores = {r.doc_id: r.dsir_score_micro for r in out}
     assert min(top_scores[i] for i in (10, 11, 12)) > max(
         top_scores[i] for i in (20, 21, 22)
     )
@@ -105,7 +105,7 @@ def test_empty_target_side_still_defined(spark):
     out = dsir_select(docs, "doc_id", "text", F.col("grp") == "tgt", k=2, n_buckets=16)
     rows = out.collect()
     assert len(rows) == 2
-    assert all(r.dsir_score == r.dsir_score for r in rows)  # not NaN
+    assert all(r.dsir_score_micro is not None for r in rows)
 
 
 def test_bucket_hash_triple_parity(spark):
@@ -150,5 +150,89 @@ def test_bucket_hash_triple_parity(spark):
             for g in grams
         }
         assert got_spark == got_duck == got_py
+
+    check()
+
+
+def _dsir_reference(rows, targets, n_buckets, alpha, k):
+    """Pure-Python DSIR: independent reimplementation (hashlib + math.log
+    + the same 1e-6 fixed-point grid) of the full selection — hypothesis
+    feeds arbitrary corpora and Spark must match EXACTLY, scores included."""
+    import hashlib
+    import math
+    from collections import Counter
+    from fractions import Fraction
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode("utf-8")).hexdigest()[:4], 16) % n_buckets
+
+    per = {}
+    for doc_id, text, grp in rows:
+        w = text.split(" ")
+        grams = [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        per[doc_id] = (grp in targets, Counter(bucket(g) for g in grams))
+    t, r = Counter(), Counter()
+    for is_t, c in per.values():
+        (t if is_t else r).update(c)
+    tt, rr = sum(t.values()), sum(r.values())
+    ab = alpha * n_buckets
+    lr = {
+        b: round(
+            (math.log((t.get(b, 0) + alpha) / (tt + ab))
+             - math.log((r.get(b, 0) + alpha) / (rr + ab))) * 1_000_000
+        )
+        for b in range(n_buckets)
+    }
+    cand = []
+    for doc_id, (is_t, c) in per.items():
+        if is_t or not c:
+            continue
+        s = sum(cnt * lr[b] for b, cnt in c.items())
+        n = sum(c.values())
+        # exact half-away-from-zero integer rounding of s/n (micro-nats);
+        # the first draft emitted round(s/n/1e6, 6) doubles and hypothesis
+        # found the engine split at (s=-14875228, n=8): the quotient's
+        # exact 7th-decimal half rounds differently under Spark's
+        # shortest-repr HALF_UP vs Python/DuckDB's exact-binary rounding
+        micro = (1 if s >= 0 else -1) * ((2 * abs(s) + n) // (2 * n))
+        # order on the exact rational (sidesteps float-division ties in
+        # the reference itself); Spark's IEEE divide agrees on all draws
+        cand.append((Fraction(-s, n), doc_id, n, micro))
+    cand.sort()
+    return {(doc_id, n, score) for _, doc_id, n, score in cand[:k]}
+
+
+def test_dsir_matches_pure_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    token = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"])
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(min_value=2, max_value=16))
+        rows = []
+        for i in range(n):
+            n_tok = draw(st.integers(min_value=0, max_value=12))
+            text = " ".join(draw(token) for _ in range(n_tok))
+            grp = draw(st.sampled_from(["tgt", "raw"]))
+            rows.append((i, text, grp))
+        return rows
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(corpora())
+    def check(rows):
+        docs = _docs(spark, rows)
+        got = {
+            (r.doc_id, r.n_ngrams, r.dsir_score_micro)
+            for r in dsir_select(
+                docs, "doc_id", "text", F.col("grp") == "tgt",
+                k=5, n_buckets=32, alpha=0.5,
+            ).collect()
+        }
+        want = _dsir_reference(rows, {"tgt"}, n_buckets=32, alpha=0.5, k=5)
+        assert got == want
 
     check()
