@@ -133,3 +133,98 @@ def weighted_reservoir_take(
         .withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def epoch_capped_allocation(
+    per_group_tokens: DataFrame,
+    group_col: str,
+    tokens_col: str,
+    *,
+    budget: int,
+    max_epochs_pct: int = 120,
+) -> DataFrame:
+    """Data-constrained mixing (Muennighoff et al., NeurIPS 2023): split a
+    token ``budget`` across groups as EQUAL shares, except no group may be
+    repeated past its epoch cap — ``cap = tokens·max_epochs_pct div 100``
+    (120 = at most 1.2 epochs of a group's data).  The classic waterfilling
+    allocation: capped groups take their cap, the rest share the remaining
+    budget evenly at a common water level.
+
+    Entirely exact integer arithmetic so both engines agree bit-for-bit:
+    with groups ranked by ascending cap, the capped set is the prefix where
+    ``cap_k·(n−k+1) + prefix_{k−1} ≤ B`` (monotone in k because caps
+    ascend — LHS(k+1)−LHS(k) = (n−k)·(cap_{k+1}−cap_k) ≥ 0 — so one window
+    pass finds it); the uncapped remainder ``R = B − Σ capped`` splits as
+    ``R div m`` each plus one extra token to the ``R mod m`` lowest-ranked
+    uncapped groups (largest-remainder, the q206 convention).  Σ alloc ==
+    min(B, Σ cap) exactly — no token created or lost to rounding.
+
+    Input is the per-group token relation (one row per group — aggregate
+    the corpus FIRST; at 100 TB this operator runs on a group-count-sized
+    relation, the window functions never see the corpus).  Returns
+    (group, n_tokens, cap_tokens, alloc_tokens, epochs_micro) where
+    ``epochs_micro = alloc·1e6 div n_tokens`` — the repetition factor in
+    1e-6 units, integer-exact (the q233 micro-grid convention).
+    """
+    if max_epochs_pct <= 0:
+        raise ValueError("max_epochs_pct must be positive")
+    if budget < 0:
+        raise ValueError("budget must be non-negative")
+    g = (
+        per_group_tokens.select(
+            F.col(group_col).alias("grp"),
+            F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "cap_tokens",
+            F.expr(f"CAST(n_tokens * {int(max_epochs_pct)} div 100 AS BIGINT)"),
+        )
+    )
+    n = g.count()  # group-count-sized driver scalar (e.g. 20 sources)
+    w = W.orderBy("cap_tokens", "grp")
+    ranked = (
+        g.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "prefix_prev",
+            F.coalesce(
+                F.sum("cap_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "capped",
+            F.col("cap_tokens") * (F.lit(n) - F.col("rk") + 1) + F.col("prefix_prev")
+            <= F.lit(budget),
+        )
+    )
+    facts = ranked.groupBy().agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap_tokens"))), F.lit(0)
+        ).alias("capped_sum"),
+        F.coalesce(F.sum(F.when(F.col("capped"), 1)), F.lit(0)).alias("k_capped"),
+    )
+    out = ranked.crossJoin(F.broadcast(facts))
+    # greatest(m, 1) keeps the div defined when every group is capped
+    # (budget ≥ Σ cap); the CASE never selects that branch then.
+    share = (
+        f"CAST(({int(budget)} - capped_sum) div greatest({n} - k_capped, 1) AS BIGINT)"
+    )
+    extra = f"(({int(budget)} - capped_sum) % greatest({n} - k_capped, 1))"
+    alloc = F.expr(
+        "CASE WHEN capped THEN cap_tokens "
+        f"WHEN {n} - k_capped = 0 THEN CAST(0 AS BIGINT) "
+        f"ELSE {share} + (CASE WHEN rk - k_capped <= {extra} THEN 1 ELSE 0 END) END"
+    )
+    return (
+        out.select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "cap_tokens",
+            alloc.cast("bigint").alias("alloc_tokens"),
+        )
+        .withColumn(
+            "epochs_micro",
+            F.expr("CAST(alloc_tokens * 1000000 div n_tokens AS BIGINT)"),
+        )
+    )

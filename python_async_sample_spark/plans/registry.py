@@ -275,7 +275,6 @@ _PRIORITY: tuple[str, ...] = (
     # ---- §2-duplicated tail quartet, and the round-8 additions ----------
     "q223_pq_ann_topk",
     "q224_incremental_pq_encode",
-    "q217_relation_delete_travel",
     "q219_embargo_label_windows",
     "q220_cloned_divergence",
     "q221_dropped_column_travel",
@@ -295,16 +294,19 @@ _PRIORITY: tuple[str, ...] = (
     "q226_hash_sharding",
     "q227_ivf_certified_topk",
     "q228_catalog_travel_join",
-    # ---- round-9 rotations: q229 gets its first driver row; q230-q233
+    # ---- round-9 rotations: q229 gets its first driver row; q230-q234
     # ---- are the round-9 additions (in-window the round they ship).
-    # ---- q218_spearman_length_vocab rotated OUT to make the q233 slot:
-    # ---- green CORRECTNESS_r08 row, beyond-reference statistics family
-    # ---- keeps driver_sim/pytest parity every round. ---------------------
+    # ---- Rotated OUT for the new slots, both with green CORRECTNESS_r08
+    # ---- rows and families that keep driver_sim/pytest parity every
+    # ---- round: q218_spearman_length_vocab (beyond-reference statistics)
+    # ---- and q217_relation_delete_travel (versioned-storage family keeps
+    # ---- q220/q221/q228 in-window). --------------------------------------
     "q229_lsh_certified_topk",
     "q230_mea_mismatched_grid_rejects",
     "q231_semantic_decontaminate",
     "q232_quality_dedup_keep",
     "q233_dsir_selection",
+    "q234_epoch_capped_mixing",
 )
 
 _TAIL: tuple[str, ...] = (

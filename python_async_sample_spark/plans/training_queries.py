@@ -1547,3 +1547,84 @@ def q233_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_buckets=1024,
         alpha=0.5,
     )
+
+
+_EPOCH_MIX_ORACLE = """
+    WITH tok AS (
+      SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    b AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS budget FROM tok),
+    capd AS (
+      SELECT source, n_tokens,
+             CAST((n_tokens * 120) // 100 AS BIGINT) AS cap_tokens
+      FROM tok
+    ),
+    rk AS (
+      SELECT *,
+             row_number() OVER (ORDER BY cap_tokens, source) AS rk,
+             coalesce(sum(cap_tokens) OVER (
+               ORDER BY cap_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix_prev,
+             count(*) OVER () AS n
+      FROM capd
+    ),
+    flag AS (
+      SELECT *,
+             (cap_tokens * (n - rk + 1) + prefix_prev <= (SELECT budget FROM b))
+               AS capped
+      FROM rk
+    ),
+    facts AS (
+      SELECT coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0) AS capped_sum,
+             coalesce(sum(CASE WHEN capped THEN 1 END), 0) AS k_capped
+      FROM flag
+    ),
+    alloc AS (
+      SELECT f.source, f.n_tokens, f.cap_tokens,
+             CAST(CASE
+               WHEN f.capped THEN f.cap_tokens
+               WHEN f.n - fa.k_capped = 0 THEN 0
+               ELSE ((SELECT budget FROM b) - fa.capped_sum)
+                      // greatest(f.n - fa.k_capped, 1)
+                    + (CASE WHEN f.rk - fa.k_capped <=
+                         ((SELECT budget FROM b) - fa.capped_sum)
+                           % greatest(f.n - fa.k_capped, 1)
+                       THEN 1 ELSE 0 END)
+             END AS BIGINT) AS alloc_tokens
+      FROM flag f CROSS JOIN facts fa
+    )
+    SELECT source, n_tokens, cap_tokens, alloc_tokens,
+           CAST((alloc_tokens * 1000000) // n_tokens AS BIGINT) AS epochs_micro
+    FROM alloc ORDER BY source
+"""
+
+
+@query(
+    "q234_epoch_capped_mixing",
+    oracle=_EPOCH_MIX_ORACLE,
+    ref="data-constrained mixing: epoch-capped waterfilling token allocation, Muennighoff et al. NeurIPS 2023 (beyond reference; the repeat-cap complement of q118's temperature rates and q206's Neyman allocation)",
+    tags=("llm-data", "sampling"),
+)
+def q234_epoch_capped_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation across sources under a 1.2-epoch repeat cap:
+    equal shares waterfill into per-source caps (small sources saturate at
+    1.2 epochs, the freed budget redistributes to the rest at a common
+    water level).  The corpus collapses to ONE group-count-sized relation
+    before any window runs; the budget (Σ tokens — a 1.0-epoch average) is
+    the only driver state, a one-row aggregate collect.  Every quantity is
+    exact integer arithmetic — caps by integer div, the capped prefix by
+    the monotone window condition, the remainder by largest-remainder rank
+    — so DuckDB replays every allocation bit-for-bit."""
+    from python_async_sample_spark.operators.sampling import (
+        epoch_capped_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens")
+    )
+    budget = int(tok.agg(F.sum("n_tokens")).first()[0])
+    return epoch_capped_allocation(
+        tok, "source", "n_tokens", budget=budget, max_epochs_pct=120
+    ).orderBy("source")

@@ -673,3 +673,21 @@ def test_dsir_ratio_rides_broadcast_corpus_shuffles_once(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
     # scoring path stays JVM expression-tree — no Python workers anywhere
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+
+
+def test_epoch_mixing_windows_run_post_aggregation(spark, sf_dir):
+    """q234: the corpus must collapse to the per-source relation (two-phase
+    HashAggregate) BEFORE any window/rank runs — the single-partition
+    window is then group-count-sized (fine at any corpus scale), and the
+    one-row facts relation rides a broadcast nested loop, never a real
+    cartesian. No Python workers anywhere."""
+    df = SPECS["q234_epoch_capped_mixing"].fn(spark, sf_dir)
+    plan = plan_str(df, "simple")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan, plan
+    # the window consumes the aggregated relation: Window appears above the
+    # aggregate in the tree, and the scan below feeds an aggregate first
+    w_at = plan.find("Window")
+    agg_at = plan.rfind("HashAggregate")
+    assert w_at != -1 and agg_at != -1 and w_at < agg_at, plan

@@ -99,3 +99,94 @@ def test_weighted_reservoir_fractional_weights_and_zero_exclusion(spark):
         assert len(got) == 1 and got[0]["id"] in (0, 1)  # 2,3 excluded
         wins += got[0]["id"] == 0
     assert wins >= 30  # 0.95 vs 0.05 → id 0 wins ~95% of salts
+
+
+# ---------------------------------------------------------------------------
+# epoch_capped_allocation (q234): the waterfilling optimality properties
+# UNIQUELY characterize the allocation (up to the pinned largest-remainder
+# placement), so hypothesis checks them instead of re-deriving the same
+# closed form twice.
+# ---------------------------------------------------------------------------
+
+
+def _alloc(spark, sizes, budget, pct=120):
+    from python_async_sample_spark.operators.sampling import (
+        epoch_capped_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [(f"s{i}", n) for i, n in enumerate(sizes)], "src string, n bigint"
+    )
+    return {
+        r.src: (r.n_tokens, r.cap_tokens, r.alloc_tokens, r.epochs_micro)
+        for r in epoch_capped_allocation(
+            df, "src", "n", budget=budget, max_epochs_pct=pct
+        ).collect()
+    }
+
+
+def test_epoch_alloc_waterfilling_properties(spark):
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(min_value=1, max_value=5000), min_size=1, max_size=12),
+        st.integers(min_value=0, max_value=60000),
+    )
+    def check(sizes, budget):
+        out = _alloc(spark, sizes, budget)
+        caps = {s: c for s, (_, c, _, _) in out.items()}
+        allocs = {s: a for s, (_, _, a, _) in out.items()}
+        # conservation: every budget token lands somewhere, none invented
+        assert sum(allocs.values()) == min(budget, sum(caps.values()))
+        # caps respected, nothing negative
+        assert all(0 <= allocs[s] <= caps[s] for s in allocs)
+        uncapped = [s for s in allocs if allocs[s] < caps[s]]
+        if uncapped:
+            lvls = [allocs[s] for s in uncapped]
+            # common water level: equal shares within the 1-token remainder
+            assert max(lvls) - min(lvls) <= 1
+            # optimality: a capped group's cap never exceeds the level
+            # (else it should have been uncapped)
+            assert all(
+                caps[s] <= max(lvls)
+                for s in allocs if allocs[s] == caps[s] and s not in uncapped
+            )
+
+    check()
+
+
+def test_epoch_alloc_exact_fixture(spark):
+    """Hand-computed waterfill: caps (12, 24, 120) for sizes (10, 20, 100)
+    at 120 pct; budget 70 → small groups cap out (12 + 24), the big one
+    takes the remaining 34 < its 120 cap."""
+    out = _alloc(spark, [10, 20, 100], budget=70)
+    assert out["s0"] == (10, 12, 12, 1_200_000)
+    assert out["s1"] == (20, 24, 24, 1_200_000)
+    assert out["s2"] == (100, 120, 34, 340_000)
+
+
+def test_epoch_alloc_remainder_goes_to_lowest_ranked(spark):
+    """budget 10 over three equal groups (caps 12 each): 3,3,3 base and
+    the 1-token remainder lands on the rank-1 (lowest cap, then name)
+    group — deterministic largest-remainder placement."""
+    out = _alloc(spark, [10, 10, 10], budget=10)
+    assert sorted(a for _, _, a, _ in out.values()) == [3, 3, 4]
+    assert out["s0"][2] == 4  # ties rank by (cap, name): s0 first
+
+
+def test_epoch_alloc_partitioning_invariant(spark):
+    from python_async_sample_spark.operators.sampling import (
+        epoch_capped_allocation,
+    )
+
+    rows = [(f"s{i}", 37 * (i % 5) + 11) for i in range(11)]
+    df = spark.createDataFrame(rows, "src string, n bigint")
+    a = epoch_capped_allocation(df, "src", "n", budget=200).collect()
+    b = epoch_capped_allocation(
+        df.repartition(7), "src", "n", budget=200
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
