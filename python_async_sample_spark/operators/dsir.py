@@ -123,8 +123,15 @@ def dsir_log_ratio_table(
         (F.coalesce(F.col("r"), F.lit(0)) + F.lit(float(alpha)))
         / (F.col("rr") + F.lit(ab))
     )
+    # floor(x + 0.5) on BOTH engines (the oracle spells the same expression):
+    # F.round here would be Spark's HALF_UP on the shortest decimal repr
+    # while DuckDB rounds the exact binary value half-away — a ratio landing
+    # on an exact micro-nat half could split engines by 1 (ADVICE r9).  With
+    # an identical convention the only residual divergence is the ~1-ulp
+    # Math.log vs C ln difference, which floor(x+0.5) only exposes when the
+    # product sits within an ulp of an exact half (~1e-16 relative).
     return joined.select(
-        "bucket", F.round(lr * _LR_SCALE).cast("bigint").alias("lr")
+        "bucket", F.floor(lr * _LR_SCALE + F.lit(0.5)).cast("bigint").alias("lr")
     )
 
 
@@ -152,8 +159,18 @@ def dsir_select(
     its exact binary value, and the two sides differ by one ulp of output
     (caught by the hypothesis reference at (s=-14875228, n=8)); integer
     micro-nats make every emitted value exact.  Selection order is the
-    exact integer-sum ratio, ties broken by id, so the pick is
-    deterministic and engine-portable.
+    IEEE double quotient of the exact integers s and n (both engines divide
+    the same two BIGINTs, so the quotient — and hence the order — is
+    identical on both; two docs whose distinct rationals round to the same
+    double tie-break by id), so the pick is deterministic and
+    engine-portable.
+
+    Overflow bound: ``s = Σ cnt·lr`` accumulates in BIGINT (non-ANSI Spark
+    wraps silently; DuckDB promotes to HUGEINT).  |lr| is bounded by
+    ~ln(total_grams) + ln(n_buckets/alpha) micro-nats (< ~5e7 for any real
+    corpus), so wraparound needs ~2e11 n-grams in ONE document — ~1 TB of
+    text in a single row, far past any realistic document.  Cast to
+    decimal before the sum if documents can be arbitrarily large.
     """
     flagged = docs.select(
         F.col(id_col), F.col(text_col), is_target.alias("_is_target")

@@ -1495,9 +1495,9 @@ _DSIR_ORACLE = f"""
     ),
     ratio AS (
       SELECT bk.bucket,
-             CAST(round((ln((coalesce(t, 0) + 0.5) / (tt + 512.0))
+             CAST(floor((ln((coalesce(t, 0) + 0.5) / (tt + 512.0))
                        - ln((coalesce(r, 0) + 0.5) / (rr + 512.0)))
-                        * 1000000) AS BIGINT) AS lr
+                        * 1000000 + 0.5) AS BIGINT) AS lr
       FROM (SELECT unnest(generate_series(0, 1023)) AS bucket) bk
       LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket)
       CROSS JOIN tot

@@ -176,10 +176,13 @@ def _dsir_reference(rows, targets, n_buckets, alpha, k):
         (t if is_t else r).update(c)
     tt, rr = sum(t.values()), sum(r.values())
     ab = alpha * n_buckets
+    # floor(x + 0.5): the identical convention Spark and the DuckDB oracle
+    # spell out (ADVICE r9 — a bare round() here is Python's half-even on
+    # the float, a THIRD rounding semantics)
     lr = {
-        b: round(
+        b: math.floor(
             (math.log((t.get(b, 0) + alpha) / (tt + ab))
-             - math.log((r.get(b, 0) + alpha) / (rr + ab))) * 1_000_000
+             - math.log((r.get(b, 0) + alpha) / (rr + ab))) * 1_000_000 + 0.5
         )
         for b in range(n_buckets)
     }
