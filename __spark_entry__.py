@@ -38,3 +38,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only check)."""
     return {name: spec.oracle for name, spec in load_all().items() if spec.oracle is not None}
+
+
+def query_metadata() -> dict[str, dict]:
+    """Per-query bookkeeping for readers of CORRECTNESS_r{N}.json.
+
+    Every query omitted from :func:`oracle_sql` is approximate-or-
+    engine-defined BY DESIGN (``rows_only: True``) and names the oracled
+    ``certified_twin`` that hash-certifies the same kernel, so a
+    ``no_oracle`` driver row is self-explaining — the registry enforces
+    the pairing at load (plans/registry.ROWS_ONLY_TWINS).
+    """
+    from python_async_sample_spark.plans.registry import ROWS_ONLY_TWINS
+
+    return {
+        name: {
+            "rows_only": spec.oracle is None,
+            "certified_twin": ROWS_ONLY_TWINS.get(name),
+            "ref": spec.ref,
+            "tags": list(spec.tags),
+        }
+        for name, spec in load_all().items()
+    }

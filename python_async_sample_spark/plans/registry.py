@@ -32,6 +32,38 @@ class QuerySpec:
 
 QUERIES: dict[str, QuerySpec] = {}
 
+# Every rows-only (oracle=None) query is approximate-or-engine-defined BY
+# DESIGN and is paired here with the ORACLED query that hash-certifies the
+# same kernel (VERDICT r9 item 5: the registry, not tribal knowledge, names
+# each twin so a `no_oracle` CORRECTNESS row is self-explaining).
+# ``load_all`` enforces the pairing both ways: a rows-only query without a
+# twin, a twin that is itself rows-only, or a stale entry for an oracled
+# query all fail loudly at registry load.
+ROWS_ONLY_TWINS: dict[str, str] = {
+    # SimHash near-pairs: hamming blocking is engine-defined; q187 pins the
+    # identical 64-bit signature kernel against a DuckDB replay.
+    "q33_simhash_near_pairs": "q187_simhash_portable_exact",
+    # ANN faces: approximate by construction with in-plan recall floors;
+    # each certified twin forces deterministic buckets/centroids and
+    # hash-matches exact top-k through the same code path.
+    "q36_ann_lsh_topk": "q229_lsh_certified_topk",
+    "q37_ann_ivf_topk": "q227_ivf_certified_topk",
+    # Sketches: estimates depend on xxhash64 (no DuckDB equivalent); the
+    # portable-hash twins rebuild the identical register/cell state in SQL.
+    "q63_approx_distinct_users": "q181_hll_portable_exact",
+    "q91_approx_quantiles": "q199_histogram_quantile_sketch",
+    "q142_cms_heavy_hitters": "q180_cms_portable_exact",
+    "q155_hll_rolling_distinct": "q181_hll_portable_exact",
+    "q164_audience_overlap_hll": "q203_hll_merge_law",
+    "q165_stream_cms_heavy_hitters": "q205_cms_merge_law",
+    # Media perceptual hash: the 64-bit aHash is kernel-defined; q225
+    # hash-certifies the same decode->aHash->hamming-join pipeline.
+    "q87_media_phash_pairs": "q225_ahash_near_pairs",
+    # Eigendecomposition is not SQL-expressible; q178's closed-form PCA
+    # oracles the same covariance/eigen machinery on a 2x2 system.
+    "q144_pca_spectrum": "q178_pca_closed_form",
+}
+
 
 def query(name: str, oracle: str | None = None, ref: str = "", tags: tuple[str, ...] = ()):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
@@ -375,6 +407,19 @@ def load_all() -> dict[str, QuerySpec]:
     missing = listed - QUERIES.keys()
     if missing:
         raise ValueError(f"ordered but unregistered queries: {sorted(missing)}")
+    rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+    if rows_only != ROWS_ONLY_TWINS.keys():
+        raise ValueError(
+            "rows-only queries and ROWS_ONLY_TWINS disagree: "
+            f"untwinned={sorted(rows_only - ROWS_ONLY_TWINS.keys())} "
+            f"stale={sorted(ROWS_ONLY_TWINS.keys() - rows_only)}"
+        )
+    bad_twins = {
+        t for t in ROWS_ONLY_TWINS.values()
+        if t not in QUERIES or QUERIES[t].oracle is None
+    }
+    if bad_twins:
+        raise ValueError(f"twins must be registered AND oracled: {sorted(bad_twins)}")
     middle = [n for n in QUERIES if n not in listed]
     ordered = [*_PRIORITY, *middle, *_TAIL]
     return {name: QUERIES[name] for name in ordered}

@@ -49,3 +49,21 @@ def test_entry_smoke(spark):
     # contract alignment: every oracle key exists in queries()
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_rows_only_twin_bookkeeping():
+    """Every no-oracle query declares an oracled certified twin and the
+    exported metadata is self-consistent (VERDICT r9 item 5)."""
+    import __spark_entry__ as e
+
+    meta = e.query_metadata()
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(meta) == set(qs)
+    rows_only = {n for n, m in meta.items() if m["rows_only"]}
+    assert rows_only == set(qs) - set(os_)
+    for n in rows_only:
+        twin = meta[n]["certified_twin"]
+        assert twin in os_, (n, twin)
+    for n, m in meta.items():
+        if not m["rows_only"]:
+            assert m["certified_twin"] is None, n
