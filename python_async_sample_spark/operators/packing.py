@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
 from pyspark.sql.window import Window as W
 
 
@@ -101,3 +102,120 @@ def assign_shards(
             (portable_hash(F.col(pack_col), 0) % n_shards).cast("bigint"),
         )
     raise ValueError(f"shard_key must be 'pack' or 'hash', got {shard_key!r}")
+
+
+def _pack_bins(lens, budget: int, best_fit: bool):
+    """Sequential bin assignment over items IN THE GIVEN ORDER.
+
+    ``best_fit``: each item goes to the open bin with the SMALLEST remaining
+    capacity that still fits it (ties -> lowest bin index, numpy argmin's
+    first-occurrence rule); no fit opens a new bin.  ``best_fit=False`` is
+    the next-fit baseline: only the most recently opened bin is ever
+    considered.  Returns 1-based bin indices (bins numbered in creation
+    order).  Raises on any item that can never fit (len <= 0 or > budget) —
+    loud, never silent truncation.
+    """
+    import numpy as np
+
+    lens = np.asarray(lens, dtype=np.int64)
+    if len(lens) and (lens.min() <= 0 or lens.max() > budget):
+        bad = lens[(lens <= 0) | (lens > budget)][:5]
+        raise ValueError(
+            f"item lengths must be in [1, budget={budget}]; got {bad.tolist()} "
+            "— chunk documents to the budget before packing"
+        )
+    rem = np.empty(len(lens), dtype=np.int64)  # remaining capacity per bin
+    n_bins = 0
+    out = np.empty(len(lens), dtype=np.int64)
+    for i, need in enumerate(lens):
+        if best_fit:
+            fits = np.flatnonzero(rem[:n_bins] >= need)
+            if fits.size:
+                j = fits[np.argmin(rem[fits])]
+                rem[j] -= need
+                out[i] = j + 1
+                continue
+        elif n_bins and rem[n_bins - 1] >= need:
+            rem[n_bins - 1] -= need
+            out[i] = n_bins
+            continue
+        rem[n_bins] = budget - need
+        n_bins += 1
+        out[i] = n_bins
+    return out
+
+
+def _pack_grouped(
+    items: DataFrame,
+    shard_col: str,
+    len_col: str,
+    order_cols: list[str],
+    budget: int,
+    *,
+    decreasing: bool,
+    best_fit: bool,
+) -> DataFrame:
+    import pandas as pd
+
+    schema = StructType(items.schema.fields + [StructField("bin", LongType())])
+    sort_cols = ([len_col] if decreasing else []) + order_cols
+    ascending = ([False] if decreasing else []) + [True] * len(order_cols)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(sort_cols, ascending=ascending, kind="mergesort")
+        pdf["bin"] = _pack_bins(pdf[len_col].to_numpy(), budget, best_fit)
+        return pdf
+
+    return items.groupBy(shard_col).applyInPandas(pack, schema)
+
+
+def best_fit_pack(
+    items: DataFrame,
+    shard_col: str,
+    len_col: str,
+    order_cols: list[str],
+    budget: int,
+) -> DataFrame:
+    """Best-fit-decreasing packing of variable-length items into fixed
+    ``budget``-token windows, per shard — the padding-minimizing policy
+    production training pipelines use when documents must NOT span window
+    boundaries (the no-split complement of :func:`pack_sequences`'
+    concat-and-chunk; Muennighoff et al.'s data-constrained setting is the
+    same accounting q234's mixing feeds).
+
+    Within each shard, items are ordered by (``len_col`` DESC,
+    ``*order_cols`` ASC) and each goes to the open bin with the smallest
+    remaining capacity that fits (ties -> lowest bin index); no fit opens
+    a new bin.  The assignment is a deterministic integer-exact function
+    of the shard's contents, so a SQL engine can replay it step by step
+    (see the q235 oracle's recursive CTE).
+
+    Scale shape: the SHARD is the unit of parallelism (one Arrow batch per
+    shard through applyInPandas) — exactly how production packers run, one
+    sequential pass per output shard.  Per-shard cost is O(items x bins)
+    with a numpy min-scan; shards are sized by the sharder (hash-mod, see
+    :func:`assign_shards`), so no shard ever approaches driver or executor
+    memory.  Adds ``bin`` (1-based, creation order).  Items longer than
+    the budget raise loudly — chunk first (the standard pipeline order).
+    """
+    return _pack_grouped(
+        items, shard_col, len_col, order_cols, budget,
+        decreasing=True, best_fit=True,
+    )
+
+
+def next_fit_pack(
+    items: DataFrame,
+    shard_col: str,
+    len_col: str,
+    order_cols: list[str],
+    budget: int,
+) -> DataFrame:
+    """Next-fit packing in arrival (``order_cols``) order: only the most
+    recently opened bin is ever considered.  The naive streaming baseline
+    best_fit_pack is measured against (tests assert BFD's padding waste <=
+    next-fit's on the documents corpus at three scales)."""
+    return _pack_grouped(
+        items, shard_col, len_col, order_cols, budget,
+        decreasing=False, best_fit=False,
+    )

@@ -314,7 +314,6 @@ _PRIORITY: tuple[str, ...] = (
     "q81_window_suite",
     "q85_stream_static_enrich",
     "q86_ann_quantized_topk",
-    "q90_orc_source",
     "q93_sliding_windows",
     "q97_json_extract",
     "q98_array_agg",
@@ -339,6 +338,13 @@ _PRIORITY: tuple[str, ...] = (
     "q232_quality_dedup_keep",
     "q233_dsir_selection",
     "q234_epoch_capped_mixing",
+    # ---- ROUND-10 ROTATION: q235 (best-fit-decreasing packing, VERDICT r9
+    # ---- item 6) is in-window the round it ships, same posture as every
+    # ---- prior addition.  Rotated OUT: q90_orc_source (green
+    # ---- CORRECTNESS_r09 row; beyond-reference source format whose scan
+    # ---- family keeps q61 parquet-wide and q97 JSON in-window, plus
+    # ---- ongoing driver_sim/pytest parity every round). -------------------
+    "q235_best_fit_packing",
 )
 
 _TAIL: tuple[str, ...] = (

