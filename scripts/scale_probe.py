@@ -52,10 +52,28 @@ SCALES = (1, 3, 10)
 ID_STRIDE = 10_000_000
 LINEAR_SLACK = 3.0  # fixed overheads + noise; a true O(N²) path shows >> this
 
+# VERDICT r9 item 3: the pair miners and ANN paths additionally run at x30
+# (~sf3) — x10 still hides log-factors and bucket-occupancy effects; x30
+# exposes slopes before a real cluster would.  Only these paths pay the
+# extra build+measure cost, and the x30 corpus builds only the tables they
+# read (documents + embeddings).
+X30 = 30
+X30_TABLES = ("documents", "embeddings")
+X30_PATHS = {
+    "q31_ngram_jaccard_pairs",
+    "q32_minhash_lsh_pairs",
+    "q38_jaccard_prefix_filter",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_distributed",
+    "pq_refined_ann",
+}
+
 # absolute driver-row caps per probed path (documented code bounds + slack):
 # ANN paths collect the broadcast query matrix (64 rows) and IVF's training
 # sample (min(4096, N)); the pair miners collect nothing but one-row probes.
 DRIVER_ROW_CAPS = {
+    "q31_ngram_jaccard_pairs": 200,
     "q32_minhash_lsh_pairs": 200,
     "q38_jaccard_prefix_filter": 200,
     "q121_repeated_ngram_spans": 200,
@@ -83,6 +101,10 @@ DRIVER_ROW_CAPS = {
     # (3 stages × ~30 one-day windows × 2 phases, a few rows each) — a
     # constant of the CHUNKING, independent of events-per-day
     "watermark_cascade": 1200,
+    # the distributed IVF trainer's driver state is the CODEBOOK itself:
+    # k seed vectors + <= k combine rows per Lloyd iteration + the 64-query
+    # matrix; k = sqrt(N) ~ 245 at x30, so ~1.3k rows, corpus-blind in shape
+    "ann_ivf_distributed": 6000,
     # PQ driver state is hyperparameter-sized, corpus-blind: the md5 init
     # (ksub=16 rows), dim×ksub=1024 mean cells per fit iteration ×2, the
     # dim probe (1), and the fixed 64-query matrix twice (ADC + re-rank)
@@ -99,82 +121,101 @@ def _perturb_tokens(text: str, k: int) -> str:
     )
 
 
-def build_scaled(work_dir: str, factor: int) -> str:
+def build_scaled(work_dir: str, factor: int, tables: tuple[str, ...] | None = None) -> str:
+    """Tile the sf0.1 tables by ``factor``.  ``tables=None`` builds all of
+    them; a tuple builds only those (the x30 corpus builds just what its
+    paths read — documents + embeddings — to bound build cost)."""
     out = f"{work_dir}/x{factor}"
-    if os.path.isdir(out) and os.path.exists(f"{out}/_DONE_v3"):
+    marker = "_DONE_v3" if tables is None else f"_DONE_v3_{'-'.join(sorted(tables))}"
+    # a full build satisfies any subset request
+    if os.path.isdir(out) and (
+        os.path.exists(f"{out}/_DONE_v3") or os.path.exists(f"{out}/{marker}")
+    ):
         return out
     os.makedirs(out, exist_ok=True)
+
+    def wanted(name: str) -> bool:
+        return tables is None or name in tables
 
     # orders — the storage-verb probes' base table (VERDICT r6 item 3):
     # keys offset per copy (custkeys follow the customer tiling) so keyed
     # MERGE/purge victims stay a constant FRACTION of the data
-    orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
-    parts = []
-    for k in range(factor):
-        c = orders.copy()
-        c["o_orderkey"] = c["o_orderkey"] + k * ID_STRIDE
-        c["o_custkey"] = c["o_custkey"] + k * ID_STRIDE
-        parts.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
-        f"{out}/orders.parquet",
-    )
+    if wanted("orders"):
+        orders = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+        parts = []
+        for k in range(factor):
+            c = orders.copy()
+            c["o_orderkey"] = c["o_orderkey"] + k * ID_STRIDE
+            c["o_custkey"] = c["o_custkey"] + k * ID_STRIDE
+            parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+            f"{out}/orders.parquet",
+        )
 
-    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
-    parts = []
-    for k in range(factor):
-        c = docs.copy()
-        c["doc_id"] = c["doc_id"] + k * ID_STRIDE
-        if k:
-            c["text"] = [_perturb_tokens(t, k) for t in c["text"]]
-            c["n_chars"] = c["text"].str.len()
-        parts.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
-        f"{out}/documents.parquet",
-    )
+    if wanted("documents"):
+        docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+        parts = []
+        for k in range(factor):
+            c = docs.copy()
+            c["doc_id"] = c["doc_id"] + k * ID_STRIDE
+            if k:
+                c["text"] = [_perturb_tokens(t, k) for t in c["text"]]
+                c["n_chars"] = c["text"].str.len()
+            parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+            f"{out}/documents.parquet",
+        )
 
-    cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
-    parts = []
-    for k in range(factor):
-        c = cust.copy()
-        c["c_custkey"] = c["c_custkey"] + k * ID_STRIDE
-        if k:
-            c["c_name"] = [f"Customer#{key % 10**9:09d}" for key in c["c_custkey"]]
-        parts.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
-        f"{out}/customer.parquet",
-    )
+    if wanted("customer"):
+        cust = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+        parts = []
+        for k in range(factor):
+            c = cust.copy()
+            c["c_custkey"] = c["c_custkey"] + k * ID_STRIDE
+            if k:
+                c["c_name"] = [f"Customer#{key % 10**9:09d}" for key in c["c_custkey"]]
+            parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+            f"{out}/customer.parquet",
+        )
 
-    supp = pq.read_table(f"{SRC}/supplier.parquet").to_pandas()
-    parts = []
-    for k in range(factor):
-        c = supp.copy()
-        c["s_suppkey"] = c["s_suppkey"] + k * ID_STRIDE
-        parts.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
-        f"{out}/supplier.parquet",
-    )
+    if wanted("supplier"):
+        supp = pq.read_table(f"{SRC}/supplier.parquet").to_pandas()
+        parts = []
+        for k in range(factor):
+            c = supp.copy()
+            c["s_suppkey"] = c["s_suppkey"] + k * ID_STRIDE
+            parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+            f"{out}/supplier.parquet",
+        )
 
-    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
-    parts = []
-    for k in range(factor):
-        c = emb.copy()
-        c["vec_id"] = c["vec_id"] + k * ID_STRIDE
-        if k:
-            rng = np.random.RandomState(k)
-            c["embedding"] = [
-                (np.asarray(v, dtype=np.float32)
-                 * (1.0 + 0.05 * rng.standard_normal(len(v))).astype(np.float32))
-                for v in c["embedding"]
-            ]
-        parts.append(c)
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
-        f"{out}/embeddings.parquet",
-    )
+    if wanted("embeddings"):
+        emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+        parts = []
+        for k in range(factor):
+            c = emb.copy()
+            c["vec_id"] = c["vec_id"] + k * ID_STRIDE
+            if k:
+                rng = np.random.RandomState(k)
+                c["embedding"] = [
+                    (np.asarray(v, dtype=np.float32)
+                     * (1.0 + 0.05 * rng.standard_normal(len(v))).astype(np.float32))
+                    for v in c["embedding"]
+                ]
+            parts.append(c)
+        pq.write_table(
+            pa.Table.from_pandas(pd.concat(parts, ignore_index=True), preserve_index=False),
+            f"{out}/embeddings.parquet",
+        )
+
+    if not wanted("events"):
+        open(f"{out}/{marker}", "w").close()
+        return out
 
     ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
     parts = []
@@ -238,6 +279,7 @@ def probed_paths(spark):
     paths = [
         (n, (lambda n: lambda d: specs[n].fn(spark, d))(n))
         for n in (
+            "q31_ngram_jaccard_pairs",
             "q32_minhash_lsh_pairs",
             "q38_jaccard_prefix_filter",
             "q121_repeated_ngram_spans",
@@ -267,6 +309,14 @@ def probed_paths(spark):
         # sqrt(N) auto cell sizing (VERDICT r7 item 5): fixed 32 cells made
         # the probed-cell scan linear in N (4.3x at x10 in round 7)
         lambda e, q, i, v, k: ivf_topk(e, q, i, v, k=k, n_centroids="auto"))))
+    paths.append(("ann_ivf_distributed", _ann(
+        # VERDICT r9 item 4: the distributed trainer keeps cells ∝ sqrt(N)
+        # past the sampled trainer's 1024 cap — per-query scan must stay
+        # sub-linear (O(n_probe·sqrt(N))) at x30 with codebook-sized
+        # driver state
+        lambda e, q, i, v, k: ivf_topk(
+            e, q, i, v, k=k, n_centroids="auto", trainer="distributed",
+            train_iters=3))))
 
     def _semdecon(sf_dir):
         # q231's operator at a FIXED 64-vector eval set regardless of
@@ -698,6 +748,7 @@ def main() -> int:
 
     spark = get_spark(app_name="scale_probe")
     dirs = {f: build_scaled(work_dir, f) for f in SCALES}
+    dirs[X30] = build_scaled(work_dir, X30, X30_TABLES)
     print(f"scaled corpora ready under {work_dir}", flush=True)
 
     results: dict[str, dict[int, dict]] = {}
@@ -711,7 +762,8 @@ def main() -> int:
     # plans had bloated the JVM — q121's ×10 read 6× slower than the same
     # query on a quiet session, flagging a phantom superlinearity.
     for name, fn in paths:
-        for factor in SCALES:
+        scales = SCALES + ((X30,) if name in X30_PATHS else ())
+        for factor in scales:
             with CollectMeter() as meter:
                 t0 = time.time()
                 df = fn(dirs[factor])
@@ -766,7 +818,7 @@ def main() -> int:
         "|---|---|---|---|---|",
     ]
     for name, by_scale in results.items():
-        for factor in SCALES:
+        for factor in sorted(by_scale):
             r = by_scale[factor]
             lines.append(
                 f"| {name} | ×{factor} | {r['rows']} | {r['sec']:.1f} | {r['driver_rows']} |"
@@ -781,7 +833,7 @@ def main() -> int:
         work_g = max(cand_g, hi / lo)
         time_g = by_scale[hi]["sec"] / max(1e-9, by_scale[lo]["sec"])
         slack = time_g / work_g
-        max_driver = max(by_scale[f]["driver_rows"] for f in SCALES)
+        max_driver = max(by_scale[f]["driver_rows"] for f in by_scale)
         cap = DRIVER_ROW_CAPS[name]
         ok_time = time_g <= LINEAR_SLACK * work_g
         ok_driver = max_driver <= cap
@@ -798,6 +850,38 @@ def main() -> int:
         lines.append(
             f"| {name} | {cand_g:.1f}× | {time_g:.1f}× | {slack:.2f} | "
             f"{max_driver} ≤ {cap} | {verdict} |"
+        )
+
+    # ---- x30 frontier (VERDICT r9 item 3): the marginal x10 -> x30 slope
+    # is where log-factors and bucket-occupancy effects first show; each
+    # path's marginal time growth must stay within LINEAR_SLACK of its
+    # marginal work growth (max of candidate growth and the 3x data step).
+    lines += ["", "## ×10 → ×30 frontier (pair miners + ANN; VERDICT r9 item 3)", "",
+              "Marginal slope over the last tripling: sec/row slopes flatten",
+              "if the path is truly linear, and bucket-occupancy or log-factor",
+              "growth shows here before it would on a real cluster. Driver",
+              "rows may grow only with the CODEBOOK (sqrt N), never the corpus.",
+              "",
+              "| path | ×10 sec | ×30 sec | marginal time | marginal work | slope | driver rows ×30 | verdict |",
+              "|---|---|---|---|---|---|---|---|"]
+    for name, by_scale in results.items():
+        if X30 not in by_scale:
+            continue
+        r10, r30 = by_scale[hi], by_scale[X30]
+        cand_m = max(1.0, r30["rows"] / max(1, r10["rows"]))
+        work_m = max(cand_m, X30 / hi)
+        time_m = r30["sec"] / max(1e-9, r10["sec"])
+        slope = time_m / work_m
+        ok = time_m <= LINEAR_SLACK * work_m and r30["driver_rows"] <= DRIVER_ROW_CAPS[name]
+        if not ok:
+            failures.append(
+                f"x30 {name}: marginal time {time_m:.1f}× vs work {work_m:.1f}× "
+                f"(slope {slope:.2f}) driver={r30['driver_rows']}"
+            )
+        lines.append(
+            f"| {name} | {r10['sec']:.1f} | {r30['sec']:.1f} | {time_m:.1f}× | "
+            f"{work_m:.1f}× | {slope:.2f} | {r30['driver_rows']} | "
+            f"{'OK' if ok else 'FAIL'} |"
         )
     vlo, vhi = VERB_SCALES[0], VERB_SCALES[-1]
     lines += [

@@ -507,3 +507,74 @@ def test_certified_lsh_property_spark_equals_duckdb(spark):
         assert out1 == out2, (n_planes, seed)
 
     prop()
+
+
+def test_ivf_distributed_trainer_recall(spark, sf_dir):
+    """trainer='distributed' must produce an index at least as usable as
+    the sampled trainer at the same cell count (same recall floor as
+    test_ann_recall), and probing every cell must degrade to exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = _topk_sets(brute_force_topk(emb, queries, k=10))
+    dist = _topk_sets(
+        ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=8,
+                 train_iters=3, trainer="distributed")
+    )
+    assert _recall(dist, exact) >= 0.8
+    full = _topk_sets(
+        ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=8,
+                 train_iters=2, trainer="distributed")
+    )
+    assert _recall(full, exact) == 1.0
+
+
+def test_ivf_distributed_trainer_retires_cell_cap(spark):
+    """VERDICT r9 item 4: cells > 1024 must train WITHOUT a driver-side
+    corpus sample. A 4,500-vector synthetic corpus trains 1,100 cells
+    (over the sampled trainer's 4096//4 cap) end-to-end while every
+    driver collect stays codebook-sized; and the auto-sizing rule keeps
+    cells ∝ sqrt(N) past 1M only for the distributed trainer."""
+    import numpy as np
+
+    from python_async_sample_spark.operators.similarity import _auto_ivf_cells
+
+    # the sizing rule itself: past N=1M the sampled trainer pins at 1024,
+    # the distributed trainer keeps sqrt(N)
+    assert _auto_ivf_cells(2_000_000, 4096, "sample") == 1024
+    assert _auto_ivf_cells(2_000_000, 4096, "distributed") == 1414
+
+    n, d, k = 4500, 8, 1100
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((n, d)).astype(float)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(n)],
+        "vec_id: bigint, embedding: array<double>",
+    )
+    queries = df.where(F.col("vec_id") < 8)
+
+    # meter every driver collect (Spark 4: patch the CLASSIC class — the
+    # dispatch parent's collect is overridden and would count nothing)
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    counts: list[int] = []
+    orig = CDF.collect
+
+    def patched(self):
+        out = orig(self)
+        counts.append(len(out))
+        return out
+
+    CDF.collect = patched
+    try:
+        out = ivf_topk(
+            df, queries, k=5, n_centroids=k, n_probe=4, train_iters=1,
+            trainer="distributed",
+        )
+        n_rows = out.count()
+    finally:
+        CDF.collect = orig
+    assert n_rows == 8 * 5
+    # driver touches: k seed vectors + <= k combine rows per iteration +
+    # the 8-query matrix — never a corpus-sized or sample-sized relation
+    assert max(counts) <= k
+    assert sum(counts) <= k * (1 + 1) + 8 + 50
