@@ -143,7 +143,15 @@ def main() -> int:
     with open(baseline_path) as f:
         base_doc = json.load(f)
     base = base_doc["queries"]
-    cur = load_current(args)["queries"]
+    cur_doc = load_current(args)
+    cur = cur_doc["queries"]
+    # bench.py's in-run stall evidence (round 10): a flagged query carries
+    # its best-of-3 time plus a co-measured fresh control, so a regression
+    # row below can print its own box-state alibi (or lack of one).
+    flagged = cur_doc.get("flagged", {})
+    if cur_doc.get("stall_suspected"):
+        print("NOTE: bench run self-reported stall_suspected=true "
+              f"({len(flagged)} flagged queries carry co-measured controls)")
 
     if args.refresh:
         merged, report = refresh_baseline(
@@ -178,7 +186,12 @@ def main() -> int:
     for name, t in new:
         print(f"NEW       {name}: {t:.2f}s (no baseline)")
     for name, b, t in regressed:
-        print(f"REGRESSED {name}: {b:.2f}s -> {t:.2f}s (>{args.factor:.1f}x)")
+        alibi = ""
+        f = flagged.get(name)
+        if f and f.get("ctl_ref") and f["ctl"] > 1.3 * f["ctl_ref"]:
+            alibi = (f" [stall-suspected: co-measured control "
+                     f"{f['ctl']:.2f}s vs {f['ctl_ref']:.2f}s entry]")
+        print(f"REGRESSED {name}: {b:.2f}s -> {t:.2f}s (>{args.factor:.1f}x){alibi}")
     print(f"\n{len(regressed)} regressed / {len(improved)} improved / "
           f"{len(new)} new / {len(cur)} total vs {os.path.basename('BENCH_BASELINE.json')}")
     return 1 if regressed else 0
