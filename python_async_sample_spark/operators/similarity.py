@@ -561,8 +561,16 @@ def _kmeans_distributed(
                 np.add.at(sums, a, xs)
                 counts += np.bincount(a, minlength=k)
             hit = np.flatnonzero(counts)
+            # dtype=object even when hit is empty: an EMPTY pandas column
+            # defaults to float64 and Arrow refuses float64 -> list<double>
+            # (empty partitions appear as soon as the input has splits)
             yield pd.DataFrame(
-                {"part_id": pid, "cell": hit, "s": list(sums[hit]), "n": counts[hit]}
+                {
+                    "part_id": np.full(len(hit), pid, dtype=np.int64),
+                    "cell": hit,
+                    "s": pd.Series(list(sums[hit]), dtype=object),
+                    "n": counts[hit],
+                }
             )
 
         def combine(pdf):

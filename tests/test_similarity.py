@@ -578,3 +578,21 @@ def test_ivf_distributed_trainer_retires_cell_cap(spark):
     # the 8-query matrix — never a corpus-sized or sample-sized relation
     assert max(counts) <= k
     assert sum(counts) <= k * (1 + 1) + 8 + 50
+
+
+def test_ivf_distributed_trainer_survives_empty_partitions(spark):
+    """Regression (round-10 scale probe): an EMPTY corpus partition made
+    the partial kernel yield a float64-typed empty 's' column, which Arrow
+    refuses to convert to list<double>. 64 partitions over 300 rows forces
+    sparse/empty partitions through the trainer."""
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    df = spark.createDataFrame(
+        [(i, rng.standard_normal(8).tolist()) for i in range(300)],
+        "vec_id: bigint, embedding: array<double>",
+    ).repartition(64)
+    q = df.where(F.col("vec_id") < 4)
+    out = ivf_topk(df, q, k=3, n_centroids=16, n_probe=4, train_iters=2,
+                   trainer="distributed")
+    assert out.count() == 12
