@@ -998,22 +998,18 @@ def ivf_topk_certified(
 
     # the probe ranking MUST use the same distance fold + 1e-9 grid as the
     # cell assignment it is certified against — one shared helper, never a
-    # re-implementation that could drift (round-8 review)
-    from python_async_sample_spark.operators.kmeans import _sq_dist
+    # re-implementation that could drift (round-8 review). Built as ONE
+    # F.expr parse (same Catalyst tree as the struct-by-struct loop, without
+    # the n_cells * d F.lit py4j round-trips — see kmeans._sq_dist_sql).
+    from python_async_sample_spark.operators.kmeans import _sq_dist_sql
 
+    structs = ",".join(
+        f"named_struct('cell', {c}, 'qd2', round({_sq_dist_sql('_qv', cent)}, 9))"
+        for c, cent in enumerate(cents)
+    )
     qcells = qv.select(
         "query_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("cell"),
-                        F.round(_sq_dist("_qv", cent), 9).alias("qd2"),
-                    )
-                    for c, cent in enumerate(cents)
-                ]
-            )
-        ).alias("cd"),
+        F.explode(F.expr(f"array({structs})")).alias("cd"),
     ).select("query_id", "cd.cell", "cd.qd2")
     wq = W.partitionBy("query_id").orderBy(F.asc("qd2"), F.asc("cell"))
     probed = (
