@@ -239,8 +239,44 @@ def build_victims_df(spark, key_field, targets: list):
     name, dtype = key_field.name, key_field.dataType
     if not clean:  # nothing to match: schema-only empty relation
         return spark.createDataFrame([], T.StructType([T.StructField(name, dtype)]))
-    inferred = spark.createDataFrame([(k,) for k in clean], [name])
+    # Build a pure-JVM LocalRelation (VALUES ...) when the key values have
+    # an exact SQL literal form. A createDataFrame over a Python list is a
+    # pickled RDD in defaultParallelism slices, and every plan that
+    # broadcasts the relation re-runs its build as a 32-Python-task job —
+    # PER REWRITE (purge: 16 rewrites x 32 tasks measured at 0.6-2 s each
+    # under job concurrency). A LocalRelation broadcast collects on the
+    # driver with no distributed job at all (guide §2.4).
+    lits = _sql_key_literals(clean)
+    if lits is not None:
+        vals = ",".join(f"({v})" for v in lits)
+        inferred = spark.sql(f"SELECT * FROM VALUES {vals} AS __vic({name})")
+    else:
+        inferred = spark.createDataFrame([(k,) for k in clean], [name])
     return inferred.select(F.col(name).cast(dtype).alias(name))
+
+
+def _sql_key_literals(clean: list) -> list[str] | None:
+    """Exact SQL literals for the victim keys, or None when a value has no
+    lossless literal form (caller falls back to createDataFrame inference).
+    bool is checked before int (bool is an int subclass)."""
+    out = []
+    for k in clean:
+        if isinstance(k, bool):
+            out.append("true" if k else "false")
+        elif isinstance(k, int):
+            out.append(f"CAST({k} AS BIGINT)" if -(2**63) <= k < 2**63 else None)
+        elif isinstance(k, float):
+            # repr round-trips exactly; NaN was excluded, +-inf parse via 'D'
+            out.append(repr(k) + "D" if k not in (float("inf"), float("-inf")) else None)
+        elif isinstance(k, str):
+            if "\x00" in k:  # NUL inside a SQL literal: not worth the risk
+                return None
+            out.append("'" + k.replace("\\", "\\\\").replace("'", "\\'") + "'")
+        else:
+            return None
+        if out[-1] is None:
+            return None
+    return out
 
 
 def _drop_keys_anti(spark, df, key_col: str, targets: list, vic_df=None):

@@ -308,9 +308,23 @@ def _range_join_hits_plan(
     ranges relation must be the BROADCAST side of the (intentional)
     BroadcastNestedLoopJoin — broadcasting the batch would ship the CDC
     data to every task and cap batch size at the broadcast limit."""
-    rng_df = spark.createDataFrame(
-        [(n, lo, hi) for n, lo, hi, _ in ranges], ["__file", "__lo", "__hi"]
-    )
+    # Pure-JVM LocalRelation when the bounds have exact SQL literal forms:
+    # a createDataFrame over a Python list is a pickled RDD whose broadcast
+    # build is a defaultParallelism-task Python job on EVERY plan that
+    # references it; a VALUES relation broadcast-collects on the driver with
+    # no job at all (same rationale as layout.build_victims_df).
+    from python_async_sample_spark.sources.layout import _sql_key_literals
+
+    names_l = _sql_key_literals([n for n, _, _, _ in ranges])
+    lo_l = _sql_key_literals([lo for _, lo, _, _ in ranges])
+    hi_l = _sql_key_literals([hi for _, _, hi, _ in ranges])
+    if names_l is not None and lo_l is not None and hi_l is not None:
+        vals = ",".join(f"({n},{lo},{hi})" for n, lo, hi in zip(names_l, lo_l, hi_l))
+        rng_df = spark.sql(f"SELECT * FROM VALUES {vals} AS __rng(__file, __lo, __hi)")
+    else:
+        rng_df = spark.createDataFrame(
+            [(n, lo, hi) for n, lo, hi, _ in ranges], ["__file", "__lo", "__hi"]
+        )
     return (
         batch.select(F.col(key_col).alias("__k"))
         .where(F.col("__k").isNotNull())
