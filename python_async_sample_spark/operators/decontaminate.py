@@ -53,6 +53,15 @@ def contamination_report(
     followed by one groupBy on the doc id — the corpus is scanned once and
     shuffled only by doc id for the count (map-side combinable).
     """
+    # Fan a small source out before the CPU-heavy shingle explode: a
+    # single-split scan otherwise runs the whole corpus's Generate +
+    # partial aggregation in ONE task (measured 2.95 s serial inside q145;
+    # guide §2.5 input parallelism). A real 100 TB scan has more splits
+    # than cores and skips this — same guard as repeated_span_report/BPE.
+    spark = train_df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if train_df.rdd.getNumPartitions() < par:
+        train_df = train_df.repartition(par)
     train_sh = with_shingles(train_df, id_col, text_col, n)
     tainted = (
         train_sh.join(F.broadcast(eval_shingle_set(eval_df, id_col, text_col, n)), "shingle")

@@ -574,23 +574,31 @@ def q222_stream_cdc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cdc = spark.read.parquet(sink)
     cols = ["o_orderkey", "o_orderstatus", "price"]
-    nets = []
-    for ct, other in (("insert", "delete"), ("delete", "insert")):
-        nets.append(
-            cdc.where(F.col("_change_type") == ct)
-            .select("_commit_version", *cols)
-            .exceptAll(
-                cdc.where(F.col("_change_type") == other)
-                .select("_commit_version", *cols)
-            )
-            .withColumn("change_type", F.lit(ct))
-        )
-    net = nets[0].unionByName(nets[1])
+    # Net the insert/delete multisets via grouped counts: exceptAll keeps
+    # exactly max(n_insert - n_delete, 0) copies of each distinct row (and
+    # symmetrically for deletes), and only counts and EXACT decimal sums
+    # are consumed downstream, so net_n and price * net_n reproduce the
+    # two-exceptAll construction's aggregates bit-for-bit — with ONE
+    # full-data shuffle and one scan of the sink instead of four scans and
+    # three all-column shuffles (guide §2.3/§2.4; oracle equivalence
+    # re-proven after the rewrite).
+    counted = cdc.groupBy("_commit_version", *cols).agg(
+        F.count(F.when(F.col("_change_type") == "insert", 1)).alias("__ins"),
+        F.count(F.when(F.col("_change_type") == "delete", 1)).alias("__del"),
+    )
+    sides = counted.select(
+        "_commit_version",
+        "price",
+        F.expr(
+            "stack(2, 'insert', greatest(__ins - __del, 0L),"
+            " 'delete', greatest(__del - __ins, 0L)) AS (change_type, __n)"
+        ),
+    ).where(F.col("__n") > 0)
     return (
-        net.groupBy("_commit_version", "change_type")
+        sides.groupBy("_commit_version", "change_type")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.sum("price").cast("double").alias("total_price"),
+            F.sum("__n").cast("bigint").alias("n_rows"),
+            F.sum(F.col("price") * F.col("__n")).cast("double").alias("total_price"),
         )
         .select(
             F.col("_commit_version").cast("int").alias("commit_version"),

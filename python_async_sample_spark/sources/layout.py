@@ -522,8 +522,18 @@ def write_hive_partitioned(
     for a one-day query — footer min/max pruning (cluster_by/zorder_by)
     then prunes WITHIN the surviving partitions.  Partition columns should
     be low-cardinality (days, sources, languages): one directory per value
-    and at least one file per (partition × writing task)."""
-    w = df.write.mode("overwrite")
+    and at least one file per (partition × writing task).
+
+    The write is REBALANCE-distributed on the partition columns first
+    (guide §6 — the Iceberg ``write.distribution-mode=hash`` shape): without
+    it every scan task writes one file into every partition directory it
+    touches — tasks × partitions small files once the input has real
+    splits (a 100 TB scan has thousands). At sf0.1 the input is one split,
+    so the file count (150 = 1/dir) and the measured query time are
+    unchanged; the hint exists for the many-task case, and AQE both
+    coalesces small partition values and splits oversized ones."""
+    shaped = df.hint("rebalance", *[F.col(c) for c in partition_cols])
+    w = shaped.write.mode("overwrite")
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", max_records_per_file)
     w.partitionBy(*partition_cols).parquet(path)
