@@ -343,7 +343,15 @@ def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> Dat
         (F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"c{i}")
         for i in range(4)
     ]
-    keyed = sim.select(F.col(id_col).alias("doc"), "simhash", *chunks)
+    # Barrier before the self-join: both join sides otherwise carry the full
+    # upstream signature plan (for simhash() that is the 64-aggregate vote
+    # tree), doubling Catalyst analysis + codegen per fresh plan (the
+    # CollapseProject cost class from round-8; guide §3.3 "materialise an
+    # intermediate to truncate the plan"). Lazy checkpoint: the join's first
+    # action materializes the doc-sized signature relation once.
+    keyed = sim.select(F.col(id_col).alias("doc"), "simhash", *chunks).localCheckpoint(
+        eager=False
+    )
     stacked = keyed.select(
         "doc",
         "simhash",

@@ -24,6 +24,19 @@ def tokens_col(text_col: str) -> F.Column:
     return F.split(F.col(text_col), " ")
 
 
+def fan_out_small(df: DataFrame) -> DataFrame:
+    """Fan a small relation out to ``defaultParallelism`` before CPU-heavy
+    per-row work (explode/shingle/aggregate chains): a single-split scan
+    otherwise serializes a whole corpus pass in ONE task (guide §2.5 —
+    measured 2-4 s single-task stages at sf0.1). A real warehouse scan has
+    more splits than cores and returns unchanged — the same guard as
+    dedup.shingle_index / substring_dedup / BPE."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token count, char count, avg token length, distinct-token ratio,
     stopword ratio — the length/punct/stopword quality features."""
@@ -207,6 +220,7 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     documents with fewer than two tokens carry no bigram and are dropped
     (nothing to score).
     """
+    df = fan_out_small(df)  # two whole-corpus explode passes below
     words = F.split(F.col(text_col), " ")
     toks = df.select(F.col(id_col).alias("doc"), F.explode(words).alias("tok"))
     wstats = toks.groupBy("doc").agg(

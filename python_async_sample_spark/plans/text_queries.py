@@ -635,6 +635,14 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row vocab-size scalar is broadcast. The exploded bigram
     relation is recomputed per consumer rather than pinned."""
     docs = load_table(spark, sf_dir, "documents")
+    # fan the corpus out BEFORE the explode-heavy token/bigram passes: a
+    # single-split scan otherwise runs each whole-corpus Generate + partial
+    # aggregation in one task (measured: the unigram chain alone was a 4.1 s
+    # single-task job at sf0.1; guide §2.5) — a real 100 TB scan has more
+    # splits than cores and skips this
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     ws = F.split("text", " ")
     grams = F.when(
         F.size(ws) >= 2,
@@ -651,15 +659,16 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two consumers (count build + final scoring join): materialize the
     # exploded relation once instead of re-exploding per consumer — the
     # positional-index contract from dedup.shingle_index
-    par = spark.sparkContext.defaultParallelism
-    if big.rdd.getNumPartitions() < par:
-        big = big.repartition(par)
     big = big.localCheckpoint(eager=True)
     bc = big.groupBy("a", "b").agg(F.count(F.lit(1)).cast("double").alias("cab"))
+    # two consumers here too: the vsize scalar's broadcast build would
+    # otherwise RE-RUN the whole unigram explode+aggregate lineage — pin the
+    # vocabulary-sized relation once (guide §5 caching: reused AND expensive)
     uc = (
         docs.select(F.explode(ws).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("double").alias("ca"))
+        .localCheckpoint(eager=True)
     )
     v = uc.agg(F.count(F.lit(1)).cast("double").alias("vsize"))
     # fold the model down to one lp per DISTINCT bigram first (vocab-sized
