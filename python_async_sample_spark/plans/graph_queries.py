@@ -67,11 +67,18 @@ def copurchase_edges(spark: SparkSession, sf_dir: str, support: int = 2) -> Data
     ).distinct()
     a = op.alias("a")
     b = op.alias("b")
+    # lazy barrier: every caller consumes the edge relation more than once
+    # (q150 triangle joins, q159 BFS iterations, q173's two-way union), so
+    # without it the inverted-index self-join + aggregate appears once PER
+    # CONSUMER in the plan — re-analyzed, re-codegen'd and (when exchange
+    # reuse misses) re-executed (guide §3.3). First action materializes the
+    # support-filtered edge relation once.
     return (
         a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
         .groupBy(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .agg(F.count("*").alias("s"))
         .where(F.col("s") >= support)
+        .localCheckpoint(eager=False)
     )
 
 
