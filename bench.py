@@ -159,10 +159,6 @@ def main() -> None:
         "controls": controls,
     }
     line = json.dumps(result, separators=(",", ":"))
-    print(line)
-    # Totals-last fallback: if the bounded tail still cuts the full line,
-    # this final compact summary (no per-query map) survives on its own and
-    # parses as the same schema minus "queries"/"controls".
     # File-durable copy with the full per-query map. Default target is the
     # gitignored .run file so an external (driver) bench run never dirties
     # the working tree; --refresh updates the committed canonical record.
@@ -179,7 +175,15 @@ def main() -> None:
         "n_flagged": len(flagged),
         "queries_file": self_name,
     }
+    # STDOUT ORDER (round-10 verdict item 1): the driver parses the LAST
+    # line of a bounded stdout tail. Printing the compact no-queries summary
+    # last — the round-10 layout — meant PERF_r10.per_query parsed empty in
+    # both rounds. So: summary FIRST (a totals-only fallback if the tail is
+    # so short it cuts the full line entirely), then the full result with
+    # the per-query map as the FINAL line (~7 KB at 3 sig figs; the driver's
+    # tail demonstrably captured the map region in round 10).
     print(json.dumps(summary, separators=(",", ":")))
+    print(line)
     if self_name is not None:
         try:
             with open(os.path.join(REPO, self_name), "w") as f:

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from python_async_sample_spark.operators.text import fan_out_small
+
 
 def to_symbols(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc, syms) where syms is the whitespace-token sequence — the word-
@@ -95,10 +97,7 @@ def learn_bpe(
     # parquet file -> one partition) would serialize that work, so fan out
     # once before the loop; a real corpus scan already has more splits
     # than cores and skips this
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if symbols.rdd.getNumPartitions() < par:
-        symbols = symbols.repartition(par)
-    symbols = symbols.localCheckpoint(eager=True)
+    symbols = fan_out_small(symbols).localCheckpoint(eager=True)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (

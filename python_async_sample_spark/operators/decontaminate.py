@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from python_async_sample_spark.operators.dedup import with_shingles
+from python_async_sample_spark.operators.text import fan_out_small
 
 
 def eval_shingle_set(eval_df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
@@ -57,11 +58,9 @@ def contamination_report(
     # single-split scan otherwise runs the whole corpus's Generate +
     # partial aggregation in ONE task (measured 2.95 s serial inside q145;
     # guide §2.5 input parallelism). A real 100 TB scan has more splits
-    # than cores and skips this — same guard as repeated_span_report/BPE.
-    spark = train_df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if train_df.rdd.getNumPartitions() < par:
-        train_df = train_df.repartition(par)
+    # than cores and skips this — the shared guard (ADVICE r10: one
+    # definition in operators.text, not an inline copy per module).
+    train_df = fan_out_small(train_df)
     train_sh = with_shingles(train_df, id_col, text_col, n)
     tainted = (
         train_sh.join(F.broadcast(eval_shingle_set(eval_df, id_col, text_col, n)), "shingle")

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from python_async_sample_spark.operators.text import fan_out_small
+
 # ---------------------------------------------------------------------------
 # Exact dedup (hash-groupBy)
 # ---------------------------------------------------------------------------
@@ -91,11 +93,7 @@ def shingle_index(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     is fanned out before the explode so shingling parallelizes; at real
     scale the scan already has more splits than cores and no shuffle is
     added."""
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return with_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    return with_shingles(fan_out_small(df), id_col, text_col, n).localCheckpoint(eager=True)
 
 
 def jaccard_pairs(

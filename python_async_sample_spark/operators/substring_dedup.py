@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from python_async_sample_spark.operators.text import fan_out_small
+
 
 def positional_shingles(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     """(doc, pos, gram) rows: every word n-gram with its 0-based start
@@ -76,11 +78,9 @@ def repeated_span_report(
     # ``dedup.shingle_index`` (at warehouse scale this IS the persisted
     # positional index table). Small sources fan out first so the explode
     # parallelizes; a real scan already has more splits than cores.
-    spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    grams = positional_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    grams = positional_shingles(fan_out_small(df), id_col, text_col, n).localCheckpoint(
+        eager=True
+    )
 
     # duplicated = gram seen in >=2 distinct docs. Key-partitioned shuffle;
     # the gram relation is data-sized, so no broadcast anywhere on this path.

@@ -29,8 +29,10 @@ def fan_out_small(df: DataFrame) -> DataFrame:
     per-row work (explode/shingle/aggregate chains): a single-split scan
     otherwise serializes a whole corpus pass in ONE task (guide §2.5 —
     measured 2-4 s single-task stages at sf0.1). A real warehouse scan has
-    more splits than cores and returns unchanged — the same guard as
-    dedup.shingle_index / substring_dedup / BPE."""
+    more splits than cores and returns unchanged. This is THE shared guard
+    (round-10 verdict item 2): dedup.shingle_index, substring_dedup, BPE,
+    decontaminate and the plan-level callers all import it — do not copy
+    the getNumPartitions/repartition pattern inline again."""
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)

@@ -181,8 +181,11 @@ def q150_triangle_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from python_async_sample_spark.plans.similarity_queries import _union_poison_guard
 
     # edges feed four consumers (orientation, closing set, adjacency,
-    # certificate) — materialize once, never re-run the fact-side join
-    edges = copurchase_edges(spark, sf_dir, support=2).localCheckpoint(eager=True)
+    # certificate) — copurchase_edges already ends in a (lazy) checkpoint
+    # barrier, materialized once by the first action; wrapping it in a
+    # second eager localCheckpoint here persisted TWO copies of the same
+    # support-filtered edges on the executors (ADVICE r10)
+    edges = copurchase_edges(spark, sf_dir, support=2)
     tri = count_triangles(edges, "u", "v").localCheckpoint(eager=True)
     und = edges.select("u", "v")
     adj = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -314,7 +314,7 @@ _PRIORITY: tuple[str, ...] = (
     "q81_window_suite",
     "q85_stream_static_enrich",
     "q86_ann_quantized_topk",
-    "q93_sliding_windows",
+    # q93_sliding_windows rotated to _TAIL in round 11 (see ROUND-11 note)
     "q97_json_extract",
     "q98_array_agg",
     "q103_stream_bounded_dedup",
@@ -345,9 +345,21 @@ _PRIORITY: tuple[str, ...] = (
     # ---- family keeps q61 parquet-wide and q97 JSON in-window, plus
     # ---- ongoing driver_sim/pytest parity every round). -------------------
     "q235_best_fit_packing",
+    # ---- ROUND-11 ROTATION (executes VERDICT r10 item 5): q90_orc_source
+    # ---- rotates BACK IN — it was the only registered query whose latest
+    # ---- driver row was 2 rounds old (rotated out for q235 in r10 through
+    # ---- no fault of its own; the "every query re-sampled periodically"
+    # ---- invariant needs it back). Rotated OUT: q93_sliding_windows
+    # ---- (green CORRECTNESS_r09 AND _r10 rows, hash-match both; its
+    # ---- window-function family face stays in-window via q81_window_suite,
+    # ---- itself green r09+r10, plus ongoing driver_sim/pytest parity). ----
+    "q90_orc_source",
 )
 
 _TAIL: tuple[str, ...] = (
+    # rotated out of the round-11 window (coverage duplicated in-window by
+    # q81_window_suite; green r09+r10 driver rows)
+    "q93_sliding_windows",
     "q19_sessionization",
     "q40_text_stats",
     "q44_token_counts",

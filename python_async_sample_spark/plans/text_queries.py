@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from python_async_sample_spark.operators.text import (
     STOPWORDS,
     detect_lang,
+    fan_out_small,
     fingerprint,
     normalize_text,
     quality_score,
@@ -640,9 +641,7 @@ def q125_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregation in one task (measured: the unigram chain alone was a 4.1 s
     # single-task job at sf0.1; guide §2.5) — a real 100 TB scan has more
     # splits than cores and skips this
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
+    docs = fan_out_small(docs)
     ws = F.split("text", " ")
     grams = F.when(
         F.size(ws) >= 2,

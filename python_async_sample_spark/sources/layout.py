@@ -247,7 +247,13 @@ def build_victims_df(spark, key_field, targets: list):
     # under job concurrency). A LocalRelation broadcast collects on the
     # driver with no distributed job at all (guide §2.4).
     lits = _sql_key_literals(clean)
-    if lits is not None:
+    # the column name is interpolated into SQL text: only a simple
+    # identifier is safe unquoted (spaces/hyphens/reserved words would
+    # parse wrong) — anything else falls back to createDataFrame, which
+    # accepts any name
+    import re
+
+    if lits is not None and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name):
         vals = ",".join(f"({v})" for v in lits)
         inferred = spark.sql(f"SELECT * FROM VALUES {vals} AS __vic({name})")
     else:
@@ -266,8 +272,14 @@ def _sql_key_literals(clean: list) -> list[str] | None:
         elif isinstance(k, int):
             out.append(f"CAST({k} AS BIGINT)" if -(2**63) <= k < 2**63 else None)
         elif isinstance(k, float):
-            # repr round-trips exactly; NaN was excluded, +-inf parse via 'D'
-            out.append(repr(k) + "D" if k not in (float("inf"), float("-inf")) else None)
+            # repr round-trips exactly. NaN would emit 'nanD' — an
+            # unresolvable identifier — so it degrades to createDataFrame
+            # like +-inf (current callers pre-exclude NaN, but the helper
+            # is shared across two modules and must guard itself).
+            if k != k or k in (float("inf"), float("-inf")):
+                out.append(None)
+            else:
+                out.append(repr(k) + "D")
         elif isinstance(k, str):
             if "\x00" in k:  # NUL inside a SQL literal: not worth the risk
                 return None
